@@ -1,13 +1,110 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each entry implements. Every `queries` key has either a
+  * DuckDB oracle in `oracleSql` (hash-compared at sf0.01) or a
+  * rows-only check plus a ScalaTest oracle.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 relational core
+    "q_scan_filter"    -> (Relational.scanFilter _),
+    "q1_agg"           -> (Relational.q1Agg _),
+    "q_join_broadcast" -> (Relational.joinBroadcast _),
+    "q5_multijoin"     -> (Relational.multiJoin _),
+    "q_semi_anti"      -> (Relational.semiAnti _),
+    "q_distinct"       -> (Relational.distinctCounts _),
+    "q_topk"           -> (Relational.topK _),
+    "q_window"         -> (Relational.windowFns _),
+    "q_time_window"    -> (Relational.timeWindow _),
+    "q_json_extract"   -> (Relational.jsonExtract _),
+    "q_explode_tokens" -> (Relational.explodeTokens _),
+    "q_union_case"     -> (Relational.unionCase _),
+  )
+
+  /** DuckDB-dialect twins of `queries`, identical column names and
+    * ORDER BY so the driver's hash compare is deterministic. */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount FROM lineitem
+        |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_quantity > 0
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT * FROM (
+        |SELECT 'has_orders' AS kind, c_mktsegment, count(*) AS n FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'no_orders' AS kind, c_mktsegment, count(*) AS n FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY c_mktsegment
+        |) ORDER BY kind, c_mktsegment""".stripMargin,
+    "q_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
+        | count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows FROM lineitem""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, rk, running FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING),2) AS running
+        | FROM orders)
+        |WHERE rk <= 2 ORDER BY o_custkey, rk, o_orderkey""".stripMargin,
+    "q_time_window" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        | count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | round(avg(CAST(json_extract_string(props,'$.k') AS BIGINT)),4) AS avg_k,
+        | CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_explode_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        | SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE length(token) > 0 GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q_union_case" ->
+      """SELECT src, bucket, count(*) AS n FROM (
+        | SELECT 'orders' AS src,
+        |  CASE WHEN o_totalprice > 300000 THEN 'hi' WHEN o_totalprice > 100000 THEN 'mid'
+        |   ELSE 'lo' END AS bucket FROM orders
+        | UNION ALL
+        | SELECT 'lineitem' AS src,
+        |  CASE WHEN l_quantity >= 40 THEN 'hi' WHEN l_quantity >= 15 THEN 'mid'
+        |   ELSE 'lo' END AS bucket FROM lineitem)
+        |GROUP BY src, bucket ORDER BY src, bucket""".stripMargin,
+  )
 }

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational core: the LazyFrame-style surface the reference DSL is
+  * built on (scan/filter/project/join/agg/sort — reference
+  * src/main.rs:297-574 composes exactly these), expressed as
+  * declarative DataFrame plans so Catalyst handles pushdown, join
+  * strategy, and whole-stage codegen.
+  *
+  * Scale notes (100 TB):
+  *  - filters/projections sit directly on the parquet scan (verified
+  *    via PushedFilters/ReadSchema in explain);
+  *  - dimension joins (region/nation/customer at TPC-H ratios) are
+  *    explicitly `broadcast()`; fact-fact joins shuffle on join keys
+  *    with AQE handling skew;
+  *  - every query's output is deterministic (ordered, rounded) so the
+  *    driver's DuckDB oracle compare is stable across engines.
+  */
+object Relational {
+
+  /** C1: scan + filter + project, all pushed to the parquet scan. */
+  def scanFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** C2: TPC-H Q1-style grouped aggregation (map-side partial agg,
+    * single shuffle on the two grouping keys). */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_quantity" > 0)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** C3: fact-dim join with an explicit broadcast of the dim side —
+    * at TPC-H ratios customer is ~1% of lineitem bytes; broadcasting
+    * avoids shuffling the fact table entirely. */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** C4: TPC-H Q5-style 6-way star join. Dims (supplier, nation,
+    * region, customer) broadcast; the single shuffle join is
+    * lineitem⋈orders on orderkey. */
+  def multiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+                          c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter($"r_name" === "ASIA")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy($"n_name")
+  }
+
+  /** C5: semi + anti join (EXISTS / NOT EXISTS) — both broadcastable
+    * when the probe set is small; Spark plans left-semi/left-anti with
+    * no row duplication. */
+  def semiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).select($"o_custkey")
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("has_orders"))
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("no_orders"))
+    semi.unionByName(anti)
+      .select($"kind", $"c_mktsegment", $"n")
+      .orderBy($"kind", $"c_mktsegment")
+  }
+
+  /** C6: distinct / count-distinct (expand + two-phase agg in Spark). */
+  def distinctCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        countDistinct($"l_orderkey").as("n_orders"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** C7: global top-k — Spark plans sort+limit as TakeOrderedAndProject
+    * (per-partition heap, k rows to the driver), never a full sort. */
+  def topK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** C8: window functions — rank within customer + running revenue.
+    * One shuffle on o_custkey shared by both windows. */
+  def windowFns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byPrice = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val byDate = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .withColumn("rk", rank().over(byPrice))
+      .withColumn("running", round(sum($"o_totalprice").over(byDate), 2))
+      .filter($"rk" <= 2)
+      .select($"o_custkey", $"o_orderkey", $"rk", $"running")
+      .orderBy($"o_custkey", $"rk", $"o_orderkey")
+  }
+
+  /** C9: tumbling time-window aggregation over the events table —
+    * the batch twin of the structured-streaming pipeline
+    * (graft.streaming.EventStream). */
+  def timeWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select(date_format($"w.start", "yyyy-MM-dd").as("day"),
+              $"event_type", $"n", $"sum_value")
+      .orderBy($"day", $"event_type")
+  }
+
+  /** C10: JSON field extraction from the events `props` column
+    * (reference ingests JSON logs — src/main.rs:9 README "8-9GB of
+    * JSON data ingested"). */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           round(avg($"k"), 4).as("avg_k"),
+           sum($"k").as("sum_k"))
+      .orderBy($"event_type")
+  }
+
+  /** C11: explode / list ops — the tags-style List[String] handling
+    * (reference src/main.rs:144-148). Top-20 tokens across documents. */
+  def explodeTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(20)
+  }
+
+  /** C12: union + CASE buckets across two tables. */
+  def unionCase(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir).select(
+      lit("orders").as("src"),
+      when($"o_totalprice" > 300000, "hi")
+        .when($"o_totalprice" > 100000, "mid")
+        .otherwise("lo").as("bucket"))
+    val l = Tables.lineitem(spark, sfDir).select(
+      lit("lineitem").as("src"),
+      when($"l_quantity" >= 40, "hi")
+        .when($"l_quantity" >= 15, "mid")
+        .otherwise("lo").as("bucket"))
+    o.unionByName(l)
+      .groupBy($"src", $"bucket").agg(count(lit(1)).as("n"))
+      .orderBy($"src", $"bucket")
+  }
+}

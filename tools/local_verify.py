@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run graft.Verify output
+against DuckDB oracles on the same parquet tables and compare
+(columns sorted by name, rows sorted, exact value compare).
+Driver-side tooling only — NOT part of the library."""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+fails = 0
+for name in sorted(os.listdir(out_dir)):
+    path = os.path.join(out_dir, name)
+    if not os.path.isdir(path):
+        continue
+    got = pd.concat([pd.read_parquet(p) for p in glob.glob(f"{path}/*.parquet")])
+    if name not in oracle:
+        print(f"  [rows-only] {name}: {len(got)} rows")
+        continue
+    exp = con.sql(oracle[name]).df()
+    g, e = canon(got), canon(exp)
+    ok = True
+    if list(g.columns) != list(e.columns):
+        print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}"); ok = False
+    elif len(g) != len(e):
+        print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); ok = False
+    else:
+        for c in g.columns:
+            gv, ev = g[c].astype(str).values, e[c].astype(str).values
+            bad = [(i, gv[i], ev[i]) for i in range(len(gv)) if gv[i] != ev[i]]
+            if bad:
+                print(f"FAIL {name}.{c}: {len(bad)} diffs, first: {bad[:3]}")
+                print(f"  dtypes: got={g[c].dtype} exp={e[c].dtype}")
+                ok = False
+    if ok:
+        print(f"  [ok] {name}: {len(g)} rows")
+    else:
+        fails += 1
+print(f"{'ALL OK' if fails == 0 else f'{fails} FAILURES'}")
+sys.exit(1 if fails else 0)
