@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -14,8 +15,34 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
 
+  /** Deterministic 100-id probe set for the doc-id-restricted queries —
+    * mirrors the reference's workload of 100 evenly spaced ids
+    * (reference src/main.rs:731). Same literal list feeds the DuckDB
+    * oracle so both engines see identical predicates. */
+  private val iiDocIds: Seq[Long] = (0 until 100).map(i => i * 5L)
+  private def iiDocIdsSql: String = iiDocIds.mkString(", ")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 reference surface: inverted-index log engine
+    "ii_field_values" -> ((s, dir) =>
+      InvertedIndex.fieldValues(Tables.documents(s, dir), "lang")
+        .select(col("value"), col("n_docs"),
+                array_join(col("doc_ids"), ",").as("doc_ids"))
+        .orderBy(col("value"))),
+    "ii_field_values_by_doc_ids" -> ((s, dir) =>
+      InvertedIndex.fieldValuesByDocIds(Tables.documents(s, dir), "source", iiDocIds)
+        .select(col("value"), col("n_docs"),
+                array_join(col("doc_ids"), ",").as("doc_ids"))
+        .orderBy(col("value"))),
+    "ii_numeric_stats" -> ((s, dir) =>
+      InvertedIndex.numericStats(Tables.documents(s, dir), "n_chars")
+        .select(col("field"), col("min_v"), col("max_v"),
+                round(col("avg_v"), 4).as("avg_v"))),
+    "ii_numeric_stats_by_doc_ids" -> ((s, dir) =>
+      InvertedIndex.numericStatsByDocIds(Tables.documents(s, dir), "n_chars", iiDocIds)
+        .select(col("field"), col("min_v"), col("max_v"),
+                round(col("avg_v"), 4).as("avg_v"))),
     // §2.2 relational core
     "q_scan_filter"    -> (Relational.scanFilter _),
     "q1_agg"           -> (Relational.q1Agg _),
@@ -34,6 +61,23 @@ object SparkEntry {
   /** DuckDB-dialect twins of `queries`, identical column names and
     * ORDER BY so the driver's hash compare is deterministic. */
   def oracleSql: Map[String, String] = Map(
+    "ii_field_values" ->
+      """SELECT lang AS value, count(*) AS n_docs,
+        | array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+        |FROM documents GROUP BY lang ORDER BY value""".stripMargin,
+    "ii_field_values_by_doc_ids" ->
+      s"""SELECT source AS value, count(*) AS n_docs,
+        | array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+        |FROM documents WHERE doc_id IN ($iiDocIdsSql)
+        |GROUP BY source ORDER BY value""".stripMargin,
+    "ii_numeric_stats" ->
+      """SELECT 'n_chars' AS field, CAST(min(n_chars) AS DOUBLE) AS min_v,
+        | CAST(max(n_chars) AS DOUBLE) AS max_v, round(avg(n_chars), 4) AS avg_v
+        |FROM documents""".stripMargin,
+    "ii_numeric_stats_by_doc_ids" ->
+      s"""SELECT 'n_chars' AS field, CAST(min(n_chars) AS DOUBLE) AS min_v,
+        | CAST(max(n_chars) AS DOUBLE) AS max_v, round(avg(n_chars), 4) AS avg_v
+        |FROM documents WHERE doc_id IN ($iiDocIdsSql)""".stripMargin,
     "q_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount FROM lineitem
         |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24

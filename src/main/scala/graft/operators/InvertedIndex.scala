@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inverted-index query family — the reference engine's namesake
+  * surface (reference src/main.rs:260-689):
+  *
+  *  - `fieldValues` (R1, src/main.rs:398-499): full inverted index for
+  *    a field — every distinct value mapped to the sorted posting list
+  *    of doc_ids holding it.
+  *  - `fieldValuesByDocIds` (R2, src/main.rs:271-395): the same index
+  *    restricted to a caller-supplied doc-id set.
+  *  - `numericStats` (R3, src/main.rs:611-689): {min, max, avg} of a
+  *    numeric field over all docs.
+  *  - `numericStatsByDocIds` (R4, src/main.rs:510-608): the same over
+  *    a doc-id set.
+  *  - `fieldNameToColumn` (R5, src/main.rs:260-262): dotted field paths
+  *    resolve to flattened `_` columns (`user.metrics.clicks` →
+  *    `user_metrics_clicks`), matching graft.operators.NestedIngest's
+  *    flattening.
+  *
+  * Spark-first design, NOT a port: the reference collects (column,
+  * doc_id) pairs to the driver and builds a HashMap single-threaded
+  * (src/main.rs:432-491). Here the grouping IS the plan —
+  * `groupBy(value).agg(sort_array(collect_list(doc_id)))` runs a
+  * partial (map-side) aggregation per partition and shuffles once on
+  * the field value; posting lists never pass through the driver.
+  *
+  * Scale notes (100 TB):
+  *  - one shuffle keyed on the field value; per-key state is one
+  *    posting list, skew absorbed by AQE. For web-scale cardinality a
+  *    caller can pre-bucket by value range — the plan shape is
+  *    unchanged.
+  *  - doc-id restricted variants NEVER shuffle the fact table: small
+  *    sets (≤ `IsinThreshold`) become an `isin` literal predicate that
+  *    Catalyst pushes into the parquet scan, where row-group min/max
+  *    stats on a doc_id-clustered layout (graft.sources.ClusteredParquet)
+  *    prune all non-matching row groups — the reference's point-lookup
+  *    perf contract (README "100 doc_ids in ~1s on 10M rows"). Larger
+  *    sets become a broadcast inner join (hash lookup per row, no fact
+  *    shuffle, scan still pruned by the id min/max range predicate).
+  */
+object InvertedIndex {
+
+  /** R5: dotted field path → flattened physical column name. */
+  def fieldNameToColumn(fieldName: String): String = fieldName.replace('.', '_')
+
+  /** Ids below this become an `isin` literal filter (pushed to the
+    * parquet reader for row-group pruning); above it, a broadcast join.
+    * ~10k In-values is where predicate evaluation starts costing more
+    * than a broadcast hash probe. */
+  val IsinThreshold = 10000
+
+  /** R1: full inverted index — one row per distinct field value with
+    * its sorted doc_id posting list. */
+  def fieldValues(df: DataFrame, fieldName: String, docIdCol: String = "doc_id"): DataFrame = {
+    val c = fieldNameToColumn(fieldName)
+    df.select(col(c).as("value"), col(docIdCol).cast("long").as("doc_id"))
+      .where(col("value").isNotNull)
+      .groupBy(col("value"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
+           count(lit(1)).as("n_docs"))
+  }
+
+  /** Restrict `df` to a doc-id set without shuffling `df`: literal
+    * `isin` pushdown for small sets, broadcast inner join otherwise.
+    * Either way an id-range predicate is also pushed so a clustered
+    * layout prunes row groups even on the join path. */
+  def restrictToDocIds(df: DataFrame, docIds: Seq[Long], docIdCol: String = "doc_id"): DataFrame = {
+    if (docIds.isEmpty) return df.where(lit(false))
+    if (docIds.size <= IsinThreshold) {
+      df.where(col(docIdCol).isin(docIds: _*))
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val ids = docIds.toDF(docIdCol)
+      // min/max range predicate prunes row groups before the join probes
+      df.where(col(docIdCol) >= docIds.min && col(docIdCol) <= docIds.max)
+        .join(broadcast(ids), docIdCol)
+    }
+  }
+
+  /** R2: inverted index restricted by doc-id set. */
+  def fieldValuesByDocIds(df: DataFrame, fieldName: String, docIds: Seq[Long],
+                          docIdCol: String = "doc_id"): DataFrame =
+    fieldValues(restrictToDocIds(df, docIds, docIdCol), fieldName, docIdCol)
+
+  /** R3: {min, max, avg} of a numeric field over all docs — a single
+    * partial-aggregate pass, one-row result. Doubles match the
+    * reference's Float64 casts (src/main.rs:562-573). */
+  def numericStats(df: DataFrame, fieldName: String): DataFrame = {
+    val c = fieldNameToColumn(fieldName)
+    df.agg(
+      min(col(c)).cast("double").as("min_v"),
+      max(col(c)).cast("double").as("max_v"),
+      avg(col(c).cast("double")).as("avg_v"))
+      .select(lit(fieldName).as("field"), col("min_v"), col("max_v"), col("avg_v"))
+  }
+
+  /** R4: numeric stats restricted by doc-id set. */
+  def numericStatsByDocIds(df: DataFrame, fieldName: String, docIds: Seq[Long],
+                           docIdCol: String = "doc_id"): DataFrame =
+    numericStats(restrictToDocIds(df, docIds, docIdCol), fieldName)
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.InvertedIndex
+
+class InvertedIndexSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("R5: dotted field paths resolve to flattened columns") {
+    assert(InvertedIndex.fieldNameToColumn("user.metrics.clicks") == "user_metrics_clicks")
+    assert(InvertedIndex.fieldNameToColumn("level") == "level")
+  }
+
+  test("R1: posting lists are sorted and partition all doc_ids exactly once") {
+    val rows = InvertedIndex.fieldValues(docs, "lang").collect()
+    assert(rows.nonEmpty)
+    val all = rows.flatMap(_.getSeq[Long](1))
+    rows.foreach { r =>
+      val ids = r.getSeq[Long](1)
+      assert(ids.sameElements(ids.sorted), s"unsorted posting list for ${r.get(0)}")
+      assert(r.getLong(2) == ids.length, "n_docs must equal posting list length")
+    }
+    val total = docs.count()
+    assert(all.length == total, "every doc appears in exactly one posting list")
+    assert(all.toSet.size == all.length, "no doc_id repeats across values of one field")
+  }
+
+  test("R2: restricted index contains exactly the requested ids") {
+    val ids = Seq(0L, 5L, 10L, 999999L) // last one absent from the table
+    val rows = InvertedIndex.fieldValuesByDocIds(docs, "lang", ids).collect()
+    val got = rows.flatMap(_.getSeq[Long](1)).toSet
+    assert(got == Set(0L, 5L, 10L))
+  }
+
+  test("R2: small id-set becomes a pushed In predicate, not a join") {
+    val plan = InvertedIndex.restrictToDocIds(docs, Seq(1L, 2L, 3L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(doc_id"),
+      s"expected In(doc_id...) pushed to the scan:\n$plan")
+    assert(!plan.contains("Join"), "small sets must not plan a join")
+  }
+
+  test("R2: large id-set becomes a broadcast join with a pushed range predicate") {
+    val big = (0L until InvertedIndex.IsinThreshold + 1L)
+    val plan = InvertedIndex.restrictToDocIds(docs, big)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(doc_id"),
+      "expected id-range predicate pushed for row-group pruning")
+  }
+
+  test("R3/R4: numeric stats match a direct computation") {
+    val r = InvertedIndex.numericStats(docs, "n_chars").collect()(0)
+    val direct = docs.agg(min("n_chars").cast("double"), max("n_chars").cast("double"),
+      avg("n_chars")).collect()(0)
+    assert(r.getString(0) == "n_chars")
+    assert(r.getDouble(1) == direct.getDouble(0))
+    assert(r.getDouble(2) == direct.getDouble(1))
+    assert(math.abs(r.getDouble(3) - direct.getDouble(2)) < 1e-9)
+
+    val ids = Seq(0L, 1L, 2L)
+    val sub = InvertedIndex.numericStatsByDocIds(docs, "n_chars", ids).collect()(0)
+    val subDirect = docs.where(col("doc_id").isin(ids: _*))
+      .agg(min("n_chars").cast("double"), max("n_chars").cast("double"), avg("n_chars"))
+      .collect()(0)
+    assert(sub.getDouble(1) == subDirect.getDouble(0))
+    assert(sub.getDouble(2) == subDirect.getDouble(1))
+    assert(math.abs(sub.getDouble(3) - subDirect.getDouble(2)) < 1e-9)
+  }
+
+  test("R4: empty id set yields empty-input stats, not an error") {
+    val r = InvertedIndex.numericStatsByDocIds(docs, "n_chars", Seq.empty).collect()(0)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+}
