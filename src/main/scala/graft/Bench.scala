@@ -1,19 +1,45 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
+
+/** Benchmark main: one JSON line with per-query seconds.
+  *
+  * Measurement discipline (a correct number needs all three):
+  *  - materialize through the `noop` sink, not `count()` — count lets
+  *    Catalyst prune projections and drop sorts, under-measuring the
+  *    real work a user's query does;
+  *  - one warm-up pass over every query first, so session startup,
+  *    codegen compilation, and filesystem cache effects don't land on
+  *    whichever query happens to run first;
+  *  - median of SPARK_GRAFT_BENCH_REPS (default 3) timed runs per
+  *    query, robust to one-off GC/scheduler noise.
+  */
 object Bench {
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = GraftSession.builder(Some(s"local[$cpus]"), Some(cpus)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
+      try materialize(SparkEntry.queries(n)(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
+    }
+    val results = names.map { n =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try materialize(SparkEntry.queries(n)(spark, sfDir))
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      n -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -43,6 +43,14 @@ object SparkEntry {
       InvertedIndex.numericStatsByDocIds(Tables.documents(s, dir), "n_chars", iiDocIds)
         .select(col("field"), col("min_v"), col("max_v"),
                 round(col("avg_v"), 4).as("avg_v"))),
+    "ingest_nested_json" -> (NestedIngest.ingestNestedJson _),
+    "clustered_write_scan" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_clustered_${dir.hashCode.abs}"
+      graft.sources.ClusteredParquet.write(Tables.documents(s, dir), path, numFiles = 8)
+      graft.sources.ClusteredParquet.pointLookup(s, path, iiDocIds)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.2 relational core
     "q_scan_filter"    -> (Relational.scanFilter _),
     "q1_agg"           -> (Relational.q1Agg _),
@@ -78,6 +86,19 @@ object SparkEntry {
       s"""SELECT 'n_chars' AS field, CAST(min(n_chars) AS DOUBLE) AS min_v,
         | CAST(max(n_chars) AS DOUBLE) AS max_v, round(avg(n_chars), 4) AS avg_v
         |FROM documents WHERE doc_id IN ($iiDocIdsSql)""".stripMargin,
+    "ingest_nested_json" ->
+      """SELECT event_type AS level,
+        | CASE WHEN user_id % 3 = 0 THEN 'us-east'
+        |      WHEN user_id % 3 = 1 THEN 'us-west'
+        |      ELSE 'eu-central' END AS source_region,
+        | count(*) AS n,
+        | CAST(sum(event_id % 37) AS BIGINT) AS sum_clicks,
+        | round(avg(CAST(floor(value * 100) AS BIGINT)), 4) AS avg_payload,
+        | CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_processed
+        |FROM events GROUP BY 1, 2 ORDER BY level, source_region""".stripMargin,
+    "clustered_write_scan" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN ($iiDocIdsSql) ORDER BY doc_id""".stripMargin,
     "q_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount FROM lineitem
         |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
@@ -115,7 +136,9 @@ object SparkEntry {
         |) ORDER BY kind, c_mktsegment""".stripMargin,
     "q_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
-        | count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows FROM lineitem""".stripMargin,
+        | count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows,
+        | TRUE AS apx_parts_ok, TRUE AS apx_supps_ok, TRUE AS apx_orders_ok
+        |FROM lineitem""".stripMargin,
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,

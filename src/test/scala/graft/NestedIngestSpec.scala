@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.NestedIngest
+
+class NestedIngestSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("R6: JSON round trip preserves row count and flattens to dotted-path columns") {
+    val flat = NestedIngest.ingestJson(NestedIngest.eventsAsJson(spark, sf), "json")
+    val expected = Set(
+      "doc_id", "timestamp", "level", "message", "payload_size", "processed",
+      "source_ip", "source_host", "source_region",
+      "user_id", "user_session_id",
+      "user_metrics_login_time_ms", "user_metrics_clicks", "user_metrics_active_time_secs",
+      "tags", "answers")
+    assert(flat.columns.toSet == expected)
+    assert(flat.count() == Tables.events(spark, sf).count())
+    // arrays survive flattening intact
+    assert(flat.schema("tags").dataType == ArrayType(StringType))
+    assert(flat.schema("answers").dataType.isInstanceOf[ArrayType])
+  }
+
+  test("R6: nested leaf values survive the round trip") {
+    val ev = Tables.events(spark, sf).orderBy("event_id").limit(5)
+      .select(col("event_id"), (col("event_id") % 37).as("clicks")).collect()
+    val flat = NestedIngest.ingestJson(NestedIngest.eventsAsJson(spark, sf), "json")
+      .orderBy("doc_id").limit(5)
+      .select(col("doc_id"), col("user_metrics_clicks")).collect()
+    assert(ev.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+           flat.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("R5+R6: flatten handles arbitrary depth and InvertedIndex can query the result") {
+    val flat = NestedIngest.ingestJson(NestedIngest.eventsAsJson(spark, sf), "json")
+    // dotted path from the reference's DSL resolves to the flattened column
+    val c = graft.operators.InvertedIndex.fieldNameToColumn("user.metrics.clicks")
+    assert(c == "user_metrics_clicks" && flat.columns.contains(c))
+    val stats = graft.operators.InvertedIndex.numericStats(flat, "user.metrics.clicks")
+      .collect()(0)
+    assert(stats.getDouble(1) >= 0.0 && stats.getDouble(2) <= 36.0)
+  }
+}

@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.QueryInstrumentation
+
+class QueryInstrumentationSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("R9: run() returns the result plus per-phase timings and row count") {
+    val df = graft.operators.Relational.q1Agg(spark, sf)
+    val (rows, stats) = QueryInstrumentation.run("q1_agg", df)
+    assert(rows.nonEmpty)
+    assert(stats.outputRows == rows.length.toLong)
+    assert(stats.phaseMs.map(_._1) == Seq("analyze", "optimize", "plan", "execute"))
+    assert(stats.phaseMs.forall(_._2 >= 0.0))
+    assert(stats.phase("execute") > 0.0, "execution must account for nonzero time")
+    assert(stats.totalMs >= stats.phase("execute"))
+    assert(stats.pretty.contains("q1_agg"))
+  }
+
+  test("R9: materialize() works without collecting to the driver") {
+    val df = Tables.lineitem(spark, sf).select("l_orderkey")
+    val stats = QueryInstrumentation.materialize("scan", df)
+    assert(stats.phase("execute") > 0.0)
+  }
+}
