@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.expr._
+
+/** SQL-function surface of the custom Catalyst expressions, injected
+  * via `SparkSessionExtensions` (enable with
+  * `spark.sql.extensions=graft.GraftExtensions`, which
+  * GraftSession.builder sets). Registration makes the expressions
+  * first-class: usable from `spark.sql(...)`, `call_function`, and
+  * views, with no UDF serialization overhead — they stay Catalyst
+  * expressions inside the plan.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn argument $pos must be an integer literal, got $other")
+  }
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val functions: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (args: Seq[Expression]) =>
+        MinHashSignature(args(0), intArg(args(1), "graft_minhash", 1))),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    (FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_fingerprint"),
+      (args: Seq[Expression]) =>
+        WinnowFingerprint(args(0), intArg(args(1), "graft_fingerprint", 1),
+          intArg(args(2), "graft_fingerprint", 2))),
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
+      (args: Seq[Expression]) =>
+        TopKByScore(args(0), args(1), intArg(args(2), "graft_topk", 2))))
+
+  /** Idempotent registration on an already-built session (tests,
+    * notebooks attached to a foreign session). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
+import graft.functions.TextFunctions
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory each entry implements. Every `queries` key has either a
@@ -51,6 +52,73 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // §2.3 LLM-data-pipeline operators
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir)).orderBy(col("h"))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir))
+        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id1"), col("id2"))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir))
+        .orderBy(col("id1"), col("id2"))),
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = d.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+        .where(col("doc_id") < 100)
+      Dedup.verifyJaccard(pairs, d)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(Tables.embeddings(s, dir))
+        .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("id1"), col("id2"))),
+    "ann_bruteforce" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e.where(col("vec_id") < 8), e, 10)
+        .select(col("q_id"), col("rank"), col("c_id"),
+                round(col("score"), 4).as("score"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+    "ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e.where(col("vec_id") < 8), e, 10)
+        .select(col("q_id"), col("rank"), col("c_id"),
+                round(col("score"), 4).as("score"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+    "text_langid" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(TextFunctions.langId(col("text")).as("detected"))
+        .agg(count(lit(1)).as("n")).orderBy(col("detected"))),
+    "text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          TextFunctions.punctRatio(col("text")).as("pr"),
+          TextFunctions.stopwordRatio(col("text"), TextFunctions.Stopwords.en).as("sr"),
+          TextFunctions.repetitionRatio(col("text")).as("rr"),
+          TextFunctions.tokenCount(col("text")).as("tc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("pr")), 4).as("avg_punct"),
+          round(avg(col("sr")), 4).as("avg_stop"),
+          round(avg(col("rr")), 4).as("avg_rep"),
+          round(avg(col("tc")), 4).as("avg_tokens"))
+        .orderBy(col("lang"))),
+    "text_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_ws"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .orderBy(col("doc_id"))),
+    "text_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+          array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
+        .orderBy(col("doc_id"))),
+    "mm_decode_stats" -> (graft.multimodal.Multimodal.decodeStats _),
     // §2.2 relational core
     "q_scan_filter"    -> (Relational.scanFilter _),
     "q1_agg"           -> (Relational.q1Agg _),
@@ -86,6 +154,35 @@ object SparkEntry {
       s"""SELECT 'n_chars' AS field, CAST(min(n_chars) AS DOUBLE) AS min_v,
         | CAST(max(n_chars) AS DOUBLE) AS max_v, round(avg(n_chars), 4) AS avg_v
         |FROM documents WHERE doc_id IN ($iiDocIdsSql)""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        | SELECT lang, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks,
+        |  len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | round(avg(CASE WHEN len(text) > 0 THEN CAST(n_punct AS DOUBLE)/len(text) ELSE 0 END), 4) AS avg_punct,
+        | round(avg(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, tok -> list_contains(['the','a','an','and','of','to','in','is','that','it','for','was'], lower(tok)))) AS DOUBLE)/len(toks) ELSE 0 END), 4) AS avg_stop,
+        | round(avg(CASE WHEN len(toks) > 0 THEN 1 - CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks) ELSE 0 END), 4) AS avg_rep,
+        | round(avg(len(toks)), 4) AS avg_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_ws,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_decode_stats" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        | count(*) AS n,
+        | round(avg(16 + (len(text) % 317)), 4) AS avg_w,
+        | round(avg(16 + ((len(text) * 7) % 211)), 4) AS avg_h,
+        | CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 + (len(text) % 5) ELSE 1 END) AS BIGINT) AS sum_frames,
+        | CAST(sum(len(text)) AS BIGINT) AS sum_bytes
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
     "ingest_nested_json" ->
       """SELECT event_type AS level,
         | CASE WHEN user_id % 3 = 0 THEN 'us-east'

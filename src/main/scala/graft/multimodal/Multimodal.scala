@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (L12): media as opaque `binary` payloads
+  * plus typed metadata, with decode/feature-extraction plumbing shaped
+  * for batched columnar execution.
+  *
+  * The decode itself is STUBBED (this container has no image/audio
+  * codecs): `StubDecoder` derives deterministic "features" from the
+  * payload bytes so the whole pipeline — schema, batching, partition
+  * flow, aggregation — is real and testable, and a production codec
+  * drops in behind the same `MediaDecoder` trait.
+  *
+  * Scale design: decode runs inside `mapPartitions` over batches of
+  * `batchSize` records (the Arrow/pandas-UDF batch shape — amortizes
+  * per-call overhead and lets a native decoder vectorize), payloads
+  * never shuffle (features are extracted before any aggregation), and
+  * the output is a narrow typed row, so the wide binary column dies at
+  * the scan stage.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      kind: String,          // image | audio | video
+      payload: Array[Byte],
+      declared_w: Int,
+      declared_h: Int)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      n_bytes: Long)
+
+  /** Decoder contract: payload bytes → features. Implementations must
+    * be deterministic per payload (retries/speculative tasks). */
+  trait MediaDecoder extends Serializable {
+    def decode(r: MediaRecord): MediaFeatures
+  }
+
+  /** Deterministic stand-in for a real codec: "header parse" derived
+    * from payload length only, so an external oracle can recompute it.
+    * A real decoder (JPEG/PNG/PCM) replaces this class and nothing
+    * else changes. */
+  object StubDecoder extends MediaDecoder {
+    override def decode(r: MediaRecord): MediaFeatures = {
+      val len = r.payload.length
+      MediaFeatures(
+        media_id = r.media_id,
+        kind = r.kind,
+        width = 16 + (len % 317),
+        height = 16 + ((len * 7) % 211),
+        n_frames = if (r.kind == "video") 1 + (len % 5) else 1,
+        n_bytes = len.toLong)
+    }
+  }
+
+  /** Decode a media dataset in partition-local batches. The iterator
+    * is consumed lazily batch by batch — constant memory per task
+    * regardless of partition size. */
+  def decodeFeatures(media: Dataset[MediaRecord],
+                     decoder: MediaDecoder = StubDecoder,
+                     batchSize: Int = 64): Dataset[MediaFeatures] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaFeatures]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(batch => batch.map(decoder.decode))
+    }
+  }
+
+  /** Deterministic media table derived from the documents testdata:
+    * the text bytes act as the payload, the kind cycles through the
+    * three modalities. */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir).select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast("binary").as("payload"),
+      lit(0).as("declared_w"),
+      lit(0).as("declared_h")).as[MediaRecord]
+  }
+
+  /** The `mm_decode_stats` queries entry: decode → per-kind feature
+    * stats. Payload bytes are gone before the groupBy shuffle. */
+  def decodeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    decodeFeatures(mediaFromDocuments(spark, sfDir)).toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("width")), 4).as("avg_w"),
+        round(avg(col("height")), 4).as("avg_h"),
+        sum(col("n_frames")).as("sum_frames"),
+        sum(col("n_bytes")).as("sum_bytes"))
+      .orderBy(col("kind"))
+  }
+}

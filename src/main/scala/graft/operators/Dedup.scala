@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions._
+
+/** Deduplication family (L1-L5) for training-data pipelines.
+  *
+  * Scale shape shared by every near-dup variant (SURVEY §5.1):
+  *   1. signatures are per-row Catalyst expressions computed inside
+  *      the scan stage — zero shuffle, nothing explodes;
+  *   2. one exchange keyed on (band, bucket-hash) — cardinality
+  *      rows × bands, NOT rows × shingles;
+  *   3. candidate pairs are generated inside buckets (bounded by
+  *      `maxBucket`, the standard giant-bucket guard: a bucket of b
+  *      docs yields b²/2 pairs, so unbounded buckets are the one
+  *      quadratic hazard in the pipeline);
+  *   4. only candidate pairs — a vanishing fraction of n² — are
+  *      verified against exact Jaccard / Hamming / cosine.
+  */
+object Dedup {
+
+  /** L4 helper: exact n-gram (set) Jaccard between two text columns. */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val sa = array_distinct(wordShingles(a, n))
+    val sb = array_distinct(wordShingles(b, n))
+    size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
+  }
+
+  /** L1: per-content-hash group summary (hash, multiplicity, keeper =
+    * min id). One map-side-combined shuffle on the 128-bit content
+    * hash; group state is O(1). */
+  def exactGroups(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
+
+  /** L1: drop exact duplicates, keeping the lowest id per content
+    * hash. Same single shuffle (window on the hash). */
+  def dropExactDuplicates(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol)))
+    docs.withColumn("__keeper", min(col(idCol)).over(w))
+      .where(col(idCol) === col("__keeper"))
+      .drop("__keeper")
+  }
+
+  /** Candidate (id1, id2) pairs from a banded table (id, band, bhash):
+    * bucket by (band, bhash), cap giant buckets, emit in-bucket pairs,
+    * dedup across bands. Ids come out sorted (id1 < id2). */
+  def bucketPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val ids = col("ids")
+    banded.groupBy(col("band"), col("bhash"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(ids) >= 2 && size(ids) <= maxBucket)
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids)),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .distinct()
+  }
+
+  /** L2: MinHash + LSH near-duplicate pairs, verified with exact
+    * n-gram Jaccard (L4). `numHashes` must divide into `bands`;
+    * rows-per-band r = numHashes/bands sets the S-curve:
+    * P(candidate) = 1 - (1 - j^r)^bands. Defaults (128, 16 bands,
+    * r=8) put the knee near j ≈ 0.77. */
+  def minhashLshPairs(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", threshold: Double = 0.8,
+                      numHashes: Int = 128, bands: Int = 16,
+                      shingleSize: Int = 3, maxBucket: Int = 100): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = docs.select(
+      col(idCol).cast("long").as("id"),
+      minhash(array_distinct(wordShingles(col(textCol), shingleSize)), numHashes).as("sig"))
+    val bandStructs = (0 until bands).map { j =>
+      struct(lit(j).as("band"), xxhash64(slice(col("sig"), j * r + 1, r)).as("bhash"))
+    }
+    val banded = sigs.select(col("id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bhash"))
+    val candidates = bucketPairs(banded, maxBucket)
+    verifyJaccard(candidates, docs, textCol, idCol, shingleSize)
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** L4: exact n-gram Jaccard on candidate pairs — joins each side
+    * back to its shingle set, computes |∩|/|∪|. Only candidates pay
+    * this cost. */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", shingleSize: Int = 3): DataFrame = {
+    val sh1 = docs.select(col(idCol).cast("long").as("id1"),
+      array_distinct(wordShingles(col(textCol), shingleSize)).as("s1"))
+    val sh2 = docs.select(col(idCol).cast("long").as("id2"),
+      array_distinct(wordShingles(col(textCol), shingleSize)).as("s2"))
+    pairs.join(sh1, "id1").join(sh2, "id2")
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2")))).as("jaccard"))
+  }
+
+  /** L3: SimHash near-duplicate pairs. 64-bit signature split into
+    * `maxHamming + 1` bands — pigeonhole: any pair within Hamming
+    * distance maxHamming agrees exactly on ≥1 band, so band-bucketing
+    * has recall 1.0; verification is exact popcount of the XOR. */
+  def simhashPairs(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", maxHamming: Int = 3,
+                   maxBucket: Int = 200): DataFrame = {
+    val bands = maxHamming + 1
+    val bits = 64 / bands
+    val sims = docs.select(col(idCol).cast("long").as("id"),
+      simhash(tokens(col(textCol))).as("sim"))
+    val bandStructs = (0 until bands).map { j =>
+      val lo = j * bits
+      val width = if (j == bands - 1) 64 - lo else bits
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(j).as("band"),
+        shiftrightunsigned(col("sim"), lo).bitwiseAND(lit(mask)).as("bhash"))
+    }
+    val banded = sims.select(col("id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bhash"))
+    val candidates = bucketPairs(banded, maxBucket)
+    val s1 = sims.select(col("id").as("id1"), col("sim").as("sim1"))
+    val s2 = sims.select(col("id").as("id2"), col("sim").as("sim2"))
+    candidates.join(s1, "id1").join(s2, "id2")
+      .select(col("id1"), col("id2"),
+        bit_count(col("sim1").bitwiseXOR(col("sim2"))).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** L5: embedding cosine near-duplicate pairs via signed-random-
+    * projection buckets (same banded-LSH shape; bit signs come from
+    * the fused-pass cosine expression), verified with exact cosine. */
+  def embeddingPairs(emb: DataFrame, vecCol: String = "embedding",
+                     idCol: String = "vec_id", threshold: Double = 0.35,
+                     numPlanes: Int = 16, bands: Int = 4,
+                     maxBucket: Int = 200): DataFrame = {
+    val banded = Similarity.srpBanded(emb, vecCol, idCol, numPlanes, bands)
+    val candidates = bucketPairs(banded, maxBucket)
+    val e1 = emb.select(col(idCol).cast("long").as("id1"), col(vecCol).as("v1"))
+    val e2 = emb.select(col(idCol).cast("long").as("id2"), col(vecCol).as("v2"))
+    candidates.join(e1, "id1").join(e2, "id2")
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.{cosine, topk}
+import graft.functions.expr.GraftHash
+
+/** Similarity search over embedding columns (L6-L7).
+  *
+  * L6 brute force is the exactness baseline AND a scale statement:
+  * scoring happens where the candidate rows live (queries broadcast,
+  * never the candidates), and per-query top-k is a bounded-heap
+  * `TypedImperativeAggregate` that partially aggregates map-side — the
+  * only thing crossing the exchange is k rows per (partition, query),
+  * not n scores. L7 trades recall for candidate count with
+  * signed-random-projection buckets + multiprobe.
+  */
+object Similarity {
+
+  /** Deterministic ±1 hyperplane matrix (numPlanes × dim), derived
+    * from the library's splitmix64 chain — same planes on every
+    * executor with zero state shipped. */
+  def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim) { (i, d) =>
+      if ((GraftHash.splitmix64(GraftHash.permSeed(i) ^ (d * 0x9e3779b97f4a7c15L)) & 1L) == 1L) 1.0
+      else -1.0
+    }
+
+  /** SRP sign bits for a vector column — bit i = sign of ⟨v, plane_i⟩
+    * (cosine sign == dot sign, so the fused cosine expression serves
+    * as the projector; one pass per plane, per row, in the scan
+    * stage). */
+  def srpBits(vecCol: Column, numPlanes: Int, dim: Int = 64): Seq[Column] = {
+    val planes = hyperplanes(numPlanes, dim)
+    planes.toSeq.map(p => cosine(vecCol, typedlit(p.toSeq)) > 0)
+  }
+
+  /** Banded SRP table (id, band, bhash): numPlanes sign bits packed
+    * into `bands` integer buckets. Shared by L5 and L7. */
+  def srpBanded(df: DataFrame, vecCol: String, idCol: String,
+                numPlanes: Int, bands: Int): DataFrame = {
+    require(numPlanes % bands == 0, "bands must divide numPlanes")
+    val bitsPerBand = numPlanes / bands
+    val bits = srpBits(col(vecCol), numPlanes)
+    val bandStructs = (0 until bands).map { j =>
+      val bucket = (0 until bitsPerBand).map { p =>
+        when(bits(j * bitsPerBand + p), lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(j).as("band"), bucket.as("bhash"))
+    }
+    df.select(col(idCol).cast("long").as("id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bhash"))
+  }
+
+  /** L6: exact top-k cosine neighbors for each query vector.
+    * `queries` is expected to be small (it is broadcast); candidates
+    * stream by without ever shuffling their vectors — only the
+    * k-element heaps move. Returns (q_id, rank, c_id, score). */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+    val c = candidates.select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec"))
+    c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("q_vec"), col("c_vec")).as("score"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("c_id"), col("score"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rank0", "t")))
+      .select(col("q_id"), (col("rank0") + 1).as("rank"),
+        col("t.id").as("c_id"), col("t.score").as("score"))
+  }
+
+  /** L7: SRP-bucketed ANN with flip-one-bit multiprobe. Each query
+    * probes its exact bucket plus every Hamming-1 neighbor in each
+    * band; candidates join on (band, bucket) — the scan of candidate
+    * vectors is replaced by a bucket-keyed join whose touched rows
+    * shrink with bits-per-band. Returns (q_id, rank, c_id, score). */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              numPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    val bitsPerBand = numPlanes / bands
+    val cBanded = srpBanded(candidates, vecCol, idCol, numPlanes, bands)
+      .withColumnRenamed("id", "c_id")
+    // query probe set: own bucket + all flip-one-bit buckets per band
+    val probes: Seq[Column] = col("bhash") +:
+      (0 until bitsPerBand).map(b => col("bhash").bitwiseXOR(lit(1L << b)))
+    val qBanded = srpBanded(queries, vecCol, idCol, numPlanes, bands)
+      .withColumnRenamed("id", "q_id")
+      .select(col("q_id"), col("band"), explode(array(probes: _*)).as("bhash"))
+    val cand = broadcast(qBanded).join(cBanded, Seq("band", "bhash"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id")).distinct()
+    val q = queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+    val c = candidates.select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec"))
+    cand.join(broadcast(q), "q_id").join(c, "c_id")
+      .select(col("q_id"), col("c_id"), cosine(col("q_vec"), col("c_vec")).as("score"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("c_id"), col("score"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rank0", "t")))
+      .select(col("q_id"), (col("rank0") + 1).as("rank"),
+        col("t.id").as("c_id"), col("t.score").as("score"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def docs = Tables.documents(spark, sf)
+
+  /** Brute-force word-3-gram set Jaccard, recomputed independently of
+    * the library's shingle/hash machinery. */
+  private def shingleSet(text: String, n: Int = 3): Set[String] = {
+    val t = text.split("\\s+").filter(_.nonEmpty)
+    if (t.length < n) Set(t.mkString(" "))
+    else t.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  private lazy val texts: Map[Long, String] =
+    docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private lazy val bruteForcePairs: Set[(Long, Long, Double)] = {
+    val ids = texts.keys.toArray.sorted
+    val sets = texts.map { case (id, t) => id -> shingleSet(t) }
+    (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      s1 = sets(ids(i)); s2 = sets(ids(j))
+      inter = (s1 & s2).size if inter > 0
+      jac = inter.toDouble / (s1 | s2).size if jac >= 0.8
+    } yield (ids(i), ids(j), jac)).toSet
+  }
+
+  test("L1: exact dedup keeps the lowest id per content group") {
+    import spark.implicits._
+    val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa"), (5L, "cc"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropExactDuplicates(df).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 5L))
+    val groups = Dedup.exactGroups(df).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((3L, 1L), (1L, 2L), (1L, 5L)))
+  }
+
+  test("L2: MinHash+LSH finds the planted near-dup pairs with high recall, zero false accepts") {
+    val found = Dedup.minhashLshPairs(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val foundPairs = found.map(p => (p._1, p._2)).toSet
+    val truth = bruteForcePairs.map(p => (p._1, p._2))
+    assert(truth.nonEmpty, "testdata should contain planted near-dups")
+    // precision is exact by construction (verified Jaccard filter)
+    found.foreach { case (id1, id2, jac) =>
+      val expected = {
+        val s1 = shingleSet(texts(id1)); val s2 = shingleSet(texts(id2))
+        (s1 & s2).size.toDouble / (s1 | s2).size
+      }
+      assert(math.abs(jac - expected) < 1e-9, s"jaccard mismatch for ($id1,$id2)")
+    }
+    val recall = (foundPairs & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 (|truth|=${truth.size})")
+  }
+
+  test("L3: SimHash bands have recall 1.0 within the Hamming budget (pigeonhole)") {
+    import graft.functions.TextFunctions
+    val sims = docs.select(col("doc_id"),
+        TextFunctions.simhash(TextFunctions.tokens(col("text"))).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      i <- sims.indices.iterator
+      j <- (i + 1) until sims.length
+      h = java.lang.Long.bitCount(sims(i)._2 ^ sims(j)._2) if h <= 3
+    } yield (sims(i)._1, sims(j)._1, h)).toSet
+    val found = Dedup.simhashPairs(docs, maxHamming = 3, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(found == truth,
+      s"banded simhash must find exactly the Hamming<=3 pairs: got ${found.size}, want ${truth.size}")
+  }
+
+  test("L4: n-gram Jaccard verification matches set arithmetic") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"),
+      (4L, "a b c d x y")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")
+    val res = Dedup.verifyJaccard(pairs, df).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(res((1L, 2L)) == 1.0)
+    assert(res((1L, 3L)) == 0.0)
+    // shingles(1) = {abc,bcd,cde,def}; shingles(4) = {abc,bcd,cdx,dxy}; jac = 2/6
+    assert(math.abs(res((1L, 4L)) - 2.0 / 6.0) < 1e-9)
+  }
+
+  test("L5: embedding near-dup finds planted high-cosine pairs and verifies exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]): Array[Float] = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val base = Seq.fill(20)(vec())
+    // ids 0..19 random, 100..104 near-dups of 0..4
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      (0 until 5).map(i => (100L + i, perturb(base(i))))
+    val df = rows.toDF("vec_id", "embedding")
+    val found = Dedup.embeddingPairs(df, threshold = 0.95, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    assert(found == expected, s"got $found want $expected")
+  }
+
+  test("L2 plan shape: one exchange on band buckets, no shingle explode before it") {
+    val plan = Dedup.minhashLshPairs(docs).queryExecution.optimizedPlan.toString
+    // signature computed as the custom per-row expression, not an explode of shingles
+    assert(plan.contains("graft_minhash"), "minhash must be the custom expression")
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("L12: decode pipeline is deterministic and preserves cardinality") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val n = media.count()
+    val f1 = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.decodeFeatures(media, batchSize = 7).collect().sortBy(_.media_id)
+    assert(f1.length == n)
+    assert(f1.toSeq == f2.toSeq, "batch size must not change results")
+  }
+
+  test("L12: stub decoder features match the documented derivation") {
+    val feats = Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(spark, sf))
+      .collect().map(f => f.media_id -> f).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    docs.foreach { r =>
+      val id = r.getLong(0)
+      val len = r.getString(1).getBytes("UTF-8").length
+      val f = feats(id)
+      assert(f.width == 16 + (len % 317))
+      assert(f.height == 16 + ((len * 7) % 211))
+      assert(f.n_bytes == len.toLong)
+      val expectedKind = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      assert(f.kind == expectedKind)
+      assert(f.n_frames == (if (expectedKind == "video") 1 + (len % 5) else 1))
+    }
+  }
+
+  test("L12: payload dies at feature extraction; aggregation sees only features") {
+    val plan = Multimodal.decodeStats(spark, sf).queryExecution.optimizedPlan.toString.toLowerCase
+    val decodeAt = plan.indexOf("mappartitions")
+    assert(decodeAt >= 0, "decode must run as mapPartitions")
+    // everything above the decode (aggregate and friends) is payload-free:
+    // the wide binary column exists only below the mapPartitions boundary
+    val above = plan.substring(0, decodeAt)
+    assert(!above.contains("payload"),
+      s"payload must not flow past the decode boundary:\n$plan")
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def emb = Tables.embeddings(spark, sf)
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("L6: brute-force top-k equals an independent exact computation") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val queries = vecs.keys.filter(_ < 8).toSeq.sorted
+    val got = Similarity.bruteForceTopK(
+        emb.where(col("vec_id") < 8), emb, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    queries.foreach { q =>
+      val expected = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cosine(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10)
+      val actual = got(q)
+      assert(actual.map(_._1) == expected.map(_._1),
+        s"query $q: ids ${actual.map(_._1)} != ${expected.map(_._1)}")
+      actual.zip(expected).foreach { case ((_, sa), (_, se)) =>
+        assert(math.abs(sa - se) < 1e-9)
+      }
+    }
+  }
+
+  test("L6 plan shape: queries broadcast, top-k partially aggregated map-side") {
+    val df = Similarity.bruteForceTopK(emb.where(col("vec_id") < 8), emb, 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), "query side must broadcast")
+    assert(plan.contains("graft_topk"), "top-k must be the bounded-heap aggregate")
+    assert(plan.toLowerCase.contains("partial_graft_topk"),
+      s"top-k must run a partial (map-side) phase:\n$plan")
+  }
+
+  test("L7: LSH ANN achieves high recall on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // 10 well-separated centers, 30 members each with small jitter
+    val centers = Seq.fill(10)(Array.fill(64)(rnd.nextGaussian()))
+    val members = for {
+      c <- centers.indices
+      m <- 0 until 30
+    } yield ((c * 100 + m).toLong,
+      centers(c).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    val df = members.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") % 100 === 0)  // one per cluster
+    val exact = Similarity.bruteForceTopK(queries, df, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.lshTopK(queries, df, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      (approx.getOrElse(q, Set.empty) & exact(q)).size.toDouble / exact(q).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.8,
+      s"mean recall@5 $meanRecall below 0.8 on clustered vectors")
+  }
+
+  test("L7: LSH scores are exact cosines for the candidates it returns") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    Similarity.lshTopK(emb.where(col("vec_id") < 4), emb, 5)
+      .collect().foreach { r =>
+        val (q, c, s) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+        assert(math.abs(s - cosine(vecs(q), vecs(c))) < 1e-9)
+      }
+  }
+}

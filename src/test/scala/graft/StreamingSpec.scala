@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.streaming.EventStream
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** FileStreamSource wants a directory; stage the single events file
+    * into a temp dir. */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("L13: streaming windowed aggregation matches the batch twin") {
+    val path = eventsDir
+    val batchSchema = spark.read.parquet(path).schema
+    var stream = spark.readStream.schema(batchSchema).parquet(path)
+    // events carries TIMESTAMP(NANOS) -> long under nanosAsLong; normalize
+    if (stream.schema("ts").dataType == LongType)
+      stream = stream.withColumn("ts",
+        timestamp_micros((col("ts") / 1000L).cast(LongType)))
+
+    val agg = EventStream.windowedCounts(stream)
+    val queryName = "graft_stream_smoke"
+    val q = agg.writeStream.format("memory").queryName(queryName)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table(queryName)
+      .select("day", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = graft.operators.Relational.timeWindow(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, "streaming and batch twins must agree")
+  }
+
+  test("L13: the plan carries a watermark bounding state") {
+    val path = eventsDir
+    val batchSchema = spark.read.parquet(path).schema
+    var stream = spark.readStream.schema(batchSchema).parquet(path)
+    if (stream.schema("ts").dataType == LongType)
+      stream = stream.withColumn("ts",
+        timestamp_micros((col("ts") / 1000L).cast(LongType)))
+    val plan = EventStream.windowedCounts(stream).queryExecution.logical.toString
+    assert(plan.contains("EventTimeWatermark"),
+      s"expected a watermark node in:\n$plan")
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(c.as("v")).collect()(0).get(0)
+  }
+
+  test("L10: whitespace and BPE-ish token counts") {
+    assert(one("hello world  foo", tokenCount(col("text"))) == 3)
+    assert(one("", tokenCount(col("text"))) == 0)
+    // don ' t stop 4 2 -> 6
+    assert(one("don't stop 42", bpeTokenCount(col("text"))) == 6)
+  }
+
+  test("L8: language id picks the right stopword profile") {
+    val cases = Seq(
+      "the cat is on a mat and it is happy for sure" -> "en",
+      "der hund ist nicht mit der katze und das war ein tag" -> "de",
+      "le chat est dans la maison et il est pour moi" -> "fr",
+      "el perro es grande y los gatos son para el patio" -> "es",
+      "我 是 在 这 中 大 的 人 了 有" -> "zh",
+      "xyzzy qwerty plugh" -> "und")
+    cases.foreach { case (text, expected) =>
+      assert(one(text, langId(col("text"))) == expected, s"for: $text")
+    }
+  }
+
+  test("L9: quality score is bounded and orders texts sensibly") {
+    def q(t: String): Double = one(t, qualityScore(col("text"))).asInstanceOf[Double]
+    val natural = q("the quick brown fox jumps over the lazy dog and runs to the old barn in the field")
+    val repetitive = q("spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam")
+    val punctSoup = q("!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@ !!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@")
+    Seq(natural, repetitive, punctSoup).foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(natural > repetitive, s"natural $natural should beat repetitive $repetitive")
+    assert(natural > punctSoup, s"natural $natural should beat punct soup $punctSoup")
+  }
+
+  test("L9 components: punct, stopword, repetition ratios") {
+    assert(one("a b", punctRatio(col("text"))) == 0.0)
+    val pr = one("a!b", punctRatio(col("text"))).asInstanceOf[Double]
+    assert(math.abs(pr - 1.0 / 3.0) < 1e-9)
+    val sr = one("the dog the cat", stopwordRatio(col("text"), Stopwords.en)).asInstanceOf[Double]
+    assert(math.abs(sr - 0.5) < 1e-9)
+    val rr = one("x x y z", repetitionRatio(col("text"))).asInstanceOf[Double]
+    assert(math.abs(rr - 0.25) < 1e-9)
+  }
+
+  test("L11: winnowing fingerprints overlap iff texts share long runs") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight nine ten"
+    val df = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"epsilon zeta $shared eta theta"),
+      (3L, "completely different words with nothing in common here at all okay"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "docs sharing a 10-token run must share a fingerprint (k=5,w=4 guarantee span 8)")
+    assert((fps(1L) & fps(3L)).isEmpty, "unrelated docs should share no fingerprints")
+    fps.values.foreach(s => assert(s.nonEmpty))
+  }
+
+  test("L2 building block: minhash signature agreement estimates Jaccard") {
+    import spark.implicits._
+    // two 40-shingle sets sharing 20 -> jaccard 20/60 = 1/3
+    val a = (0 until 40).map(i => s"sh$i")
+    val b = (20 until 80).map(i => s"sh$i")
+    val df = Seq((1L, a), (2L, b)).toDF("id", "sh")
+    val sigs = df.select(minhash(col("sh"), 256).as("sig")).collect()
+      .map(_.getSeq[Long](0))
+    val agree = sigs(0).zip(sigs(1)).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(agree - 1.0 / 3.0) < 0.12,
+      s"minhash agreement $agree should approximate jaccard 0.333")
+  }
+
+  test("L3 building block: simhash hamming tracks similarity") {
+    import spark.implicits._
+    val base = (0 until 50).map(i => s"tok$i")
+    val near = base.updated(10, "CHANGED")
+    val far = (100 until 150).map(i => s"tok$i")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "toks")
+    val sims = df.select(simhash(col("toks"))).collect().map(_.getLong(0))
+    val hNear = java.lang.Long.bitCount(sims(0) ^ sims(1))
+    val hFar = java.lang.Long.bitCount(sims(0) ^ sims(2))
+    assert(hNear <= 10, s"one-token change should move few bits, got $hNear")
+    assert(hFar >= 16, s"disjoint token sets should differ in many bits, got $hFar")
+    assert(sims(0) == sims(0), "deterministic")
+  }
+
+  test("functions are SQL-callable via the session extension") {
+    val r = spark.sql(
+      "SELECT graft_simhash(array('a','b')) AS s, graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect()(0)
+    assert(r.getDouble(1) == 1.0)
+  }
+}
