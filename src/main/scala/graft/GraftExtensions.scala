@@ -47,6 +47,19 @@ object GraftExtensions {
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("graft_minhash_text"),
+      new ExpressionInfo(classOf[MinHashText].getName, "graft_minhash_text"),
+      (args: Seq[Expression]) =>
+        MinHashText(args(0), intArg(args(1), "graft_minhash_text", 1),
+          intArg(args(2), "graft_minhash_text", 2))),
+    (FunctionIdentifier("graft_simhash_text"),
+      new ExpressionInfo(classOf[SimHashText].getName, "graft_simhash_text"),
+      (args: Seq[Expression]) => SimHashText(args(0))),
+    (FunctionIdentifier("graft_fingerprint_text"),
+      new ExpressionInfo(classOf[WinnowFingerprintText].getName, "graft_fingerprint_text"),
+      (args: Seq[Expression]) =>
+        WinnowFingerprintText(args(0), intArg(args(1), "graft_fingerprint_text", 1),
+          intArg(args(2), "graft_fingerprint_text", 2))),
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (args: Seq[Expression]) =>

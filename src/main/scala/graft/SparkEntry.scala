@@ -90,15 +90,17 @@ object SparkEntry {
     }),
     "text_langid" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .groupBy(TextFunctions.langId(col("text")).as("detected"))
+        .select(TextFunctions.tokens(col("text")).as("toks"))
+        .groupBy(TextFunctions.langIdFromTokens(col("toks")).as("detected"))
         .agg(count(lit(1)).as("n")).orderBy(col("detected"))),
     "text_quality" -> ((s, dir) =>
       Tables.documents(s, dir)
+        .select(col("lang"), col("text"), TextFunctions.tokens(col("text")).as("toks"))
         .select(col("lang"),
           TextFunctions.punctRatio(col("text")).as("pr"),
-          TextFunctions.stopwordRatio(col("text"), TextFunctions.Stopwords.en).as("sr"),
-          TextFunctions.repetitionRatio(col("text")).as("rr"),
-          TextFunctions.tokenCount(col("text")).as("tc"))
+          TextFunctions.stopwordRatioFromTokens(col("toks"), TextFunctions.Stopwords.en).as("sr"),
+          TextFunctions.repetitionRatioFromTokens(col("toks")).as("rr"),
+          size(col("toks")).as("tc"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("pr")), 4).as("avg_punct"),

@@ -48,22 +48,28 @@ object TextFunctions {
         .cast("double") / length(text))
       .otherwise(0.0)
 
-  /** Ratio of tokens that are stopwords of `stopwords`. */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val t = tokens(text)
+  /** Ratio of tokens that are stopwords of `stopwords`. Prefer the
+    * FromTokens variant over a pre-projected token column when
+    * combining several token statistics — a raw-text argument re-runs
+    * tokenization per statistic (HOFs are interpreted, no CSE). */
+  def stopwordRatioFromTokens(t: Column, stopwords: Seq[String]): Column = {
     val sw = array(stopwords.map(lit): _*)
     when(size(t) > 0,
       size(filter(t, tok => array_contains(sw, lower(tok)))).cast("double") / size(t))
       .otherwise(0.0)
   }
 
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordRatioFromTokens(tokens(text), stopwords)
+
   /** 1 - distinct/total tokens: 0 = no repetition, →1 = degenerate. */
-  def repetitionRatio(text: Column): Column = {
-    val t = tokens(text)
+  def repetitionRatioFromTokens(t: Column): Column =
     when(size(t) > 0,
       lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
       .otherwise(0.0)
-  }
+
+  def repetitionRatio(text: Column): Column =
+    repetitionRatioFromTokens(tokens(text))
 
   /** L9: composite quality score in [0,1]: long enough, low punct,
     * some stopwords (natural language signal), low repetition. The
@@ -93,13 +99,12 @@ object TextFunctions {
       Seq("en" -> en, "de" -> de, "fr" -> fr, "es" -> es, "zh" -> zh)
   }
 
-  /** L8: n-gram/stopword-profile language id. Scores each language by
-    * stopword hits over the token array; highest score wins, ties
-    * break toward the lexicographically greatest code (deterministic),
-    * zero hits → "und". One pass per language over the cached token
-    * array; no shuffle, no model. */
-  def langId(text: Column): Column = {
-    val t = tokens(text)
+  /** L8 over a pre-projected token column: scores each language by
+    * stopword hits; highest score wins, ties break toward the
+    * lexicographically greatest code (deterministic), zero hits →
+    * "und". Pass a plain column ref for `t` (see langId) so the token
+    * array is computed once, not once per language. */
+  def langIdFromTokens(t: Column): Column = {
     val scored = array(Stopwords.all.map { case (lang, words) =>
       val sw = array(words.map(lit): _*)
       struct(
@@ -111,20 +116,39 @@ object TextFunctions {
       .otherwise(best.getField("lang"))
   }
 
+  /** L8: n-gram/stopword-profile language id. Convenience form; for
+    * hot paths project `tokens(text)` once and use langIdFromTokens. */
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
   // ---- L11 fingerprint ------------------------------------------------
 
   /** L11: winnowing fingerprint set (k-gram size, window w) — see
-    * WinnowFingerprint for the guarantee. */
+    * WinnowFingerprintText for the guarantee. Fused single-pass form;
+    * `fingerprintTokens` is the array-input equivalent (identical
+    * output on split(text) tokens). */
   def fingerprint(text: Column, k: Int = 5, w: Int = 4): Column =
-    call_function("graft_fingerprint", tokens(text), lit(k), lit(w))
+    call_function("graft_fingerprint_text", text, lit(k), lit(w))
+
+  def fingerprintTokens(toks: Column, k: Int = 5, w: Int = 4): Column =
+    call_function("graft_fingerprint", toks, lit(k), lit(w))
 
   // ---- signature wrappers (dedup/similarity building blocks) ---------
 
   def minhash(shingles: Column, numHashes: Int): Column =
     call_function("graft_minhash", shingles, lit(numHashes))
 
+  /** Fused tokenize+shingle+minhash over raw text — the hot-path form
+    * (one imperative pass, no intermediate arrays). */
+  def minhashText(text: Column, shingleSize: Int, numHashes: Int): Column =
+    call_function("graft_minhash_text", text, lit(shingleSize), lit(numHashes))
+
   def simhash(tokens: Column): Column =
     call_function("graft_simhash", tokens)
+
+  /** Fused tokenize+simhash over raw text; bit-identical to
+    * simhash(tokens(text)). */
+  def simhashText(text: Column): Column =
+    call_function("graft_simhash_text", text)
 
   def cosine(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)

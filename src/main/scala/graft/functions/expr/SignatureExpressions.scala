@@ -260,4 +260,10 @@ object GraftTypeChecks {
     case other => TypeCheckResult.TypeCheckFailure(
       s"$fn expects array<string>, got ${other.simpleString}")
   }
+
+  def string(child: Expression, fn: String): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn expects string, got ${other.simpleString}")
+  }
 }

@@ -74,7 +74,7 @@ object Dedup {
     val r = numHashes / bands
     val sigs = docs.select(
       col(idCol).cast("long").as("id"),
-      minhash(array_distinct(wordShingles(col(textCol), shingleSize)), numHashes).as("sig"))
+      minhashText(col(textCol), shingleSize, numHashes).as("sig"))
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("band"), xxhash64(slice(col("sig"), j * r + 1, r)).as("bhash"))
     }
@@ -85,19 +85,21 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** L4: exact n-gram Jaccard on candidate pairs — joins each side
-    * back to its shingle set, computes |∩|/|∪|. Only candidates pay
-    * this cost. */
+  /** L4: exact n-gram Jaccard on candidate pairs — joins raw text to
+    * the pairs FIRST, then shingles only the matched rows (shingling
+    * above the join means the n² -> candidates reduction also applies
+    * to the shingle compute, not just the set arithmetic). */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id", shingleSize: Int = 3): DataFrame = {
-    val sh1 = docs.select(col(idCol).cast("long").as("id1"),
-      array_distinct(wordShingles(col(textCol), shingleSize)).as("s1"))
-    val sh2 = docs.select(col(idCol).cast("long").as("id2"),
-      array_distinct(wordShingles(col(textCol), shingleSize)).as("s2"))
-    pairs.join(sh1, "id1").join(sh2, "id2")
+    val d1 = docs.select(col(idCol).cast("long").as("id1"), col(textCol).as("__t1"))
+    val d2 = docs.select(col(idCol).cast("long").as("id2"), col(textCol).as("__t2"))
+    pairs.join(d1, "id1").join(d2, "id2")
+      .withColumn("__s1", array_distinct(wordShingles(col("__t1"), shingleSize)))
+      .withColumn("__s2", array_distinct(wordShingles(col("__t2"), shingleSize)))
+      .withColumn("__inter", size(array_intersect(col("__s1"), col("__s2"))).cast("double"))
       .select(col("id1"), col("id2"),
-        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
-          size(array_union(col("s1"), col("s2")))).as("jaccard"))
+        (col("__inter") /
+          (size(col("__s1")) + size(col("__s2")) - col("__inter"))).as("jaccard"))
   }
 
   /** L3: SimHash near-duplicate pairs. 64-bit signature split into
@@ -110,7 +112,7 @@ object Dedup {
     val bands = maxHamming + 1
     val bits = 64 / bands
     val sims = docs.select(col(idCol).cast("long").as("id"),
-      simhash(tokens(col(textCol))).as("sim"))
+      simhashText(col(textCol)).as("sim"))
     val bandStructs = (0 until bands).map { j =>
       val lo = j * bits
       val width = if (j == bands - 1) 64 - lo else bits
