@@ -121,6 +121,8 @@ object SparkEntry {
           array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
         .orderBy(col("doc_id"))),
     "mm_decode_stats" -> (graft.multimodal.Multimodal.decodeStats _),
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.batch(Tables.events(s, dir), gapMinutes = 480)),
     // §2.2 relational core
     "q_scan_filter"    -> (Relational.scanFilter _),
     "q1_agg"           -> (Relational.q1Agg _),
@@ -185,6 +187,18 @@ object SparkEntry {
         | CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 + (len(text) % 5) ELSE 1 END) AS BIGINT) AS sum_frames,
         | CAST(sum(len(text)) AS BIGINT) AS sum_bytes
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q_sessionize" ->
+      """WITH f AS (
+        | SELECT user_id, ts, value, epoch_us(ts) AS us,
+        |  CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |       OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 28800000000
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM events),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        | round(sum(value), 2) AS total_value,
+        | (max(us) - min(us)) / 1e6 AS duration_secs
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "ingest_nested_json" ->
       """SELECT event_type AS level,
         | CASE WHEN user_id % 3 = 0 THEN 'us-east'

@@ -19,10 +19,12 @@ object Tables {
   /** The events parquet stores TIMESTAMP(NANOS); under
     * spark.sql.legacy.parquet.nanosAsLong (set by GraftSession) it
     * scans as Long nanos, which we normalize to a micros timestamp —
-    * column pruning/pushdown still reach the scan untouched. */
+    * column pruning/pushdown still reach the scan untouched.
+    * Integral DIV, not `/`: epoch nanos (~1.7e18) exceed a double's
+    * 2^53 mantissa, so float division silently loses microseconds. */
   private def normalizeTs(df: DataFrame): DataFrame =
     if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")

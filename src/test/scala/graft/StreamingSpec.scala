@@ -24,8 +24,7 @@ class StreamingSpec extends AnyFunSuite {
     var stream = spark.readStream.schema(batchSchema).parquet(path)
     // events carries TIMESTAMP(NANOS) -> long under nanosAsLong; normalize
     if (stream.schema("ts").dataType == LongType)
-      stream = stream.withColumn("ts",
-        timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
     val agg = EventStream.windowedCounts(stream)
     val queryName = "graft_stream_smoke"
@@ -51,8 +50,7 @@ class StreamingSpec extends AnyFunSuite {
     val batchSchema = spark.read.parquet(path).schema
     var stream = spark.readStream.schema(batchSchema).parquet(path)
     if (stream.schema("ts").dataType == LongType)
-      stream = stream.withColumn("ts",
-        timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val plan = EventStream.windowedCounts(stream).queryExecution.logical.toString
     assert(plan.contains("EventTimeWatermark"),
       s"expected a watermark node in:\n$plan")
