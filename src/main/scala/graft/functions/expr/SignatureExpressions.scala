@@ -2,8 +2,8 @@ package graft.functions.expr
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Deterministic 64-bit hashing used by every signature expression.
@@ -43,6 +43,22 @@ object GraftHash {
   def combine(acc: Long, h: Long): Long = splitmix64(acc ^ h)
 }
 
+/** Shared input-type checks (AbstractDataType/ExpectsInputTypes are
+  * private[sql], so the checks are spelled out). */
+object GraftTypeChecks {
+  def stringArray(child: Expression, fn: String): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn expects array<string>, got ${other.simpleString}")
+  }
+
+  def string(child: Expression, fn: String): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn expects string, got ${other.simpleString}")
+  }
+}
+
 /** MinHash signature of a token/shingle set (L2 building block).
   *
   * Per-row Catalyst expression: `array<string> -> array<long>` of
@@ -52,13 +68,18 @@ object GraftHash {
   * pipeline is the band-bucket exchange whose key count is
   * rows × bands, not rows × shingles.
   *
+  * Both eval and doGenCode delegate to SignatureKernels, so the
+  * expression participates in whole-stage codegen (the generated code
+  * is one static call — CodegenFallback would knock the whole operator
+  * out of codegen).
+  *
   * Reference behavior anchor: the reference engine computes per-doc
   * derived columns inside its scan pipeline too (lazy column exprs,
   * reference src/main.rs:297-340); this is the same idea for
   * signatures.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numHashes > 0 && numHashes <= 1024, "numHashes in (0,1024]")
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -66,25 +87,12 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val base = GraftHash.fnv64(arr.getUTF8String(i).getBytes)
-        var j = 0
-        while (j < numHashes) {
-          val v = GraftHash.splitmix64(base ^ GraftHash.permSeed(j))
-          if (v < sig(j)) sig(j) = v
-          j += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.minhashArray(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expr.SignatureKernels.minhashArray($c, $numHashes);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -94,40 +102,21 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   *
   * `array<string> -> long`: per-bit vote sum over token hashes, sign
   * bit per position. Same scale property as MinHashSignature — per-row
-  * in the scan stage, zero shuffle.
+  * in the scan stage, zero shuffle, whole-stage-codegen-participating.
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     GraftTypeChecks.stringArray(child, prettyName)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = GraftHash.fnv64(arr.getUTF8String(i).getBytes)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    out
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.simhashArray(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expr.SignatureKernels.simhashArray($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -144,7 +133,7 @@ case class SimHash64(child: Expression)
   * least one fingerprint.
   */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k > 0 && w > 0, "k and w must be positive")
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -152,49 +141,12 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_fingerprint"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val tokenHashes = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      tokenHashes(i) =
-        if (arr.isNullAt(i)) GraftHash.FnvOffset
-        else GraftHash.fnv64(arr.getUTF8String(i).getBytes)
-      i += 1
-    }
-    val nGrams = n - k + 1
-    if (nGrams <= 0) {
-      var acc = GraftHash.FnvOffset
-      var j = 0
-      while (j < n) { acc = GraftHash.combine(acc, tokenHashes(j)); j += 1 }
-      return new GenericArrayData(Array(GraftHash.splitmix64(acc)))
-    }
-    val gramHashes = new Array[Long](nGrams)
-    i = 0
-    while (i < nGrams) {
-      var acc = GraftHash.FnvOffset
-      var j = 0
-      while (j < k) { acc = GraftHash.combine(acc, tokenHashes(i + j)); j += 1 }
-      gramHashes(i) = acc
-      i += 1
-    }
-    val picks = scala.collection.mutable.SortedSet.empty[Long]
-    val nWindows = math.max(1, nGrams - w + 1)
-    i = 0
-    while (i < nWindows) {
-      var m = Long.MaxValue
-      var j = 0
-      val lim = math.min(w, nGrams - i)
-      while (j < lim) {
-        if (gramHashes(i + j) < m) m = gramHashes(i + j)
-        j += 1
-      }
-      picks += m
-      i += 1
-    }
-    new GenericArrayData(picks.toArray)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.fingerprintArray(input.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expr.SignatureKernels.fingerprintArray($c, $k, $w);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -206,10 +158,11 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   * pass over both arrays (dot product and both norms together) — the
   * zip_with + aggregate composition of built-ins walks the arrays
   * three times and allocates an intermediate array; this allocates
-  * nothing. Null or length-mismatched inputs yield null.
+  * nothing and stays inside whole-stage codegen. Null or
+  * length-mismatched inputs yield null (kernel signals with NaN).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
@@ -225,45 +178,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
-  private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
-    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  private def aFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def bFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = a.numElements()
-    if (n != b.numElements()) return null
-    val aFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val bFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = get(a, i, aFloat)
-      val y = get(b, i, bFloat)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    if (na == 0.0 || nb == 0.0) 0.0
-    else dot / (math.sqrt(na) * math.sqrt(nb))
+    val v = SignatureKernels.cosine(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], aFloat, bFloat)
+    if (java.lang.Double.isNaN(v)) null else v
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.functions.expr.SignatureKernels.cosine($a, $b, $aFloat, $bFloat);
+         |if (java.lang.Double.isNaN(${ev.value})) { ${ev.isNull} = true; ${ev.value} = 0.0; }
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
-}
-
-/** Shared input-type checks (AbstractDataType/ExpectsInputTypes are
-  * private[sql], so the checks are spelled out). */
-object GraftTypeChecks {
-  def stringArray(child: Expression, fn: String): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$fn expects array<string>, got ${other.simpleString}")
-  }
-
-  def string(child: Expression, fn: String): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$fn expects string, got ${other.simpleString}")
-  }
 }

@@ -1,0 +1,146 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared per-row kernels behind the signature expressions. Both the
+  * interpreted eval path and the generated code call these statics
+  * (Scala objects compile with static forwarders, so codegen emits a
+  * plain `SignatureKernels.minhashText(...)` Java call) — one
+  * implementation, two execution modes, and the expressions stay
+  * inside whole-stage codegen instead of forcing their operators to
+  * fall back (CollapseCodegenStages rejects CodegenFallback).
+  */
+object SignatureKernels {
+
+  def minhashText(s: UTF8String, shingleSize: Int, numHashes: Int): ArrayData =
+    minhashFromGrams(
+      TextTokenizer.gramHashes(TextTokenizer.tokenHashes(s), shingleSize), numHashes)
+
+  def minhashArray(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val grams = new Array[Long](n)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        grams(m) = GraftHash.fnv64(arr.getUTF8String(i).getBytes)
+        m += 1
+      }
+      i += 1
+    }
+    minhashFromGrams(if (m == n) grams else java.util.Arrays.copyOf(grams, m), numHashes)
+  }
+
+  private def minhashFromGrams(grams: Array[Long], numHashes: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < grams.length) {
+      val base = grams(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = GraftHash.splitmix64(base ^ GraftHash.permSeed(j))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhashText(s: UTF8String): Long =
+    simhashFromHashes(TextTokenizer.tokenHashes(s))
+
+  def simhashArray(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val hs = new scala.collection.mutable.ArrayBuffer[Long](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) hs += GraftHash.fnv64(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    simhashFromHashes(hs.toArray)
+  }
+
+  private def simhashFromHashes(tok: Array[Long]): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < tok.length) {
+      val h = tok(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def fingerprintText(s: UTF8String, k: Int, w: Int): ArrayData =
+    fingerprintFromHashes(TextTokenizer.tokenHashes(s), k, w)
+
+  def fingerprintArray(arr: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) =
+        if (arr.isNullAt(i)) GraftHash.FnvOffset
+        else GraftHash.fnv64(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    fingerprintFromHashes(hs, k, w)
+  }
+
+  private def fingerprintFromHashes(tok: Array[Long], k: Int, w: Int): ArrayData = {
+    val nGrams = tok.length - k + 1
+    if (nGrams <= 0) {
+      var acc = GraftHash.FnvOffset
+      var j = 0
+      while (j < tok.length) { acc = GraftHash.combine(acc, tok(j)); j += 1 }
+      return new GenericArrayData(Array(GraftHash.splitmix64(acc)))
+    }
+    val grams = TextTokenizer.gramHashes(tok, k)
+    val picks = scala.collection.mutable.SortedSet.empty[Long]
+    val nWindows = math.max(1, grams.length - w + 1)
+    var i = 0
+    while (i < nWindows) {
+      var m = Long.MaxValue
+      var j = 0
+      val lim = math.min(w, grams.length - i)
+      while (j < lim) {
+        if (grams(i + j) < m) m = grams(i + j)
+        j += 1
+      }
+      picks += m
+      i += 1
+    }
+    new GenericArrayData(picks.toArray)
+  }
+
+  /** Fused cosine; returns NaN to signal null-result (length mismatch
+    * or null element) so generated code can map NaN -> isNull without
+    * an exception path. Zero-norm inputs yield 0.0. */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return Double.NaN
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

@@ -2,8 +2,7 @@ package graft.functions.expr
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -16,9 +15,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * never whole-stage-codegen'd, so all of it runs interpreted with
   * per-element allocation. These fused variants hash token byte
   * regions in place — no token array, no shingle strings, no
-  * intermediate ArrayData — which measured ~10× faster on the dedup
-  * pipelines and is the difference between CPU-bound and
+  * intermediate ArrayData — which measured ~4× faster end-to-end on
+  * the dedup pipelines and is the difference between CPU-bound and
   * allocation-bound at 100 TB (signatures run on every row scanned).
+  * eval and doGenCode share the SignatureKernels statics, so the
+  * expressions participate in whole-stage codegen.
   *
   * Hash compatibility: token hashes are GraftHash.fnv64 over token
   * bytes — identical to the array-input variants fed
@@ -78,7 +79,7 @@ object TextTokenizer {
 
 /** MinHash signature straight from text: `string -> array<long>`. */
 case class MinHashText(child: Expression, shingleSize: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numHashes > 0 && numHashes <= 1024, "numHashes in (0,1024]")
   require(shingleSize > 0, "shingleSize must be positive")
 
@@ -87,23 +88,12 @@ case class MinHashText(child: Expression, shingleSize: Int, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_text"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val grams = TextTokenizer.gramHashes(
-      TextTokenizer.tokenHashes(input.asInstanceOf[UTF8String]), shingleSize)
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i < grams.length) {
-      val base = grams(i)
-      var j = 0
-      while (j < numHashes) {
-        val v = GraftHash.splitmix64(base ^ GraftHash.permSeed(j))
-        if (v < sig(j)) sig(j) = v
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.minhashText(input.asInstanceOf[UTF8String], shingleSize, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expr.SignatureKernels.minhashText($c, $shingleSize, $numHashes);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -111,35 +101,19 @@ case class MinHashText(child: Expression, shingleSize: Int, numHashes: Int)
 
 /** SimHash straight from text: `string -> long`; equals
   * SimHash64(split tokens) bit for bit. */
-case class SimHashText(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHashText(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     GraftTypeChecks.string(child, prettyName)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash_text"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val tok = TextTokenizer.tokenHashes(input.asInstanceOf[UTF8String])
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < tok.length) {
-      val h = tok(i)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    out
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.simhashText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expr.SignatureKernels.simhashText($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -148,7 +122,7 @@ case class SimHashText(child: Expression)
 /** Winnowing fingerprint straight from text: `string -> array<long>`;
   * equals WinnowFingerprint(split tokens) element for element. */
 case class WinnowFingerprintText(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k > 0 && w > 0, "k and w must be positive")
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -156,32 +130,12 @@ case class WinnowFingerprintText(child: Expression, k: Int, w: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_fingerprint_text"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val tok = TextTokenizer.tokenHashes(input.asInstanceOf[UTF8String])
-    val nGrams = tok.length - k + 1
-    if (nGrams <= 0) {
-      var acc = GraftHash.FnvOffset
-      var j = 0
-      while (j < tok.length) { acc = GraftHash.combine(acc, tok(j)); j += 1 }
-      return new GenericArrayData(Array(GraftHash.splitmix64(acc)))
-    }
-    val grams = TextTokenizer.gramHashes(tok, k)
-    val picks = scala.collection.mutable.SortedSet.empty[Long]
-    val nWindows = math.max(1, grams.length - w + 1)
-    var i = 0
-    while (i < nWindows) {
-      var m = Long.MaxValue
-      var j = 0
-      val lim = math.min(w, grams.length - i)
-      while (j < lim) {
-        if (grams(i + j) < m) m = grams(i + j)
-        j += 1
-      }
-      picks += m
-      i += 1
-    }
-    new GenericArrayData(picks.toArray)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.fingerprintText(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expr.SignatureKernels.fingerprintText($c, $k, $w);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

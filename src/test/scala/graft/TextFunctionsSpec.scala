@@ -95,6 +95,21 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(sims(0) == sims(0), "deterministic")
   }
 
+  test("signature expressions stay inside whole-stage codegen") {
+    // parquet-backed scan so the projection is a real executed stage
+    // (a local Seq would constant-fold to LocalTableScan)
+    val df = Tables.documents(spark, sf)
+      .select(minhashText(col("text"), 3, 32).as("sig"),
+              simhashText(col("text")).as("sim"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_minhash_text.*"),
+      s"custom expressions must not knock the projection out of codegen:\n$plan")
+    // and the generated code path produces real values
+    val row = df.collect()(0)
+    assert(row.getSeq[Long](0).length == 32)
+  }
+
   test("functions are SQL-callable via the session extension") {
     val r = spark.sql(
       "SELECT graft_simhash(array('a','b')) AS s, graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
