@@ -123,6 +123,10 @@ object SparkEntry {
     "mm_decode_stats" -> (graft.multimodal.Multimodal.decodeStats _),
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.batch(Tables.events(s, dir), gapMinutes = 480)),
+    "q_skew_agg" -> ((s, dir) =>
+      Skew.saltedSumCount(Tables.lineitem(s, dir), "l_returnflag", "l_quantity")
+        .select(col("l_returnflag"), round(col("sum_value"), 2).as("sum_value"), col("n"))
+        .orderBy(col("l_returnflag"))),
     // §2.2 relational core
     "q_scan_filter"    -> (Relational.scanFilter _),
     "q1_agg"           -> (Relational.q1Agg _),
@@ -187,6 +191,9 @@ object SparkEntry {
         | CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 + (len(text) % 5) ELSE 1 END) AS BIGINT) AS sum_frames,
         | CAST(sum(len(text)) AS BIGINT) AS sum_bytes
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_value, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_sessionize" ->
       """WITH f AS (
         | SELECT user_id, ts, value, epoch_us(ts) AS us,
