@@ -12,9 +12,11 @@ import graft.functions.TextFunctions
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The namesake operator: full inverted index over the
+    * documents table (reference src/main.rs:398-499). */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    InvertedIndex.fieldValues(Tables.documents(spark, "/root/testdata/sf0.001"), "lang")
 
   /** Deterministic 100-id probe set for the doc-id-restricted queries —
     * mirrors the reference's workload of 100 evenly spaced ids
@@ -84,6 +86,13 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(e.where(col("vec_id") < 8), e, 10)
+        .select(col("q_id"), col("rank"), col("c_id"),
+                round(col("score"), 4).as("score"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+    "ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e.where(col("vec_id") < 8), e, 10)
         .select(col("q_id"), col("rank"), col("c_id"),
                 round(col("score"), 4).as("score"))
         .orderBy(col("q_id"), col("rank"))

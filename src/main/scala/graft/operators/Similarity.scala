@@ -70,6 +70,74 @@ object Similarity {
         col("t.id").as("c_id"), col("t.score").as("score"))
   }
 
+  /** L7 alternative scale path: IVF (inverted-file) ANN.
+    *
+    * Index build: deterministic k-means-lite — seeds are the
+    * lowest-id candidate vectors, refined with `iters` Lloyd passes
+    * computed as DataFrame aggregations (centroids broadcast each
+    * pass; the per-dimension mean runs as a (cell, dim) aggregation,
+    * linear in rows × dim). Centroid components are rounded so
+    * float-summation order cannot wobble assignments between runs.
+    * Probe: each query scans only its `nProbe` highest-cosine cells —
+    * at scale the cell column is a partition key, so a probe touches
+    * nProbe/numCells of the data instead of all of it.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              numCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    require(nProbe <= numCells, "nProbe must be <= numCells")
+    val c = candidates.select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec"))
+
+    def toDoubles(a: Any): Array[Double] = a match {
+      case s: scala.collection.Seq[_] => s.map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray
+    }
+    // deterministic seeds: lowest-id vectors
+    var centroids: Array[Array[Double]] = c.orderBy(col("c_id")).limit(numCells)
+      .collect().map(r => toDoubles(r.get(1)))
+
+    def cellOf(vec: Column): Column = {
+      val scored = array(centroids.zipWithIndex.map { case (ctr, i) =>
+        struct(cosine(vec, typedlit(ctr.toSeq)).as("s"), lit(i).as("cell"))
+      }.toSeq: _*)
+      array_max(scored).getField("cell")
+    }
+
+    var it = 0
+    while (it < iters) {
+      // Lloyd pass: assign, then per-(cell, dim) mean, rounded for
+      // run-to-run stability
+      val means = c.select(cellOf(col("c_vec")).as("cell"), posexplode(col("c_vec")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .select(col("cell"), transform(col("ms"), x => x.getField("m")).as("centroid"))
+        .collect().map(r => r.getInt(0) -> toDoubles(r.get(1))).toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+      it += 1
+    }
+
+    val assigned = c.withColumn("cell", cellOf(col("c_vec")))
+    val q = queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+    val qProbes = q.select(col("q_id"), col("q_vec"), explode(slice(reverse(array_sort(array(
+        centroids.zipWithIndex.map { case (ctr, i) =>
+          struct(cosine(col("q_vec"), typedlit(ctr.toSeq)).as("s"), lit(i).as("cell"))
+        }.toSeq: _*))), 1, nProbe)).as("p"))
+      .select(col("q_id"), col("q_vec"), col("p.cell").as("cell"))
+
+    broadcast(qProbes).join(assigned, "cell")
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("q_vec"), col("c_vec")).as("score"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("c_id"), col("score"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rank0", "t")))
+      .select(col("q_id"), (col("rank0") + 1).as("rank"),
+        col("t.id").as("c_id"), col("t.score").as("score"))
+  }
+
   /** L7: SRP-bucketed ANN with flip-one-bit multiprobe. Each query
     * probes its exact bucket plus every Hamming-1 neighbor in each
     * band; candidates join on (band, bucket) — the scan of candidate

@@ -75,6 +75,30 @@ class SimilaritySpec extends AnyFunSuite {
       s"mean recall@5 $meanRecall below 0.8 on clustered vectors")
   }
 
+  test("L7 IVF: achieves high recall on clustered data and exact scores") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val centers = Seq.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+    val members = for {
+      c <- centers.indices
+      m <- 0 until 25
+    } yield ((c * 100 + m).toLong,
+      centers(c).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    val df = members.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(queries, df, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopK(queries, df, 5, numCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      (ivf.getOrElse(q, Set.empty) & exact(q)).size.toDouble / exact(q).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.8, s"IVF mean recall@5 $meanRecall below 0.8")
+  }
+
   test("L7: LSH scores are exact cosines for the candidates it returns") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
