@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan lint over EVERY driver entry: catches the scale failure modes
+  * that correctness checks can't see. */
+class PlanLintSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // ann_* intentionally score a broadcast cross product of a tiny query
+  // set against the candidates — a BroadcastNestedLoopJoin, not a
+  // shuffled CartesianProduct.
+  test("no query plans a shuffled cartesian product") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a shuffled cartesian product:\n$plan")
+    }
+  }
+
+  test("every aggregate runs a partial (map-side) phase before its exchange") {
+    // spot-check the shuffle-heavy entries: partial aggregation is the
+    // difference between shuffling rows and shuffling groups
+    Seq("q1_agg", "ii_field_values", "dedup_exact", "q_skew_agg").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("partial"),
+        s"$name must partially aggregate before the exchange:\n$plan")
+    }
+  }
+
+  test("scans are column-pruned: no query reads every documents column needlessly") {
+    val plan = SparkEntry.queries("text_tokens")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"text_tokens should read only (doc_id, text):\n$plan")
+  }
+}
