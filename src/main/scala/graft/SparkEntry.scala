@@ -46,6 +46,11 @@ object SparkEntry {
       InvertedIndex.numericStatsByDocIds(Tables.documents(s, dir), "n_chars", iiDocIds)
         .select(col("field"), col("min_v"), col("max_v"),
                 round(col("avg_v"), 4).as("avg_v"))),
+    "ii_field_values_chunked" -> ((s, dir) =>
+      InvertedIndex.fieldValuesChunked(Tables.documents(s, dir), "source", chunkSize = 100)
+        .select(col("value"), col("chunk"), col("n_docs"),
+                array_join(col("doc_ids"), ",").as("doc_ids"))
+        .orderBy(col("value"), col("chunk"))),
     "ingest_nested_json" -> (NestedIngest.ingestNestedJson _),
     "clustered_write_scan" -> ((s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_clustered_${dir.hashCode.abs}"
@@ -171,6 +176,10 @@ object SparkEntry {
       s"""SELECT 'n_chars' AS field, CAST(min(n_chars) AS DOUBLE) AS min_v,
         | CAST(max(n_chars) AS DOUBLE) AS max_v, round(avg(n_chars), 4) AS avg_v
         |FROM documents WHERE doc_id IN ($iiDocIdsSql)""".stripMargin,
+    "ii_field_values_chunked" ->
+      """SELECT source AS value, CAST(doc_id // 100 AS BIGINT) AS chunk, count(*) AS n_docs,
+        | array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+        |FROM documents GROUP BY 1, 2 ORDER BY value, chunk""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,

@@ -86,6 +86,25 @@ object InvertedIndex {
                           docIdCol: String = "doc_id"): DataFrame =
     fieldValues(restrictToDocIds(df, docIds, docIdCol), fieldName, docIdCol)
 
+  /** R1 at scale: chunked posting lists. A single `collect_list` row
+    * per value is the one unbounded-state hazard in `fieldValues` — at
+    * 100 TB a hot value's posting list is billions of ids in one
+    * aggregation buffer. Chunking by doc-id range caps every row at
+    * `chunkSize` ids while keeping lists sorted (chunks are ordered by
+    * `chunk`, ids sorted within); consumers stream chunks instead of
+    * materializing the full list, and the doc-id-clustered layout
+    * (graft.sources.ClusteredParquet) means a chunk maps to a
+    * contiguous file range. */
+  def fieldValuesChunked(df: DataFrame, fieldName: String, chunkSize: Long = 1 << 20,
+                         docIdCol: String = "doc_id"): DataFrame = {
+    val c = fieldNameToColumn(fieldName)
+    df.select(col(c).as("value"), col(docIdCol).cast("long").as("doc_id"))
+      .where(col("value").isNotNull)
+      .groupBy(col("value"), (col("doc_id") / chunkSize).cast("long").as("chunk"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
+           count(lit(1)).as("n_docs"))
+  }
+
   /** R3: {min, max, avg} of a numeric field over all docs — a single
     * partial-aggregate pass, one-row result. Doubles match the
     * reference's Float64 casts (src/main.rs:562-573). */

@@ -52,6 +52,18 @@ class InvertedIndexSpec extends AnyFunSuite {
       "expected id-range predicate pushed for row-group pruning")
   }
 
+  test("R1 chunked: concatenated chunks reproduce the full posting list, bounded per row") {
+    val full = InvertedIndex.fieldValues(docs, "lang").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val chunked = InvertedIndex.fieldValuesChunked(docs, "lang", chunkSize = 50)
+      .orderBy(col("value"), col("chunk")).collect()
+    chunked.foreach(r => assert(r.getSeq[Long](2).length <= 50,
+      "no chunk may exceed chunkSize"))
+    val reassembled = chunked.groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).flatMap(_.getSeq[Long](2)).toSeq).toMap
+    assert(reassembled == full.view.mapValues(_.toSeq).toMap)
+  }
+
   test("R3/R4: numeric stats match a direct computation") {
     val r = InvertedIndex.numericStats(docs, "n_chars").collect()(0)
     val direct = docs.agg(min("n_chars").cast("double"), max("n_chars").cast("double"),
