@@ -120,9 +120,9 @@ object Relational {
         countDistinct($"l_suppkey").as("n_supps"),
         countDistinct($"l_orderkey").as("n_orders"),
         count(lit(1)).as("n_rows"),
-        approx_count_distinct($"l_partkey").as("apx_parts"),
-        approx_count_distinct($"l_suppkey").as("apx_supps"),
-        approx_count_distinct($"l_orderkey").as("apx_orders"))
+        approx_count_distinct($"l_partkey", 0.02).as("apx_parts"),
+        approx_count_distinct($"l_suppkey", 0.02).as("apx_supps"),
+        approx_count_distinct($"l_orderkey", 0.02).as("apx_orders"))
       .select(
         $"n_parts", $"n_supps", $"n_orders", $"n_rows",
         (abs($"apx_parts" - $"n_parts") <= $"n_parts" * 0.05).as("apx_parts_ok"),
