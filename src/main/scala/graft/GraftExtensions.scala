@@ -60,6 +60,10 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         WinnowFingerprintText(args(0), intArg(args(1), "graft_fingerprint_text", 1),
           intArg(args(2), "graft_fingerprint_text", 2))),
+    (FunctionIdentifier("graft_srp"),
+      new ExpressionInfo(classOf[SrpSignBits].getName, "graft_srp"),
+      (args: Seq[Expression]) =>
+        SrpSignBits(args(0), intArg(args(1), "graft_srp", 1))),
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (args: Seq[Expression]) =>

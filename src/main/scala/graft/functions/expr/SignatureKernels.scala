@@ -125,6 +125,35 @@ object SignatureKernels {
     new GenericArrayData(picks.toArray)
   }
 
+  /** Sign of the ±1 hyperplane component (i, d) — MUST stay identical
+    * to Similarity.hyperplanes so expression and driver-side paths
+    * agree. */
+  @inline private def planeSign(i: Int, d: Int): Double =
+    if ((GraftHash.splitmix64(
+      GraftHash.permSeed(i) ^ (d * 0x9e3779b97f4a7c15L)) & 1L) == 1L) 1.0
+    else -1.0
+
+  /** All SRP sign bits in one call: bit i set iff ⟨v, plane_i⟩ > 0. */
+  def srpSignBits(v: ArrayData, numPlanes: Int, isFloat: Boolean): Long = {
+    val n = v.numElements()
+    var bits = 0L
+    var i = 0
+    while (i < numPlanes) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        if (!v.isNullAt(d)) {
+          val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+          dot += x * planeSign(i, d)
+        }
+        d += 1
+      }
+      if (dot > 0) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
   /** Fused cosine; returns NaN to signal null-result (length mismatch
     * or null element) so generated code can map NaN -> isNull without
     * an exception path. Zero-norm inputs yield 0.0. */

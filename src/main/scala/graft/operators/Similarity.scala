@@ -26,29 +26,28 @@ object Similarity {
       else -1.0
     }
 
-  /** SRP sign bits for a vector column — bit i = sign of ⟨v, plane_i⟩
-    * (cosine sign == dot sign, so the fused cosine expression serves
-    * as the projector; one pass per plane, per row, in the scan
-    * stage). */
-  def srpBits(vecCol: Column, numPlanes: Int, dim: Int = 64): Seq[Column] = {
-    val planes = hyperplanes(numPlanes, dim)
-    planes.toSeq.map(p => cosine(vecCol, typedlit(p.toSeq)) > 0)
-  }
+  /** All SRP sign bits as one bitmask — the fused SrpSignBits
+    * expression (one codegen'd pass computes every plane's sign;
+    * planes derive from the shared splitmix64 chain, identical to
+    * `hyperplanes`). */
+  def srpBitmask(vecCol: Column, numPlanes: Int): Column =
+    call_function("graft_srp", vecCol, lit(numPlanes))
 
   /** Banded SRP table (id, band, bhash): numPlanes sign bits packed
-    * into `bands` integer buckets. Shared by L5 and L7. */
+    * into `bands` integer buckets extracted from the fused bitmask.
+    * Shared by L5 and L7. */
   def srpBanded(df: DataFrame, vecCol: String, idCol: String,
                 numPlanes: Int, bands: Int): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
     val bitsPerBand = numPlanes / bands
-    val bits = srpBits(col(vecCol), numPlanes)
+    val mask = (1L << bitsPerBand) - 1L
     val bandStructs = (0 until bands).map { j =>
-      val bucket = (0 until bitsPerBand).map { p =>
-        when(bits(j * bitsPerBand + p), lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(j).as("band"), bucket.as("bhash"))
+      struct(lit(j).as("band"),
+        shiftrightunsigned(col("__srp"), j * bitsPerBand).bitwiseAND(lit(mask)).as("bhash"))
     }
-    df.select(col(idCol).cast("long").as("id"), explode(array(bandStructs: _*)).as("b"))
+    df.select(col(idCol).cast("long").as("id"),
+        srpBitmask(col(vecCol), numPlanes).as("__srp"))
+      .select(col("id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("id"), col("b.band"), col("b.bhash"))
   }
 
