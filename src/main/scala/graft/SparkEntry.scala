@@ -139,6 +139,26 @@ object SparkEntry {
     "mm_decode_stats" -> (graft.multimodal.Multimodal.decodeStats _),
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.batch(Tables.events(s, dir), gapMinutes = 480)),
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.lastValueAsOf(ev, purchases, "user_id", "ts", "value", "last_purchase")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                round(col("last_purchase"), 2).as("last_purchase"))
+        .orderBy(col("event_id"))
+    }),
+    "q_range_join" -> ((s, dir) => {
+      val intervals = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("bucket"),
+        (col("n_nationkey") * 20.0).as("lo"),
+        (col("n_nationkey") * 20.0 + 25.0).as("hi"))
+      RangeJoin.pointInInterval(Tables.events(s, dir), "value", intervals, "lo", "hi",
+          binWidth = 25.0)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("bucket"))
+    }),
     "q_skew_agg" -> ((s, dir) =>
       Skew.saltedSumCount(Tables.lineitem(s, dir), "l_returnflag", "l_quantity")
         .select(col("l_returnflag"), round(col("sum_value"), 2).as("sum_value"), col("n"))
@@ -211,6 +231,18 @@ object SparkEntry {
         | CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 + (len(text) % 5) ELSE 1 END) AS BIGINT) AS sum_frames,
         | CAST(sum(len(text)) AS BIGINT) AS sum_bytes
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.event_type, round(r.value, 2) AS last_purchase
+        |FROM events l ASOF LEFT JOIN
+        | (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        | ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS bucket, count(*) AS n,
+        | round(sum(value), 2) AS sum_value
+        |FROM events e JOIN nation n
+        | ON e.value >= n.n_nationkey * 20.0 AND e.value < n.n_nationkey * 20.0 + 25.0
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_skew_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_value, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

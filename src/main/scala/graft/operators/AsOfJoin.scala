@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join — for each left row, the latest right row with
+  * right.ts <= left.ts on the same key (the time-series join Spark has
+  * no native operator for; DuckDB spells it ASOF JOIN).
+  *
+  * Spark-first formulation, composition (a) from the custom-operator
+  * preference order: tag and union both sides, then one incremental
+  * window pass per key ordered by (ts, side) carries the last seen
+  * right value forward into each left row. Properties that matter at
+  * 100 TB:
+  *  - ONE shuffle, keyed on the join key — both sides ride the same
+  *    exchange; no broadcast, no range replication;
+  *  - the window frame is unbounded-preceding with `last(ignoreNulls)`
+  *    — evaluated incrementally, O(1) state per row, never buffering
+  *    the frame;
+  *  - ties (right.ts == left.ts) resolve inclusively: the right row
+  *    sorts before the left row at equal ts, matching ASOF's
+  *    `left.ts >= right.ts`.
+  */
+object AsOfJoin {
+
+  /** Append `outCol` = value of the latest `right` row at-or-before
+    * each `left` row's timestamp (null if none). `right` must carry
+    * (key, ts, valueCol); `left` keeps all its columns. */
+  def lastValueAsOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+                    valueCol: String, outCol: String): DataFrame = {
+    val rv = "__asof_rv"
+    val tag = "__asof_tag"
+    val valueType = right.schema(valueCol).dataType
+    val l = left
+      .withColumn(tag, lit(1))
+      .withColumn(rv, lit(null).cast(valueType))
+    val r = right.select(col(key), col(ts), col(valueCol).as(rv))
+      .withColumn(tag, lit(0))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col(tag))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(outCol, last(col(rv), ignoreNulls = true).over(w))
+      .where(col(tag) === 1)
+      .drop(tag, rv)
+  }
+}
