@@ -109,9 +109,11 @@ object Relational {
     * distinct key sets — fine at test scale, the scale-weak path at
     * 100 TB. The HLL `approx_count_distinct` legs are the scale path:
     * one pass, no Expand, constant-size sketch per group. The output
-    * asserts each approx lands within 5% of exact (deterministic
-    * booleans, so the DuckDB hash compare stays engine-agnostic while
-    * still gating the approx path's sanity). */
+    * asserts each approx lands within 10% of exact — 2σ for the
+    * default 5% rsd sketch (a tighter rsd costs a 16× bigger buffer
+    * through the Expand; not worth it for a sanity gate). The booleans
+    * are deterministic, so the DuckDB hash compare stays
+    * engine-agnostic while still gating the approx path. */
   def distinctCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, sfDir)
@@ -120,14 +122,14 @@ object Relational {
         countDistinct($"l_suppkey").as("n_supps"),
         countDistinct($"l_orderkey").as("n_orders"),
         count(lit(1)).as("n_rows"),
-        approx_count_distinct($"l_partkey", 0.02).as("apx_parts"),
-        approx_count_distinct($"l_suppkey", 0.02).as("apx_supps"),
-        approx_count_distinct($"l_orderkey", 0.02).as("apx_orders"))
+        approx_count_distinct($"l_partkey").as("apx_parts"),
+        approx_count_distinct($"l_suppkey").as("apx_supps"),
+        approx_count_distinct($"l_orderkey").as("apx_orders"))
       .select(
         $"n_parts", $"n_supps", $"n_orders", $"n_rows",
-        (abs($"apx_parts" - $"n_parts") <= $"n_parts" * 0.05).as("apx_parts_ok"),
-        (abs($"apx_supps" - $"n_supps") <= $"n_supps" * 0.05).as("apx_supps_ok"),
-        (abs($"apx_orders" - $"n_orders") <= $"n_orders" * 0.05).as("apx_orders_ok"))
+        (abs($"apx_parts" - $"n_parts") <= $"n_parts" * 0.10).as("apx_parts_ok"),
+        (abs($"apx_supps" - $"n_supps") <= $"n_supps" * 0.10).as("apx_supps_ok"),
+        (abs($"apx_orders" - $"n_orders") <= $"n_orders" * 0.10).as("apx_orders_ok"))
   }
 
   /** C7: global top-k — Spark plans sort+limit as TakeOrderedAndProject
