@@ -60,6 +60,9 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         WinnowFingerprintText(args(0), intArg(args(1), "graft_fingerprint_text", 1),
           intArg(args(2), "graft_fingerprint_text", 2))),
+    (FunctionIdentifier("graft_langid"),
+      new ExpressionInfo(classOf[LangIdText].getName, "graft_langid"),
+      (args: Seq[Expression]) => LangIdText(args(0))),
     (FunctionIdentifier("graft_srp"),
       new ExpressionInfo(classOf[SrpSignBits].getName, "graft_srp"),
       (args: Seq[Expression]) =>

@@ -106,8 +106,7 @@ object SparkEntry {
     }),
     "text_langid" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(TextFunctions.tokens(col("text")).as("toks"))
-        .groupBy(TextFunctions.langIdFromTokens(col("toks")).as("detected"))
+        .groupBy(TextFunctions.langIdText(col("text")).as("detected"))
         .agg(count(lit(1)).as("n")).orderBy(col("detected"))),
     "text_quality" -> ((s, dir) =>
       Tables.documents(s, dir)

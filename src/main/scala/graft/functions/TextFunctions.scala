@@ -120,6 +120,10 @@ object TextFunctions {
     * hot paths project `tokens(text)` once and use langIdFromTokens. */
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
+  /** L8 fused: one-pass hash-probe language id (see LangIdKernel) —
+    * same scoring/tie rule as langId, ASCII-only lowercasing. */
+  def langIdText(text: Column): Column = call_function("graft_langid", text)
+
   // ---- L11 fingerprint ------------------------------------------------
 
   /** L11: winnowing fingerprint set (k-gram size, window w) — see

@@ -32,6 +32,23 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("L8 fused: langIdText agrees with the combinator on real and crafted text") {
+    val docs = Tables.documents(spark, sf)
+      .select(langId(col("text")).as("a"), langIdText(col("text")).as("b"))
+    assert(docs.where(col("a") =!= col("b")).count() == 0,
+      "fused and combinator language id must agree on documents")
+    val crafted = Seq(
+      "the cat is on a mat and it is happy for sure",
+      "der hund ist nicht mit der katze und das war ein tag",
+      "le chat est dans la maison et il est pour moi",
+      "el perro es grande y los gatos son para el patio",
+      "我 是 在 这 中 大 的 人 了 有",
+      "xyzzy qwerty plugh", "")
+    crafted.foreach { t =>
+      assert(one(t, langIdText(col("text"))) == one(t, langId(col("text"))), s"for: $t")
+    }
+  }
+
   test("L9: quality score is bounded and orders texts sensibly") {
     def q(t: String): Double = one(t, qualityScore(col("text"))).asInstanceOf[Double]
     val natural = q("the quick brown fox jumps over the lazy dog and runs to the old barn in the field")
