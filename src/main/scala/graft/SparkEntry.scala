@@ -52,6 +52,16 @@ object SparkEntry {
                 array_join(col("doc_ids"), ",").as("doc_ids"))
         .orderBy(col("value"), col("chunk"))),
     "ingest_nested_json" -> (NestedIngest.ingestNestedJson _),
+    // the reference's actual query shape: inverted index over a
+    // dotted nested field, resolved through JSON ingest + flattening
+    // (R1 ∘ R5 ∘ R6; reference src/main.rs:398-499 + 260-262)
+    "ii_nested_field_values" -> ((s, dir) =>
+      InvertedIndex.fieldValues(
+          NestedIngest.ingestJson(NestedIngest.eventsAsJson(s, dir), "json"),
+          "source.region")
+        .select(col("value"), col("n_docs"),
+                array_join(col("doc_ids"), ",").as("doc_ids"))
+        .orderBy(col("value"))),
     "clustered_write_scan" -> ((s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_clustered_${dir.hashCode.abs}"
       graft.sources.ClusteredParquet.write(Tables.documents(s, dir), path, numFiles = 8)
@@ -257,6 +267,13 @@ object SparkEntry {
         | round(sum(value), 2) AS total_value,
         | (max(us) - min(us)) / 1e6 AS duration_secs
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "ii_nested_field_values" ->
+      """SELECT CASE WHEN user_id % 3 = 0 THEN 'us-east'
+        |            WHEN user_id % 3 = 1 THEN 'us-west'
+        |            ELSE 'eu-central' END AS value,
+        | count(*) AS n_docs,
+        | array_to_string(list_sort(list(event_id)), ',') AS doc_ids
+        |FROM events GROUP BY 1 ORDER BY value""".stripMargin,
     "ingest_nested_json" ->
       """SELECT event_type AS level,
         | CASE WHEN user_id % 3 = 0 THEN 'us-east'

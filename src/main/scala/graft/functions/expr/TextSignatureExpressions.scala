@@ -33,10 +33,13 @@ object TextTokenizer {
   @inline private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
 
-  /** FNV-1a hash of each whitespace-delimited token, in order. */
+  /** FNV-1a hash of each whitespace-delimited token, in order.
+    * Primitive long array with manual growth — an ArrayBuffer[Long]
+    * would box every hash on this per-row path. */
   def tokenHashes(s: UTF8String): Array[Long] = {
     val bytes = s.getBytes
-    val out = new scala.collection.mutable.ArrayBuffer[Long](bytes.length / 5 + 1)
+    var out = new Array[Long](math.max(8, bytes.length / 6 + 1))
+    var m = 0
     var i = 0
     val n = bytes.length
     while (i < n) {
@@ -48,10 +51,12 @@ object TextTokenizer {
           h *= GraftHash.FnvPrime
           i += 1
         }
-        out += h
+        if (m == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+        out(m) = h
+        m += 1
       }
     }
-    out.toArray
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
   }
 
   /** Order-sensitive k-gram hashes of the token stream; shorter docs
