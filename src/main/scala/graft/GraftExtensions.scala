@@ -17,8 +17,11 @@ import graft.functions.expr._
   * expressions inside the plan.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // the inverted-index optimization for SQL-shaped doc-id lookups
+    ext.injectOptimizerRule(_ => graft.plans.LargeInListToJoin)
+  }
 }
 
 object GraftExtensions {
