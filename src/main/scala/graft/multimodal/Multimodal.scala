@@ -73,6 +73,45 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame: parent media, frame index, stub "pixels"
+    * digest, post-resize dims. */
+  final case class FrameRecord(
+      media_id: Long,
+      frame_idx: Int,
+      frame_hash: Long,
+      width: Int,
+      height: Int)
+
+  /** Frame-sample + resize plumbing: every `everyN`-th frame of each
+    * video (other kinds contribute frame 0), "decoded" to a
+    * deterministic digest and resized to `targetW`×`targetH`. The
+    * real pattern under the stub: one media row fans out to a bounded
+    * number of narrow frame rows inside `mapPartitions` — payload
+    * bytes are read once per batch and never duplicated per frame, and
+    * the fan-out happens before any shuffle so downstream ops group
+    * over small rows. */
+  def sampleFrames(media: Dataset[MediaRecord],
+                   decoder: MediaDecoder = StubDecoder,
+                   everyN: Int = 2, targetW: Int = 64, targetH: Int = 64,
+                   batchSize: Int = 64): Dataset[FrameRecord] = {
+    require(everyN > 0, "everyN must be positive")
+    implicit val enc = org.apache.spark.sql.Encoders.product[FrameRecord]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val f = decoder.decode(r)
+          // stub "pixel digest": payload hash mixed with the frame idx
+          val base = graft.functions.expr.GraftHash.fnv64(r.payload)
+          (0 until f.n_frames by everyN).map { idx =>
+            FrameRecord(r.media_id, idx,
+              graft.functions.expr.GraftHash.splitmix64(base ^ idx.toLong),
+              targetW, targetH)
+          }
+        }
+      }
+    }
+  }
+
   /** Deterministic media table derived from the documents testdata:
     * the text bytes act as the payload, the kind cycles through the
     * three modalities. */

@@ -35,6 +35,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("L12: frame sampling fans out videos deterministically with resized dims") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val frames = Multimodal.sampleFrames(media, everyN = 2).collect()
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    // every media row contributes ceil(n_frames / 2) frames
+    val expectedCounts = feats.view.mapValues(f => (f.n_frames + 1) / 2).toMap
+    val gotCounts = frames.groupBy(_.media_id).view.mapValues(_.length).toMap
+    assert(gotCounts == expectedCounts)
+    frames.foreach { fr =>
+      assert(fr.width == 64 && fr.height == 64)
+      assert(fr.frame_idx % 2 == 0)
+    }
+    // determinism across batch sizes
+    val again = Multimodal.sampleFrames(media, everyN = 2, batchSize = 7).collect()
+    assert(frames.sortBy(f => (f.media_id, f.frame_idx)).toSeq ==
+           again.sortBy(f => (f.media_id, f.frame_idx)).toSeq)
+  }
+
   test("L12: payload dies at feature extraction; aggregation sees only features") {
     val plan = Multimodal.decodeStats(spark, sf).queryExecution.optimizedPlan.toString.toLowerCase
     val decodeAt = plan.indexOf("mappartitions")
