@@ -24,4 +24,27 @@ object EventStream {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("sum_value"))
+
+  /** Stream-stream inner join with a time bound: each left event
+    * matches right events on `key` whose timestamp falls in
+    * [left.ts - lookback, left.ts]. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark can
+    * evict join state once the watermark passes ts + lookback —
+    * bounded state on two unbounded streams. Column prefixes `l_` /
+    * `r_` disambiguate the output. */
+  def joinWithinLookback(left: DataFrame, right: DataFrame, key: String,
+                         lookback: String = "1 hour",
+                         watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("__rk"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"), col("value").as("r_value"))
+    l.join(r,
+      col(key) === col("__rk") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookback") &&
+        col("r_ts") <= col("l_ts"))
+      .drop("__rk")
+  }
 }

@@ -45,6 +45,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "streaming and batch twins must agree")
   }
 
+  test("L13: stream-stream join matches within the lookback and not outside it") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val views = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val joined = EventStream.joinWithinLookback(
+      clicks.toDF().toDF("user_id", "ts", "event_type", "value"),
+      views.toDF().toDF("user_id", "ts", "event_type", "value"),
+      "user_id", lookback = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("graft_ss_join")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        (1L, ts("2024-01-01 10:00:00"), "view", 1.0),   // within 30m of the click
+        (1L, ts("2024-01-01 08:00:00"), "view", 2.0),   // too old
+        (2L, ts("2024-01-01 10:10:00"), "view", 3.0))   // other user
+      clicks.addData((1L, ts("2024-01-01 10:15:00"), "click", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("graft_ss_join")
+        .select("user_id", "l_value", "r_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, 9.0, 1.0)),
+        s"only the in-window same-user view may match, got ${rows.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("L13: the plan carries a watermark bounding state") {
     val path = eventsDir
     val batchSchema = spark.read.parquet(path).schema
