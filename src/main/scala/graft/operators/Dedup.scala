@@ -72,7 +72,7 @@ object Dedup {
                       shingleSize: Int = 3, maxBucket: Int = 100): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = docs.select(
+    val sigs = docs.where(col(textCol).isNotNull).select(
       col(idCol).cast("long").as("id"),
       minhashText(col(textCol), shingleSize, numHashes).as("sig"))
     val bandStructs = (0 until bands).map { j =>
@@ -111,8 +111,9 @@ object Dedup {
                    maxBucket: Int = 200): DataFrame = {
     val bands = maxHamming + 1
     val bits = 64 / bands
-    val sims = docs.select(col(idCol).cast("long").as("id"),
-      simhashText(col(textCol)).as("sim"))
+    val sims = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        simhashText(col(textCol)).as("sim"))
     val bandStructs = (0 until bands).map { j =>
       val lo = j * bits
       val width = if (j == bands - 1) 64 - lo else bits

@@ -109,6 +109,32 @@ class DedupSpec extends AnyFunSuite {
     assert(found == expected, s"got $found want $expected")
   }
 
+  test("null and empty texts neither crash nor pollute LSH buckets") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String]),
+      (5L, ""),
+      (6L, "")).toDF("doc_id", "text")
+    // null-text rows must not form candidate pairs; the two empty
+    // strings ARE identical documents, so (5,6) is a true positive
+    val mh = Dedup.minhashLshPairs(df, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((1L, 2L), (5L, 6L)), s"got $mh")
+    val sh = Dedup.simhashPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // empty strings legitimately share simhash 0 (identical content);
+    // null rows must not appear at all
+    assert(sh.flatMap(p => Seq(p._1, p._2)).intersect(Set(3L, 4L)).isEmpty)
+    assert(sh.contains((1L, 2L)))
+    // exact dedup groups nulls and empties separately, keeping min ids
+    val kept = Dedup.dropExactDuplicates(df).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
   test("L2 plan shape: one exchange on band buckets, no shingle explode before it") {
     val plan = Dedup.minhashLshPairs(docs).queryExecution.optimizedPlan.toString
     // signature computed as the custom per-row expression, not an explode of shingles
