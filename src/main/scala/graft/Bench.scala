@@ -29,17 +29,24 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
     }
     val results = names.map { n =>
-      val times = (1 to reps).map { _ =>
+      // a failed rep must not masquerade as a fast one: failures are
+      // reported as -1 for the query and excluded from the total
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try materialize(SparkEntry.queries(n)(spark, sfDir))
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          materialize(SparkEntry.queries(n)(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $n failed: ${e.getMessage}")
+            None
+        }
       }.sorted
-      n -> times(times.length / 2)
+      n -> (if (times.length < reps) -1.0 else times(times.length / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

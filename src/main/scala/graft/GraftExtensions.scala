@@ -73,7 +73,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (args: Seq[Expression]) =>
-        TopKByScore(args(0), args(1), intArg(args(2), "graft_topk", 2))))
+        TopKByScore(args(0), args(1), intArg(args(2), "graft_topk", 2))),
+    (FunctionIdentifier("graft_collect_capped"),
+      new ExpressionInfo(classOf[CollectCapped].getName, "graft_collect_capped"),
+      (args: Seq[Expression]) =>
+        CollectCapped(args(0), intArg(args(1), "graft_collect_capped", 1))))
 
   /** Idempotent registration on an already-built session (tests,
     * notebooks attached to a foreign session). */

@@ -25,6 +25,47 @@ object SparkEntry {
   private val iiDocIds: Seq[Long] = (0 until 100).map(i => i * 5L)
   private def iiDocIdsSql: String = iiDocIds.mkString(", ")
 
+  /** SRP sign-bit SQL for the embedding oracles: the same splitmix64
+    * hyperplane chain as SrpSignBits / Similarity.hyperplanes, embedded
+    * as ±1 literals (numPlanes × the testdata embeddings' dim 64) so
+    * DuckDB reproduces the banding bit-for-bit — the whole LSH pipeline
+    * becomes hash-comparable, not just its verification stage. */
+  private def srpBitsSql(numPlanes: Int, dim: Int): String =
+    Similarity.hyperplanes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN list_dot_product(e, [${p.mkString(", ")}]) > 0 THEN 1 ELSE 0 END AS b$i"
+    }.mkString(",\n  ")
+
+  /** Banded SRP buckets: band j = bits j*w .. j*w+w-1 of the bitmask,
+    * bit b weighted 2^b — identical packing to Similarity.srpBanded's
+    * shiftrightunsigned/mask extraction. */
+  private def srpBandedSql(numPlanes: Int, bands: Int): String = {
+    val w = numPlanes / bands
+    (0 until bands).map { j =>
+      val sum = (0 until w).map(b => s"${1 << b}*b${j * w + b}").mkString(" + ")
+      s"SELECT id, $j AS band, $sum AS bhash FROM bits"
+    }.mkString("\n UNION ALL ")
+  }
+
+  /** Per-language stopword score columns for the langid oracle —
+    * generated from the same Stopwords profiles the kernel hashes. */
+  private def langidScoresSql: String =
+    TextFunctions.Stopwords.all.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> list_contains([$list], lower(x)))) AS s_$l"
+    }.mkString(",\n  ")
+
+  /** Winner CASE for the langid oracle: kernel tie rule = highest
+    * score, ties to the lexicographically GREATEST code, zero → und. */
+  private def langidWinnerSql: String = {
+    val langs = TextFunctions.Stopwords.all.map(_._1)
+    val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val desc = langs.sorted.reverse
+    val whens = desc.init.map(l => s"WHEN s_$l = $g THEN '$l'").mkString("\n            ")
+    s"""CASE WHEN $g = 0 THEN 'und'
+       |            $whens
+       |            ELSE '${desc.last}' END""".stripMargin
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 reference surface: inverted-index log engine
@@ -54,11 +95,15 @@ object SparkEntry {
     "ingest_nested_json" -> (NestedIngest.ingestNestedJson _),
     // the reference's actual query shape: inverted index over a
     // dotted nested field, resolved through JSON ingest + flattening
-    // (R1 ∘ R5 ∘ R6; reference src/main.rs:398-499 + 260-262)
+    // (R1 ∘ R5 ∘ R6; reference src/main.rs:398-499 + 260-262).
+    // dropNullValues = false: this ingest derives source.region from a
+    // total CASE (never null), and keeping the default isNotNull filter
+    // makes Catalyst push it below the parse — from_json evaluated
+    // twice per row, the round-2 bench's slowest query at 4.1s.
     "ii_nested_field_values" -> ((s, dir) =>
       InvertedIndex.fieldValues(
           NestedIngest.ingestJson(NestedIngest.eventsAsJson(s, dir), "json"),
-          "source.region")
+          "source.region", dropNullValues = false)
         .select(col("value"), col("n_docs"),
                 array_join(col("doc_ids"), ",").as("doc_ids"))
         .orderBy(col("value"))),
@@ -94,14 +139,14 @@ object SparkEntry {
     "ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e.where(col("vec_id") < 8), e, 10)
-        .select(col("q_id"), col("rank"), col("c_id"),
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
                 round(col("score"), 4).as("score"))
         .orderBy(col("q_id"), col("rank"))
     }),
     "ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(e.where(col("vec_id") < 8), e, 10)
-        .select(col("q_id"), col("rank"), col("c_id"),
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
                 round(col("score"), 4).as("score"))
         .orderBy(col("q_id"), col("rank"))
     }),
@@ -110,7 +155,7 @@ object SparkEntry {
       // one Lloyd pass here: the entry rebuilds the index per call,
       // whereas a real deployment amortizes the build over many queries
       Similarity.ivfTopK(e.where(col("vec_id") < 8), e, 10, iters = 1)
-        .select(col("q_id"), col("rank"), col("c_id"),
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
                 round(col("score"), 4).as("score"))
         .orderBy(col("q_id"), col("rank"))
     }),
@@ -214,6 +259,95 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    // full n-gram Jaccard twin: 3-gram word shingles (docs shorter
+    // than 3 tokens collapse to one whole-doc shingle), distinct sets,
+    // |∩| / |∪| — mirrors TextFunctions.wordShingles + verifyJaccard
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(t) >= 3
+        |   THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+        |   ELSE [array_to_string(t, ' ')] END AS s
+        | FROM toks),
+        |pairs AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents WHERE doc_id < 100)
+        |SELECT p.id1, p.id2,
+        | round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM pairs p JOIN sh a ON a.doc_id = p.id1 JOIN sh b ON b.doc_id = p.id2
+        |ORDER BY id1, id2""".stripMargin,
+    // full-pipeline twin of Dedup.embeddingPairs: SRP sign bits from
+    // the embedded hyperplane literals (same splitmix64 chain), 4-bit
+    // band buckets, the 2..maxBucket size gate, exact-cosine verify
+    "dedup_embedding" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |bits AS (SELECT id, e, ${srpBitsSql(16, 64)} FROM v),
+        |banded AS (${srpBandedSql(16, 4)}),
+        |ok AS (SELECT band, bhash FROM banded GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 200),
+        |cand AS (
+        | SELECT DISTINCT a.id AS id1, b.id AS id2
+        | FROM banded a JOIN ok USING (band, bhash) JOIN banded b
+        |  ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id)
+        |SELECT c.id1, c.id2, round(list_cosine_similarity(v1.e, v2.e), 4) AS cos
+        |FROM cand c JOIN v v1 ON v1.id = c.id1 JOIN v v2 ON v2.id = c.id2
+        |WHERE list_cosine_similarity(v1.e, v2.e) >= 0.35
+        |ORDER BY id1, id2""".stripMargin,
+    // exact twin: all-pairs cosine + top-10 per query, ties broken
+    // (score DESC, c_id ASC) like the TopKBuffer total order
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (
+        | SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS s
+        | FROM q CROSS JOIN c WHERE q_id <> c_id),
+        |ranked AS (
+        | SELECT q_id, c_id, s,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
+        | FROM scored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(s, 4) AS score
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // full-pipeline twin of Similarity.lshTopK: SRP banding + exact
+    // bucket + flip-one-bit multiprobe, distinct candidates, exact
+    // cosine, top-10 per query
+    "ann_lsh" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |bits AS (SELECT id, e, ${srpBitsSql(16, 64)} FROM v),
+        |banded AS (${srpBandedSql(16, 4)}),
+        |qb AS (SELECT id AS q_id, band, bhash FROM banded WHERE id < 8),
+        |qprobe AS (
+        | SELECT q_id, band, bhash FROM qb
+        | UNION ALL SELECT q_id, band, xor(bhash, 1) FROM qb
+        | UNION ALL SELECT q_id, band, xor(bhash, 2) FROM qb
+        | UNION ALL SELECT q_id, band, xor(bhash, 4) FROM qb
+        | UNION ALL SELECT q_id, band, xor(bhash, 8) FROM qb),
+        |cand AS (
+        | SELECT DISTINCT q_id, b.id AS c_id
+        | FROM qprobe p JOIN banded b ON p.band = b.band AND p.bhash = b.bhash
+        | WHERE p.q_id <> b.id),
+        |scored AS (
+        | SELECT q_id, c_id, list_cosine_similarity(v1.e, v2.e) AS s
+        | FROM cand JOIN v v1 ON v1.id = q_id JOIN v v2 ON v2.id = c_id),
+        |ranked AS (
+        | SELECT q_id, c_id, s,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
+        | FROM scored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(s, 4) AS score
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // stopword-profile scoring twin of the LangIdKernel: per-language
+    // hit counts over whitespace tokens, highest score wins, ties to
+    // the lexicographically greatest code, zero hits → 'und'
+    "text_langid" ->
+      s"""WITH t AS (
+        | SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS toks
+        | FROM documents),
+        |s AS (SELECT
+        |  $langidScoresSql
+        | FROM t)
+        |SELECT $langidWinnerSql AS detected, count(*) AS n
+        |FROM s GROUP BY 1 ORDER BY detected""".stripMargin,
     "text_quality" ->
       """WITH t AS (
         | SELECT lang, text,
@@ -231,14 +365,17 @@ object SparkEntry {
         | CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_ws,
         | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // strlen = BYTE length (the Spark side derives features from the
+    // UTF-8 payload's byte count); DuckDB len() counts characters and
+    // only coincides on ASCII testdata
     "mm_decode_stats" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
         | count(*) AS n,
-        | round(avg(16 + (len(text) % 317)), 4) AS avg_w,
-        | round(avg(16 + ((len(text) * 7) % 211)), 4) AS avg_h,
-        | CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 + (len(text) % 5) ELSE 1 END) AS BIGINT) AS sum_frames,
-        | CAST(sum(len(text)) AS BIGINT) AS sum_bytes
+        | round(avg(16 + (strlen(text) % 317)), 4) AS avg_w,
+        | round(avg(16 + ((strlen(text) * 7) % 211)), 4) AS avg_h,
+        | CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 + (strlen(text) % 5) ELSE 1 END) AS BIGINT) AS sum_frames,
+        | CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, l.event_type, round(r.value, 2) AS last_purchase

@@ -87,16 +87,21 @@ object SignatureKernels {
     fingerprintFromHashes(TextTokenizer.tokenHashes(s), k, w)
 
   def fingerprintArray(arr: ArrayData, k: Int, w: Int): ArrayData = {
+    // null elements are skipped, matching minhashArray/simhashArray —
+    // one null policy across the signature family (the text variants
+    // can never produce the null case)
     val n = arr.numElements()
     val hs = new Array[Long](n)
     var i = 0
+    var m = 0
     while (i < n) {
-      hs(i) =
-        if (arr.isNullAt(i)) GraftHash.FnvOffset
-        else GraftHash.fnv64(arr.getUTF8String(i).getBytes)
+      if (!arr.isNullAt(i)) {
+        hs(m) = GraftHash.fnv64(arr.getUTF8String(i).getBytes)
+        m += 1
+      }
       i += 1
     }
-    fingerprintFromHashes(hs, k, w)
+    fingerprintFromHashes(if (m == n) hs else java.util.Arrays.copyOf(hs, m), k, w)
   }
 
   private def fingerprintFromHashes(tok: Array[Long], k: Int, w: Int): ArrayData = {

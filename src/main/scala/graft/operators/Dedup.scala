@@ -46,20 +46,46 @@ object Dedup {
       .drop("__keeper")
   }
 
+  /** Bucketed id lists for a banded table (id, band, bhash) with a
+    * HARD state cap: `graft_collect_capped` bounds every aggregation
+    * buffer at `maxBucket` ids during collection (map-side partials
+    * and merges included), so a degenerate hot bucket — boilerplate or
+    * template text hashing thousands of docs into one (band, bhash) —
+    * cannot OOM the aggregation; it comes back with `ids = NULL` and
+    * its true size in `n`. A plain `collect_list` + size filter would
+    * materialize the whole bucket BEFORE the filter discards it. */
+  def cappedBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded.groupBy(col("band"), col("bhash"))
+      .agg(call_function("graft_collect_capped", col("id"), lit(maxBucket)).as("cc"))
+      .select(col("band"), col("bhash"),
+        col("cc.ids").as("ids"), col("cc.n").as("bucket_size"))
+
   /** Candidate (id1, id2) pairs from a banded table (id, band, bhash):
-    * bucket by (band, bhash), cap giant buckets, emit in-bucket pairs,
-    * dedup across bands. Ids come out sorted (id1 < id2). */
+    * bucket by (band, bhash) with bounded state (see cappedBuckets),
+    * emit in-bucket pairs, dedup across bands. Ids come out sorted
+    * (id1 < id2). Buckets larger than `maxBucket` are dropped — a
+    * recall/robustness trade every banded-LSH pipeline makes; use
+    * droppedBuckets to make the loss visible, and run exact dedup
+    * (L1) first so identical documents never reach the bucketing. */
   def bucketPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
     val ids = col("ids")
-    banded.groupBy(col("band"), col("bhash"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(ids) >= 2 && size(ids) <= maxBucket)
+    cappedBuckets(banded, maxBucket)
+      .where(ids.isNotNull && size(ids) >= 2)
       .select(explode(flatten(transform(ids, (x, i) =>
         transform(slice(ids, i + lit(2), size(ids)),
           y => struct(x.as("id1"), y.as("id2")))))).as("p"))
       .select(col("p.id1"), col("p.id2"))
       .distinct()
   }
+
+  /** The buckets bucketPairs dropped for exceeding `maxBucket`, with
+    * their true sizes — emit/count this next to any banded-LSH run so
+    * the recall loss from hot buckets is a reported number, not a
+    * silent omission. */
+  def droppedBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    cappedBuckets(banded, maxBucket)
+      .where(col("ids").isNull)
+      .select(col("band"), col("bhash"), col("bucket_size"))
 
   /** L2: MinHash + LSH near-duplicate pairs, verified with exact
     * n-gram Jaccard (L4). `numHashes` must divide into `bands`;

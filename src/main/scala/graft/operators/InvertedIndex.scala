@@ -53,11 +53,20 @@ object InvertedIndex {
   val IsinThreshold = 10000
 
   /** R1: full inverted index — one row per distinct field value with
-    * its sorted doc_id posting list. */
-  def fieldValues(df: DataFrame, fieldName: String, docIdCol: String = "doc_id"): DataFrame = {
+    * its sorted doc_id posting list.
+    *
+    * `dropNullValues = false` skips the null-value filter. Use it when
+    * the value column is derived from an expensive expression
+    * (`from_json`, regex) that the pipeline already guarantees
+    * non-null: Catalyst pushes an `isNotNull(value)` predicate below
+    * the deriving projection, re-evaluating the expensive expression a
+    * second time inside the scan filter — a measured 2× on JSON-backed
+    * indexes (PLANS.md `ii_nested_field_values`, round 2). */
+  def fieldValues(df: DataFrame, fieldName: String, docIdCol: String = "doc_id",
+                  dropNullValues: Boolean = true): DataFrame = {
     val c = fieldNameToColumn(fieldName)
-    df.select(col(c).as("value"), col(docIdCol).cast("long").as("doc_id"))
-      .where(col("value").isNotNull)
+    val projected = df.select(col(c).as("value"), col(docIdCol).cast("long").as("doc_id"))
+    (if (dropNullValues) projected.where(col("value").isNotNull) else projected)
       .groupBy(col("value"))
       .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
            count(lit(1)).as("n_docs"))
@@ -98,9 +107,14 @@ object InvertedIndex {
   def fieldValuesChunked(df: DataFrame, fieldName: String, chunkSize: Long = 1 << 20,
                          docIdCol: String = "doc_id"): DataFrame = {
     val c = fieldNameToColumn(fieldName)
+    // floorDiv via integral ops: `/` is a double divide, so ids above
+    // 2^53 silently land in the wrong chunk; `pmod` keeps negative ids
+    // floor-consistent (chunk -1 stays distinct from chunk 0), matching
+    // DuckDB's `//` semantics.
+    val chunk = expr(s"(doc_id - pmod(doc_id, ${chunkSize}L)) DIV ${chunkSize}L")
     df.select(col(c).as("value"), col(docIdCol).cast("long").as("doc_id"))
       .where(col("value").isNotNull)
-      .groupBy(col("value"), (col("doc_id") / chunkSize).cast("long").as("chunk"))
+      .groupBy(col("value"), chunk.as("chunk"))
       .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
            count(lit(1)).as("n_docs"))
   }

@@ -73,18 +73,27 @@ object Similarity {
     *
     * Index build: deterministic k-means-lite — seeds are the
     * lowest-id candidate vectors, refined with `iters` Lloyd passes
-    * computed as DataFrame aggregations (centroids broadcast each
-    * pass; the per-dimension mean runs as a (cell, dim) aggregation,
-    * linear in rows × dim). Centroid components are rounded so
-    * float-summation order cannot wobble assignments between runs.
-    * Probe: each query scans only its `nProbe` highest-cosine cells —
-    * at scale the cell column is a partition key, so a probe touches
-    * nProbe/numCells of the data instead of all of it.
+    * computed as DataFrame aggregations. Centroid components are
+    * rounded so float-summation order cannot wobble assignments
+    * between runs. The two `.collect()`s per pass move numCells rows —
+    * index-BUILD cost, amortized over every query against the index.
+    *
+    * Cell assignment is a broadcast centroid table joined to the
+    * vectors with the fused codegen cosine, argmax'd per vector —
+    * plan size is independent of numCells and the scoring stays in
+    * whole-stage codegen (a numCells-wide literal struct array would
+    * put numCells×dim literals in the plan and evaluate an interpreted
+    * HOF tree per row: fine at 16 cells, a blowup at a realistic 4k).
+    * The assignment costs one shuffle of (id, vec) for the argmax;
+    * at scale the output cell column is the partition key, so a probe
+    * touches nProbe/numCells of the data instead of all of it.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               vecCol: String = "embedding", idCol: String = "vec_id",
               numCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     require(nProbe <= numCells, "nProbe must be <= numCells")
+    val spark = candidates.sparkSession
+    import spark.implicits._
     val c = candidates.select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec"))
 
     def toDoubles(a: Any): Array[Double] = a match {
@@ -97,18 +106,29 @@ object Similarity {
     var centroids: Array[Array[Double]] = c.orderBy(col("c_id")).limit(numCells)
       .collect().map(r => toDoubles(r.get(1)))
 
-    def cellOf(vec: Column): Column = {
-      val scored = array(centroids.zipWithIndex.map { case (ctr, i) =>
-        struct(cosine(vec, typedlit(ctr.toSeq)).as("s"), lit(i).as("cell"))
-      }.toSeq: _*)
-      array_max(scored).getField("cell")
-    }
+    /** (cell, ctr) table for broadcast — numCells rows. */
+    def centroidDF(): DataFrame =
+      centroids.zipWithIndex.map { case (ctr, i) => (i, ctr.toSeq) }.toSeq
+        .toDF("cell", "ctr")
+
+    /** Nearest-centroid assignment: broadcast the centroid table,
+      * score every (vector, centroid) with the fused cosine, keep the
+      * argmax — ties break to the highest cell id (max over
+      * (score, cell) structs), matching the seed ordering. */
+    def assignCells(vecs: DataFrame, vecCol0: String, idCol0: String): DataFrame =
+      vecs.crossJoin(broadcast(centroidDF()))
+        .select(col(idCol0), col(vecCol0),
+          struct(cosine(col(vecCol0), col("ctr")).as("s"), col("cell")).as("sc"))
+        .groupBy(col(idCol0))
+        .agg(max(col("sc")).as("m"), first(col(vecCol0)).as(vecCol0))
+        .select(col(idCol0), col(vecCol0), col("m.cell").as("cell"))
 
     var it = 0
     while (it < iters) {
       // Lloyd pass: assign, then per-(cell, dim) mean, rounded for
       // run-to-run stability
-      val means = c.select(cellOf(col("c_vec")).as("cell"), posexplode(col("c_vec")))
+      val means = assignCells(c, "c_vec", "c_id")
+        .select(col("cell"), posexplode(col("c_vec")))
         .groupBy(col("cell"), col("pos"))
         .agg(round(avg(col("col")), 6).as("m"))
         .groupBy(col("cell"))
@@ -119,13 +139,17 @@ object Similarity {
       it += 1
     }
 
-    val assigned = c.withColumn("cell", cellOf(col("c_vec")))
+    val assigned = assignCells(c, "c_vec", "c_id")
     val q = queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
-    val qProbes = q.select(col("q_id"), col("q_vec"), explode(slice(reverse(array_sort(array(
-        centroids.zipWithIndex.map { case (ctr, i) =>
-          struct(cosine(col("q_vec"), typedlit(ctr.toSeq)).as("s"), lit(i).as("cell"))
-        }.toSeq: _*))), 1, nProbe)).as("p"))
-      .select(col("q_id"), col("q_vec"), col("p.cell").as("cell"))
+    // nProbe nearest cells per query: same broadcast-scored shape,
+    // bounded-heap top-nProbe instead of argmax
+    val qProbes = q.crossJoin(broadcast(centroidDF()))
+      .select(col("q_id"), col("q_vec"), col("cell").cast("long").as("cell"),
+        cosine(col("q_vec"), col("ctr")).as("s"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cell"), col("s"), nProbe).as("top"), first(col("q_vec")).as("q_vec"))
+      .select(col("q_id"), col("q_vec"), explode(col("top")).as("p"))
+      .select(col("q_id"), col("q_vec"), col("p.id").cast("int").as("cell"))
 
     broadcast(qProbes).join(assigned, "cell")
       .where(col("q_id") =!= col("c_id"))

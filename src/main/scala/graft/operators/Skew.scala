@@ -9,13 +9,23 @@ import org.apache.spark.sql.functions._
   * explicit tools for the cases AQE can't fix: a single pathological
   * key in a shuffle join (salt the probe side, replicate the build
   * side) and a skewed aggregation key (two-phase salted aggregation).
-  * Both are deterministic — the salt is a hash of the whole row, not a
-  * random draw, so retries and speculative tasks agree.
+  * Both are deterministic — the salt is a hash of the whole row mixed
+  * with the input partition id, not a random draw, so retries and
+  * speculative tasks agree (a retried task re-reads the same input
+  * partition and reproduces the same salts).
   */
 object Skew {
 
+  /** Hash of (all columns, input partition id). The partition-id mix
+    * matters for exact duplicate rows — a common source of hot-key
+    * skew — which would otherwise all hash to one salt and still land
+    * on a single reducer; with the mix, duplicates spread across as
+    * many salts as input partitions they occupy. Duplicates within a
+    * single input partition still share a salt, bounding any residual
+    * hot spot at one input partition's worth of rows. */
   private def rowSalt(df: DataFrame, factor: Int): Column =
-    pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(factor.toLong))
+    pmod(xxhash64(struct(df.columns.map(col).toSeq: _*), spark_partition_id()),
+      lit(factor.toLong))
 
   /** Inner equi-join where `big`'s join key is skewed: each big-side
     * row gets one of `factor` salts; `small` is replicated `factor`
