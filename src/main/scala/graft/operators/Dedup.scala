@@ -92,24 +92,41 @@ object Dedup {
     * rows-per-band r = numHashes/bands sets the S-curve:
     * P(candidate) = 1 - (1 - j^r)^bands. Defaults (128, 16 bands,
     * r=8) put the knee near j ≈ 0.77. */
+  /** Banded LSH table (id, band, bhash) from a (id, sig) MinHash
+    * signature table: band j's bucket key is the hash of signature
+    * components j*r .. j*r+r-1. Shared by the batch and streaming
+    * near-dup paths. */
+  def bandSignatures(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandStructs = (0 until bands).map { j =>
+      struct(lit(j).as("band"), xxhash64(slice(col("sig"), j * r + 1, r)).as("bhash"))
+    }
+    sigs.select(col("id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bhash"))
+  }
+
   def minhashLshPairs(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", threshold: Double = 0.8,
                       numHashes: Int = 128, bands: Int = 16,
                       shingleSize: Int = 3, maxBucket: Int = 100): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val sigs = docs.where(col(textCol).isNotNull).select(
       col(idCol).cast("long").as("id"),
       minhashText(col(textCol), shingleSize, numHashes).as("sig"))
-    val bandStructs = (0 until bands).map { j =>
-      struct(lit(j).as("band"), xxhash64(slice(col("sig"), j * r + 1, r)).as("bhash"))
-    }
-    val banded = sigs.select(col("id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("id"), col("b.band"), col("b.bhash"))
+    val banded = bandSignatures(sigs, numHashes, bands)
     val candidates = bucketPairs(banded, maxBucket)
     verifyJaccard(candidates, docs, textCol, idCol, shingleSize)
       .where(col("jaccard") >= threshold)
   }
+
+  /** MinHash-estimated Jaccard of two signature columns: the fraction
+    * of agreeing components. Unbiased, rsd ≈ 1/√numHashes (≈0.09 at
+    * 128) — the standard estimator when the raw text is no longer
+    * around to verify exactly (e.g. a streaming state store that
+    * keeps signatures, not documents). */
+  def estimatedJaccard(a: Column, b: Column, numHashes: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
 
   /** L4: exact n-gram Jaccard on candidate pairs — joins raw text to
     * the pairs FIRST, then shingles only the matched rows (shingling

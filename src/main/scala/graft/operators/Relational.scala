@@ -132,6 +132,22 @@ object Relational {
         (abs($"apx_orders" - $"n_orders") <= $"n_orders" * 0.10).as("apx_orders_ok"))
   }
 
+  /** C6 at scale: the approx-only variant of distinctCounts. Exact
+    * multi-column countDistinct plans an Expand that multiplies the
+    * input 4× and shuffles full distinct key sets — the documented
+    * scale-weak path kept only for the oracle gate. This is the API a
+    * 100 TB caller should use: one pass, no Expand, one constant-size
+    * HLL sketch per leg crossing the exchange (default rsd 5%). */
+  def approxDistinctCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .agg(
+        approx_count_distinct($"l_partkey").as("apx_parts"),
+        approx_count_distinct($"l_suppkey").as("apx_supps"),
+        approx_count_distinct($"l_orderkey").as("apx_orders"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** C7: global top-k — Spark plans sort+limit as TakeOrderedAndProject
     * (per-partition heap, k rows to the driver), never a full sort. */
   def topK(spark: SparkSession, sfDir: String): DataFrame = {

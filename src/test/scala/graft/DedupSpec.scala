@@ -135,6 +135,58 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 5L))
   }
 
+  test("hot buckets are dropped with bounded state and a visible dropped-bucket count") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // 10k identical documents — the degenerate template-text case: all
+    // 16 bands hash them into the same bucket, which under a plain
+    // collect_list would buffer 10k ids per band before any size cap
+    val hot = (0L until 10000L).map(i => (i, "lorem ipsum dolor sit amet " +
+      "consectetur adipiscing elit sed do eiusmod tempor"))
+    // plus one planted near-dup pair that must survive (one token of
+    // twenty differs: jaccard 17/19 ≈ 0.89, band-hit prob ≈ 0.9998)
+    val common = (1 to 19).map(i => s"tok$i").mkString(" ")
+    val a = common + " kappa"
+    val b = common + " lambda"
+    val df = (hot ++ Seq((20001L, a), (20002L, b))).toDF("doc_id", "text")
+
+    val pairs = Dedup.minhashLshPairs(df, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((20001L, 20002L)),
+      s"hot-bucket ids must not emit pairs; planted pair must survive: $pairs")
+
+    // the drop is reported, not silent: rebuild the banded table the
+    // same way minhashLshPairs does and count overflowed buckets
+    val sigs = df.where(col("text").isNotNull).select(
+      col("doc_id").cast("long").as("id"),
+      TextFunctions.minhashText(col("text"), 3, 128).as("sig"))
+    val bandStructs = (0 until 16).map { j =>
+      struct(lit(j).as("band"), xxhash64(slice(col("sig"), j * 8 + 1, 8)).as("bhash"))
+    }
+    val banded = sigs.select(col("id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bhash"))
+    val dropped = Dedup.droppedBuckets(banded, maxBucket = 100).collect()
+    assert(dropped.length == 16, s"all 16 hot bands must report a dropped bucket: ${dropped.length}")
+    dropped.foreach(r => assert(r.getLong(2) == 10000L,
+      s"dropped bucket must carry its TRUE size: ${r.getLong(2)}"))
+  }
+
+  test("graft_collect_capped: complete sorted list under cap, NULL + true count over it") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (if (i <= 40) "big" else "small", i))
+      .toDF("g", "id")
+    val out = Dedup.cappedBuckets(
+      df.select(col("g").as("band"), lit(0L).as("bhash"), col("id")), 20)
+      .collect()
+      .map(r => r.getString(0) -> ((Option(r.getSeq[Long](2)), r.getLong(3))))
+      .toMap
+    val (bigIds, bigN) = out("big")
+    assert(bigIds.isEmpty && bigN == 40L, "over-cap group returns NULL ids + true count")
+    val (smallIds, smallN) = out("small")
+    assert(smallIds.contains((41L to 50L).toSeq) && smallN == 10L,
+      "under-cap group returns the complete sorted list")
+  }
+
   test("L2 plan shape: one exchange on band buckets, no shingle explode before it") {
     val plan = Dedup.minhashLshPairs(docs).queryExecution.optimizedPlan.toString
     // signature computed as the custom per-row expression, not an explode of shingles

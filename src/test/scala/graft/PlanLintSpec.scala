@@ -28,6 +28,21 @@ class PlanLintSpec extends AnyFunSuite {
     }
   }
 
+  test("approx distinct-count variant plans no Expand (the scale path)") {
+    // exact multi-column countDistinct Expands the input 4x before the
+    // shuffle; the approx variant must not — that's its entire point
+    val approx = operators.Relational.approxDistinctCounts(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!approx.contains("Expand"),
+      s"approxDistinctCounts must not plan an Expand:\n$approx")
+    assert(approx.contains("partial"), "sketches must merge map-side first")
+    val exact = SparkEntry.queries("q_distinct")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("Expand"),
+      "q_distinct (oracle entry) is the documented Expand path — if this " +
+        "stops holding, update the distinctCounts scale note")
+  }
+
   test("scans are column-pruned: no query reads every documents column needlessly") {
     val plan = SparkEntry.queries("text_tokens")(spark, sf)
       .queryExecution.executedPlan.toString

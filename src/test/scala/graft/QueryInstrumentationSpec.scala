@@ -23,4 +23,16 @@ class QueryInstrumentationSpec extends AnyFunSuite {
     val stats = QueryInstrumentation.materialize("scan", df)
     assert(stats.phase("execute") > 0.0)
   }
+
+  test("R9: memory impact is recorded (reference query_stats.rs memory columns)") {
+    // an aggregation acquires execution memory and shuffles, so every
+    // memory-side metric the listener collects must be observable
+    val df = graft.operators.Relational.q1Agg(spark, sf)
+    val (_, stats) = QueryInstrumentation.run("q1_agg_mem", df)
+    assert(stats.peakTaskMemory > 0L,
+      s"hash aggregation must report task execution memory: ${stats.peakTaskMemory}")
+    assert(stats.shuffleWriteBytes > 0L, "groupBy must shuffle")
+    assert(stats.shuffleReadBytes > 0L, "final aggregate must read the shuffle")
+    assert(stats.pretty.contains("peakTaskMem="))
+  }
 }

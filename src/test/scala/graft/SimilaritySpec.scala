@@ -99,6 +99,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(meanRecall >= 0.8, s"IVF mean recall@5 $meanRecall below 0.8")
   }
 
+  test("L7 IVF: plan size is independent of numCells (256-cell index)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 1000L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 5)
+    val out = Similarity.ivfTopK(queries, df, 5, numCells = 256, nProbe = 32, iters = 1)
+    val plan = out.queryExecution.optimizedPlan.toString
+    // the centroids must live in a broadcast table, not in the plan:
+    // a literal-embedded formulation would put 256 cosine calls (each
+    // with a 64-double array literal) into the expression tree
+    val nCosine = "graft_cosine".r.findAllIn(plan).length
+    assert(nCosine <= 6, s"cell assignment must not expand per-cell literals: $nCosine cosines")
+    assert(plan.length < 100000, s"plan must stay small with 256 cells: ${plan.length} chars")
+    val got = out.collect()
+    assert(got.length == 25, s"5 queries x top-5 expected, got ${got.length}")
+    // scores are exact cosines for whatever candidates IVF probed
+    val vecs = rows.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = cosine(a, b)
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(3) - cos(vecs(r.getLong(0)), vecs(r.getLong(2)))) < 1e-9)
+    }
+  }
+
   test("L7: LSH scores are exact cosines for the candidates it returns") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap

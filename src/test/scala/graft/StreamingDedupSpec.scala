@@ -34,6 +34,66 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("L2 streaming twin: near-dup pair dedups within the horizon, revives beyond it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val common = (1 to 19).map(i => s"word$i").mkString(" ")
+    val original = common + " alpha"
+    val nearDup = common + " beta"    // 1 of 20 tokens differs: j ≈ 0.89
+    val distinct = (1 to 20).map(i => s"other$i").mkString(" ")
+
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_lsh_state").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = graft.streaming.StreamingDedup.nearDupForeachBatch(
+      input.toDF().toDF("doc_id", "ts", "text"), stateDir,
+      horizonMinutes = 60, threshold = 0.8) { out =>
+      emitted ++= out.collect().map(r => (r.getLong(0), r.getString(2)))
+    }
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), original))
+      q.processAllAvailable()
+      assert(emitted.map(_._1).toSeq == Seq(1L), "original must be emitted")
+
+      // near-dup 30 min later (inside horizon) suppressed; distinct kept
+      input.addData(
+        (2L, ts("2024-01-01 10:30:00"), nearDup),
+        (3L, ts("2024-01-01 10:31:00"), distinct))
+      q.processAllAvailable()
+      assert(emitted.map(_._1).toSet == Set(1L, 3L),
+        s"near-dup inside horizon must be suppressed: ${emitted.map(_._1)}")
+
+      // same near-dup 2 hours later: the original aged out of the
+      // horizon, so it no longer suppresses
+      input.addData((4L, ts("2024-01-01 12:31:00"), nearDup))
+      q.processAllAvailable()
+      assert(emitted.map(_._1).toSet == Set(1L, 3L, 4L),
+        s"beyond the horizon the pair must revive: ${emitted.map(_._1)}")
+    } finally q.stop()
+  }
+
+  test("streaming signature dedup drops shingle-set-identical docs within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingDedup.signatureWithinWatermark(
+        input.toDF().toDF("doc_id", "ts", "text"), watermark = "2 hours")
+      .writeStream.format("memory").queryName("graft_stream_sigdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "one two three four five six"),
+        // same shingle set ⇒ same full signature — caught with one
+        // 8-byte state key per doc, no text in state
+        (2L, ts("2024-01-01 10:05:00"), "one two three four five six"),
+        (3L, ts("2024-01-01 10:06:00"), "totally different content here now"))
+      q.processAllAvailable()
+      val ids = spark.table("graft_stream_sigdedup")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("L1 streaming twin: exactForever dedups across unbounded time") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
