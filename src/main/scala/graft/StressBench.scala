@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: amplifies the documents table N× and times
+  * the two paths whose scale behavior round-2 review flagged as
+  * unproven beyond sf0.1 — chunked posting lists and MinHash-LSH
+  * dedup — at 1× and N×, printing the wall-time ratio.
+  *
+  * Amplification prefixes every token with the replica index, so a
+  * replica shares NO shingles with its siblings (replicas are fully
+  * distinct documents) while planted near-dup PAIRS stay near-dups
+  * within each replica (both members get identical prefixes, so their
+  * Jaccard is unchanged) — N× data with the same duplicate DENSITY,
+  * which is what real growth looks like. (A first cut rotated tokens
+  * instead; rotation preserves almost every interior shingle, so each
+  * doc gained 9 true near-dups and the PAIR OUTPUT grew 9000×, not
+  * 10× — pair verification cost is inherently linear in true pairs,
+  * so density must be held constant to measure data scaling.) Run:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_STRESS_FACTOR=10 \
+  *     sbt "runMain graft.StressBench"
+  */
+object StressBench {
+
+  /** factor replicas per doc: ids remapped to doc_id*factor+rep, every
+    * token prefixed with the replica index (replica 0 keeps the
+    * original text verbatim). */
+  def amplify(docs: DataFrame, factor: Int): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    docs
+      .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select(
+        (col("doc_id") * factor + col("rep")).as("doc_id"),
+        when(col("rep") === 0, col("text")).otherwise(
+          array_join(transform(toks,
+            t => concat(lit("r"), col("rep"), lit("_"), t)), " ")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+  }
+
+  private def timeNoop(df: DataFrame): Double = {
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def run(spark: SparkSession, path: String, label: String): Map[String, Double] = {
+    val docs = spark.read.parquet(path)
+    val ops: Seq[(String, () => DataFrame)] = Seq(
+      "ii_field_values_chunked" -> (() =>
+        operators.InvertedIndex.fieldValuesChunked(docs, "source", chunkSize = 1000)),
+      "dedup_minhash_lsh" -> (() =>
+        operators.Dedup.minhashLshPairs(docs)))
+    ops.map { case (name, f) =>
+      timeNoop(f()) // warm-up
+      val secs = timeNoop(f())
+      println(f"[stress] $label $name%-24s ${secs}%8.2fs")
+      name -> secs
+    }.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_STRESS_FACTOR", "10").toInt
+    val spark = GraftSession.get()
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stress"
+
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.count()
+    docs.write.mode("overwrite").parquet(s"$tmp/x1")
+    amplify(docs, factor).write.mode("overwrite").parquet(s"$tmp/x$factor")
+    println(s"[stress] rows: ${base} -> ${base * factor} (${factor}x)")
+
+    val t1 = run(spark, s"$tmp/x1", "1x ")
+    val tN = run(spark, s"$tmp/x$factor", s"${factor}x")
+    t1.keys.foreach { k =>
+      val ratio = tN(k) / t1(k)
+      println(f"[stress] ratio $k%-24s ${ratio}%5.2fx time for ${factor}x data " +
+        (if (ratio <= factor) "(sub-linear: OK)" else "(SUPER-LINEAR: investigate)"))
+    }
+    spark.stop()
+  }
+}
