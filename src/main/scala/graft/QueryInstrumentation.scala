@@ -2,7 +2,7 @@ package graft
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, Row}
 
 /** Per-query stats instrumentation (R9).
@@ -31,7 +31,12 @@ object QueryInstrumentation {
       peakTaskMemory: Long = 0L,
       shuffleReadBytes: Long = 0L,
       shuffleWriteBytes: Long = 0L,
-      spilledBytes: Long = 0L) {
+      spilledBytes: Long = 0L,
+      /** tasks from OTHER jobs that ended while this query ran —
+        * nonzero means something else (a streaming query, another
+        * thread) was executing concurrently; its metrics are NOT in
+        * the numbers above, but its resource pressure may be. */
+      foreignTasks: Long = 0L) {
     def totalMs: Double = phaseMs.map(_._2).sum
     def phase(p: String): Double =
       phaseMs.collectFirst { case (`p`, ms) => ms }.getOrElse(0.0)
@@ -41,18 +46,32 @@ object QueryInstrumentation {
         f" peakTaskMem=${peakTaskMemory / 1024.0 / 1024.0}%.2fMB" +
         f" shuffleR=${shuffleReadBytes / 1024.0}%.1fKB" +
         f" shuffleW=${shuffleWriteBytes / 1024.0}%.1fKB" +
-        (if (spilledBytes > 0) f" spilled=${spilledBytes / 1024.0}%.1fKB" else "")
+        (if (spilledBytes > 0) f" spilled=${spilledBytes / 1024.0}%.1fKB" else "") +
+        (if (foreignTasks > 0) s" foreignTasks=$foreignTasks" else "")
   }
 
-  /** Task-metric collector for one instrumented query: max task peak
-    * execution memory + summed shuffle/spill bytes across tasks. */
-  private final class TaskMetricsListener extends SparkListener {
+  /** Task-metric collector for one instrumented query, SCOPED to the
+    * query's own job group: `onJobStart` records the stage ids of jobs
+    * carrying our group id, and `onTaskEnd` folds in only tasks from
+    * those stages — tasks from concurrent jobs (another thread, a
+    * streaming micro-batch, a lingering speculative task) are counted
+    * in `foreign` instead of polluting the numbers. */
+  private final class TaskMetricsListener(groupId: String) extends SparkListener {
     val peak = new AtomicLong(0L)
     val shuffleRead = new AtomicLong(0L)
     val shuffleWrite = new AtomicLong(0L)
     val spilled = new AtomicLong(0L)
+    val foreign = new AtomicLong(0L)
+    private val myStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+    override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+      val props = jobStart.properties
+      if (props != null && groupId == props.getProperty("spark.jobGroup.id"))
+        jobStart.stageIds.foreach(myStages.add(_))
+    }
 
     override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+      if (!myStages.contains(taskEnd.stageId)) { foreign.incrementAndGet(); return }
       val m = taskEnd.taskMetrics
       if (m != null) {
         peak.getAndAccumulate(m.peakExecutionMemory, math.max)
@@ -69,19 +88,26 @@ object QueryInstrumentation {
     (r, (System.nanoTime() - t0) / 1e6)
   }
 
-  /** Runs `action` with a task-metrics listener attached, waits for
-    * the (async) listener bus to drain, and returns the measurements.
-    * The listener sees every task that ends while attached — for the
-    * single-query-at-a-time contract this is the query's own tasks. */
-  private def withTaskMetrics[T](df: DataFrame)(action: => T): (T, Double, TaskMetricsListener) = {
+  /** Runs `action` under a fresh job group with a group-scoped
+    * task-metrics listener attached, waits for the (async) listener
+    * bus to drain, and returns the measurements. Attribution is by
+    * job group, so concurrent jobs on the shared SparkContext cannot
+    * pollute the numbers (they surface as `foreignTasks`). */
+  private def withTaskMetrics[T](df: DataFrame, name: String)(action: => T): (T, Double, TaskMetricsListener) = {
     val sc = df.sparkSession.sparkContext
-    val l = new TaskMetricsListener
+    val groupId = s"graft-qi-$name-${java.util.UUID.randomUUID()}"
+    val l = new TaskMetricsListener(groupId)
     sc.addSparkListener(l)
+    sc.setJobGroup(groupId, s"graft instrumented query: $name",
+      interruptOnCancel = false)
     try {
       val (r, ms) = timed(action)
       org.apache.spark.graft.SparkInternals.waitListenerBusEmpty(sc)
       (r, ms, l)
-    } finally sc.removeSparkListener(l)
+    } finally {
+      sc.clearJobGroup()
+      sc.removeSparkListener(l)
+    }
   }
 
   /** Run `df` to a driver-side result with per-phase timings and
@@ -91,11 +117,12 @@ object QueryInstrumentation {
     val (_, tAnalyze) = timed(qe.analyzed)
     val (_, tOptimize) = timed(qe.optimizedPlan)
     val (_, tPlan) = timed(qe.executedPlan)
-    val (rows, tExec, l) = withTaskMetrics(df)(df.collect())
+    val (rows, tExec, l) = withTaskMetrics(df, name)(df.collect())
     (rows, QueryStats(name, Seq(
       "analyze" -> tAnalyze, "optimize" -> tOptimize,
       "plan" -> tPlan, "execute" -> tExec), rows.length.toLong,
-      l.peak.get(), l.shuffleRead.get(), l.shuffleWrite.get(), l.spilled.get()))
+      l.peak.get(), l.shuffleRead.get(), l.shuffleWrite.get(), l.spilled.get(),
+      l.foreign.get()))
   }
 
   /** Run `df` through the noop sink (nothing returns to the driver) —
@@ -105,11 +132,12 @@ object QueryInstrumentation {
     val (_, tAnalyze) = timed(qe.analyzed)
     val (_, tOptimize) = timed(qe.optimizedPlan)
     val (_, tPlan) = timed(qe.executedPlan)
-    val (_, tExec, l) = withTaskMetrics(df)(
+    val (_, tExec, l) = withTaskMetrics(df, name)(
       df.write.format("noop").mode("overwrite").save())
     QueryStats(name, Seq(
       "analyze" -> tAnalyze, "optimize" -> tOptimize,
       "plan" -> tPlan, "execute" -> tExec), -1L,
-      l.peak.get(), l.shuffleRead.get(), l.shuffleWrite.get(), l.spilled.get())
+      l.peak.get(), l.shuffleRead.get(), l.shuffleWrite.get(), l.spilled.get(),
+      l.foreign.get())
   }
 }

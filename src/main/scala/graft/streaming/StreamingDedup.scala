@@ -72,10 +72,19 @@ object StreamingDedup {
     * unbounded stream. Within a batch the lowest id of a verified pair
     * survives, matching the batch pipeline's keep-first rule.
     *
-    * The store is a versioned parquet directory (state/v<batchId>,
-    * previous versions deleted after a successful write) so a restart
-    * resumes from the last committed batch's state. At cluster scale
-    * the same loop runs unchanged with the store on a real table
+    * The store is a versioned parquet directory (state/v<batchId>) so
+    * a restart resumes from the last committed batch's state. Crash
+    * safety: batch N reads the max version STRICTLY BELOW N — so a
+    * replay of batch N after a crash between the state write and the
+    * streaming checkpoint commit re-reads the same prior state it read
+    * the first time, never its own half-written output — and writes go
+    * to a temp path renamed into place, so a partially written version
+    * is never picked up. The previous version is kept until the NEXT
+    * batch commits (replay of N still needs it); older versions are
+    * pruned. The sink is AT-LEAST-ONCE: a replayed batch re-invokes
+    * `sink` with the same survivors — idempotent sinks (overwrite by
+    * batch id, upsert by doc id) see exactly-once results. At cluster
+    * scale the same loop runs unchanged with the store on a real table
     * format; the per-batch cost is one band-key join of batch × store.
     */
   def nearDupForeachBatch(stream: DataFrame, stateDir: String,
@@ -93,7 +102,7 @@ object StreamingDedup {
       .outputMode("update")
       .start()
 
-  private def processBatch(batch: DataFrame, batchId: Long, stateDir: String,
+  private[graft] def processBatch(batch: DataFrame, batchId: Long, stateDir: String,
                            textCol: String, idCol: String, tsCol: String,
                            horizonMinutes: Long, threshold: Double, numHashes: Int,
                            bands: Int, shingleSize: Int, maxBucket: Int,
@@ -113,7 +122,12 @@ object StreamingDedup {
       // version) — the watermark analog for the signature store
       val maxTs = sigs.agg(max(col("ts"))).head.getTimestamp(0)
       val cutoff = new java.sql.Timestamp(maxTs.getTime - horizonMinutes * 60000L)
-      val prior = latestState(spark, stateDir).map(_.where(col("ts") >= cutoff))
+      // strictly-below-batchId: a replayed batch must re-read the same
+      // prior state, not the version its crashed first attempt wrote
+      val priorVersion = stateVersions(spark, stateDir).filter(_ < batchId)
+        .sorted.lastOption
+      val prior = priorVersion
+        .map(v => spark.read.parquet(s"$stateDir/v$v").where(col("ts") >= cutoff))
 
       // duplicates of previously emitted docs: band-key join against
       // the store, verified with the signature-estimated Jaccard
@@ -131,11 +145,15 @@ object StreamingDedup {
             .select("id").distinct()
         case None => spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
       }
-      // duplicates within the batch: keep the lowest id of each pair
-      val dupInBatch = Dedup.bucketPairs(bandedNew, maxBucket)
-        .join(sigs.select(col("id").as("id1"), col("sig").as("s1")), "id1")
-        .join(sigs.select(col("id").as("id2"), col("sig").as("s2")), "id2")
-        .where(Dedup.estimatedJaccard(col("s1"), col("s2"), numHashes) >= threshold)
+      // duplicates within the batch: keep the lowest id of each pair.
+      // The raw text IS present in the batch, so verify with exact
+      // n-gram Jaccard — same rule as the batch twin (minhashLshPairs);
+      // the signature ESTIMATE is reserved for matches against the
+      // store, where signatures are genuinely all that remains.
+      val dupInBatch = Dedup.verifyJaccard(
+          Dedup.bucketPairs(bandedNew, maxBucket), sigs,
+          textCol = "text", idCol = "id", shingleSize = shingleSize)
+        .where(col("jaccard") >= threshold)
         .select(col("id2").as("id")).distinct()
 
       val dupIds = dupVsState.union(dupInBatch).distinct()
@@ -149,15 +167,32 @@ object StreamingDedup {
             .unionByName(survivors.select("id", "ts", "sig"))
           case None => survivors.select("id", "ts", "sig")
         }
-        newState.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-        pruneStateVersions(spark, stateDir, batchId)
+        commitStateVersion(spark, newState, stateDir, batchId)
+        // keep the version this batch read (a replay of this batch
+        // still needs it); prune everything older
+        pruneStateVersions(spark, stateDir, keepFrom = priorVersion.getOrElse(batchId))
       } finally survivors.unpersist()
     } finally sigs.unpersist()
   }
 
-  private def latestState(spark: SparkSession, stateDir: String): Option[DataFrame] =
-    stateVersions(spark, stateDir).sorted.lastOption
-      .map(v => spark.read.parquet(s"$stateDir/v$v"))
+  /** Write-temp-then-rename commit: a crash mid-write leaves only a
+    * `.tmp-v<id>` directory that no reader ever picks up; the rename
+    * is the atomic commit point. A stale `v<batchId>` from a crashed
+    * earlier attempt of the SAME batch is safe to delete — this batch
+    * read its prior state from a strictly older version, never from
+    * its own output. */
+  private def commitStateVersion(spark: SparkSession, state: DataFrame,
+                                 stateDir: String, batchId: Long): Unit = {
+    val fs = FileSystem.get(new Path(stateDir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$stateDir/.tmp-v$batchId")
+    val dst = new Path(s"$stateDir/v$batchId")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    state.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      sys.error(s"failed to commit state version $dst")
+  }
 
   private def stateVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
     val fs = FileSystem.get(new Path(stateDir).toUri,
@@ -170,10 +205,10 @@ object StreamingDedup {
   }
 
   private def pruneStateVersions(spark: SparkSession, stateDir: String,
-                                 current: Long): Unit = {
+                                 keepFrom: Long): Unit = {
     val fs = FileSystem.get(new Path(stateDir).toUri,
       spark.sparkContext.hadoopConfiguration)
-    stateVersions(spark, stateDir).filter(_ < current).foreach { v =>
+    stateVersions(spark, stateDir).filter(_ < keepFrom).foreach { v =>
       fs.delete(new Path(s"$stateDir/v$v"), true)
     }
   }

@@ -24,6 +24,41 @@ class QueryInstrumentationSpec extends AnyFunSuite {
     assert(stats.phase("execute") > 0.0)
   }
 
+  test("R9: metrics are scoped to the query's job group, not the whole context") {
+    import java.util.concurrent.{CountDownLatch, Executors}
+    // baseline: q1_agg's shuffle-write bytes measured alone
+    val solo = QueryInstrumentation.run("q1_solo",
+      graft.operators.Relational.q1Agg(spark, sf))._2
+    // same query measured while another thread hammers the context
+    // with unrelated shuffling jobs: scoped attribution must report
+    // the same bytes (pre-scoping, the listener folded in every
+    // concurrent task on the shared SparkContext)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val started = new CountDownLatch(1)
+    val pool = Executors.newSingleThreadExecutor()
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        started.countDown()
+        while (!stop.get()) {
+          spark.range(0, 200000).selectExpr("id % 97 as k")
+            .groupBy("k").count().write.format("noop").mode("overwrite").save()
+        }
+      }
+    })
+    try {
+      started.await()
+      val concurrent = QueryInstrumentation.run("q1_concurrent",
+        graft.operators.Relational.q1Agg(spark, sf))._2
+      assert(concurrent.shuffleWriteBytes == solo.shuffleWriteBytes,
+        s"foreign tasks leaked into scoped metrics: " +
+          s"solo=${solo.shuffleWriteBytes} concurrent=${concurrent.shuffleWriteBytes} " +
+          s"(foreignTasks=${concurrent.foreignTasks})")
+    } finally {
+      stop.set(true)
+      pool.shutdown()
+    }
+  }
+
   test("R9: memory impact is recorded (reference query_stats.rs memory columns)") {
     // an aggregation acquires execution memory and shuffles, so every
     // memory-side metric the listener collects must be observable

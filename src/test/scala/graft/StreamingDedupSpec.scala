@@ -94,6 +94,51 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("near-dup replay of a batch after a simulated crash recovers (at-least-once)") {
+    import spark.implicits._
+    val common = (1 to 19).map(i => s"word$i").mkString(" ")
+    val original = common + " alpha"
+    val nearDup = common + " beta"
+    val inBatchDup = common + " gamma"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_lsh_replay").toString
+    val emitted = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(batchId: Long, rows: (Long, String, String)*): Unit = {
+      val df = rows.toSeq.toDF("doc_id", "s", "text")
+        .select($"doc_id", $"s".cast("timestamp").as("ts"), $"text")
+      graft.streaming.StreamingDedup.processBatch(df, batchId, stateDir,
+        "text", "doc_id", "ts", horizonMinutes = 60, threshold = 0.8,
+        numHashes = 128, bands = 16, shingleSize = 3, maxBucket = 100,
+        sink = out => emitted ++= out.collect().map(_.getLong(0)))
+    }
+    run(0L, (1L, "2024-01-01 10:00:00", original))
+    assert(emitted.toSeq == Seq(1L))
+    // batch 1: one dup-vs-state (suppressed), one in-batch near-dup
+    // pair (lowest id wins — exact-Jaccard verified), one distinct
+    run(1L,
+      (2L, "2024-01-01 10:30:00", nearDup),
+      (3L, "2024-01-01 10:31:00", (1 to 20).map(i => s"other$i").mkString(" ")),
+      (4L, "2024-01-01 10:32:00", inBatchDup))
+    assert(emitted.toSet == Set(1L, 3L),
+      s"dup-vs-state AND in-batch near-dups must be suppressed: $emitted")
+    // simulated crash AFTER the state write of batch 1 but BEFORE the
+    // checkpoint commit: the batch replays with the same id. Pre-fix
+    // this wedged ('Cannot overwrite a path that is also being read
+    // from' — the replay picked v1 as its own prior); post-fix the
+    // replay re-reads v0, re-suppresses, re-emits (at-least-once).
+    emitted.clear()
+    run(1L,
+      (2L, "2024-01-01 10:30:00", nearDup),
+      (3L, "2024-01-01 10:31:00", (1 to 20).map(i => s"other$i").mkString(" ")),
+      (4L, "2024-01-01 10:32:00", inBatchDup))
+    assert(emitted.toSet == Set(3L), s"replay must reproduce batch 1: $emitted")
+    // next batch reads the replayed v1 state: 1 and 3 still suppress
+    emitted.clear()
+    run(2L,
+      (5L, "2024-01-01 10:40:00", nearDup),
+      (6L, "2024-01-01 10:41:00", "completely unrelated fresh content"))
+    assert(emitted.toSet == Set(6L), s"state after replay must still suppress: $emitted")
+  }
+
   test("L1 streaming twin: exactForever dedups across unbounded time") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
