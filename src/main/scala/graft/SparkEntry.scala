@@ -46,6 +46,28 @@ object SparkEntry {
     }.mkString("\n UNION ALL ")
   }
 
+  /** Fixed IVF centroid literals for the ann_ivf_fixed oracle — the
+    * same ±1 matrix Similarity.fixedCentroids derives from the
+    * splitmix64 chain, embedded as DuckDB VALUES rows. */
+  private def ivfCentroidValuesSql(numCells: Int, dim: Int): String =
+    Similarity.fixedCentroids(numCells, dim).zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}])"
+    }.mkString(",\n   ")
+
+  /** Word-shingle CTE body shared by the decontamination oracle: same
+    * semantics as TextFunctions.wordShingles (docs shorter than n
+    * collapse to one whole-doc shingle), distinct per doc. */
+  private def shingleCteSql(n: Int): String =
+    s"""toks AS (
+       | SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS t
+       | FROM documents),
+       |sh AS (
+       | SELECT doc_id,
+       |  CASE WHEN len(t) >= $n
+       |   THEN list_distinct([array_to_string(t[i:i+${n - 1}], ' ') for i in range(1, len(t) - ${n - 2})])
+       |   ELSE [array_to_string(t, ' ')] END AS s
+       | FROM toks)""".stripMargin
+
   /** Per-language stopword score columns for the langid oracle —
     * generated from the same Stopwords profiles the kernel hashes. */
   private def langidScoresSql: String =
@@ -136,6 +158,49 @@ object SparkEntry {
       Dedup.embeddingPairs(Tables.embeddings(s, dir))
         .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
         .orderBy(col("id1"), col("id2"))),
+    // pairs → clusters: connected components (pointer-jumping min-label
+    // propagation) over the L5 embedding near-dup pairs
+    "dedup_clusters" -> ((s, dir) =>
+      ConnectedComponents.clusters(Dedup.embeddingPairs(Tables.embeddings(s, dir)))
+        .orderBy(col("component"))),
+    // benchmark decontamination: corpus docs sharing a 5-gram with the
+    // (broadcast) benchmark subset, with per-doc hit counts
+    "decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Decontaminate.contaminationHits(
+          d.where(col("doc_id") % 17 =!= 0), d.where(col("doc_id") % 17 === 0))
+        .orderBy(col("doc_id"))
+    }),
+    // deterministic hash-rate sampling: a scan-stage filter, summarized
+    // per language so membership differences hash-mismatch
+    "sample_hash" -> ((s, dir) =>
+      Sampling.hashRateSample(Tables.documents(s, dir), "doc_id", 0.3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))),
+    // per-stratum quota sampling in deterministic md5 order
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedQuota(Tables.documents(s, dir), "source", "doc_id", 20)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          array_join(array_sort(collect_list(col("doc_id"))), ",").as("ids"))
+        .orderBy(col("source"))),
+    "text_scrub" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.countMatches(col("text"), TextFunctions.NumberPattern)
+            .cast("long").as("n_num"),
+          length(TextFunctions.scrubText(col("text"))).cast("long").as("len_scrubbed"))
+        .orderBy(col("doc_id"))),
+    "text_repetition" -> ((s, dir) =>
+      TextStats.ngramRepetition(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+    "ann_ivf_fixed" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfFixedTopK(e.where(col("vec_id") < 8), e, 10)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
+                round(col("score"), 4).as("score"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
     "ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e.where(col("vec_id") < 8), e, 10)
@@ -294,6 +359,110 @@ object SparkEntry {
         |FROM cand c JOIN v v1 ON v1.id = c.id1 JOIN v v2 ON v2.id = c.id2
         |WHERE list_cosine_similarity(v1.e, v2.e) >= 0.35
         |ORDER BY id1, id2""".stripMargin,
+    // clusters twin: the dedup_embedding pair pipeline feeding a
+    // recursive-CTE transitive closure; component = min reachable id
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |bits AS (SELECT id, e, ${srpBitsSql(16, 64)} FROM v),
+        |banded AS (${srpBandedSql(16, 4)}),
+        |ok AS (SELECT band, bhash FROM banded GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 200),
+        |cand AS (
+        | SELECT DISTINCT a.id AS id1, b.id AS id2
+        | FROM banded a JOIN ok USING (band, bhash) JOIN banded b
+        |  ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id),
+        |pairs AS (
+        | SELECT c.id1, c.id2 FROM cand c JOIN v v1 ON v1.id = c.id1 JOIN v v2 ON v2.id = c.id2
+        | WHERE list_cosine_similarity(v1.e, v2.e) >= 0.35),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION SELECT id2, id1 FROM pairs),
+        |reach(id, r) AS (
+        | SELECT a, a FROM edges
+        | UNION
+        | SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT component, count(*) AS n_members,
+        | array_to_string(list_sort(list(id)), ',') AS members
+        |FROM comp GROUP BY component ORDER BY component""".stripMargin,
+    // decontamination twin: 5-gram shingles, benchmark = doc_id%17=0,
+    // per-corpus-doc count of distinct shingles shared with ANY
+    // benchmark doc
+    "decontaminate" ->
+      s"""WITH ${shingleCteSql(5)},
+        |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 17 = 0),
+        |corp AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 17 <> 0)
+        |SELECT c.doc_id, count(*) AS n_hits
+        |FROM corp c JOIN bench b USING (shingle)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    "sample_hash" ->
+      s"""SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.rateThresholdHex(0.3)}'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "sample_stratified" ->
+      """SELECT source, count(*) AS n_sampled,
+        | array_to_string(list_sort(list(doc_id)), ',') AS ids
+        |FROM (
+        | SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents)
+        |WHERE rn <= 20 GROUP BY source ORDER BY source""".stripMargin,
+    "text_scrub" ->
+      s"""SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+        | CAST(len(regexp_replace(regexp_replace(regexp_replace(text,
+        |   'https?://[^\\s]+', '<URL>', 'g'),
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9]+', '<NUM>', 'g')) AS BIGINT) AS len_scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // bigram repetition twin: per-(doc, bigram) counts, then top-share
+    // and duplicate-share per doc
+    "text_repetition" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |bg AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(t) >= 2
+        |   THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+        |   ELSE [array_to_string(t, ' ')] END AS gs
+        | FROM toks),
+        |g AS (SELECT doc_id, unnest(gs) AS g FROM bg),
+        |cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+        | round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_frac,
+        | round(1 - CAST(count(*) AS DOUBLE) / sum(c), 4) AS dup_frac
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // fixed-centroid IVF twin: the ±1 centroid literals come from the
+    // same splitmix64 chain as Similarity.fixedCentroids; assignment
+    // ties break to the HIGHEST cell (max struct order), probe ties to
+    // the LOWEST cell (TopKBuffer order: score DESC, id ASC)
+    "ann_ivf_fixed" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |ctr AS (SELECT * FROM (VALUES
+        |   ${ivfCentroidValuesSql(16, 64)}) t(cell, c)),
+        |scored AS (
+        | SELECT id, cell, list_cosine_similarity(e, c) AS s FROM v CROSS JOIN ctr),
+        |assigned AS (
+        | SELECT id, cell FROM (
+        |  SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY s DESC, cell DESC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |qprobe AS (
+        | SELECT id AS q_id, cell FROM (
+        |  SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY s DESC, cell ASC) AS rn
+        |  FROM scored WHERE id < 8) WHERE rn <= 4),
+        |cand AS (
+        | SELECT DISTINCT q_id, a.id AS c_id
+        | FROM qprobe p JOIN assigned a ON p.cell = a.cell WHERE p.q_id <> a.id),
+        |rescored AS (
+        | SELECT q_id, c_id, list_cosine_similarity(v1.e, v2.e) AS s
+        | FROM cand JOIN v v1 ON v1.id = q_id JOIN v v2 ON v2.id = c_id),
+        |ranked AS (
+        | SELECT q_id, c_id, s,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
+        | FROM rescored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(s, 4) AS score
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // exact twin: all-pairs cosine + top-10 per query, ties broken
     // (score DESC, c_id ASC) like the TopKBuffer total order
     "ann_bruteforce" ->

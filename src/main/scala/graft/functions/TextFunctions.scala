@@ -84,6 +84,34 @@ object TextFunctions {
     round(lengthOk * 0.25 + punctOk * 0.25 + stopOk * 0.2 + repOk * 0.3, 6)
   }
 
+  // ---- scrubbing / normalization -------------------------------------
+
+  /** Conservative RE2-compatible patterns (no backrefs, no lookaround)
+    * so the same regex means the same thing in any engine a pipeline
+    * pairs this one with. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  val NumberPattern = "[0-9]+"
+
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** PII-style scrubbing: URLs, then emails, then digit runs are
+    * replaced with typed placeholder tokens. Order matters — URLs can
+    * contain @ and digits, so they must be rewritten first. Pure
+    * per-row expression: rides the scan, zero shuffle. */
+  def scrubText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      NumberPattern, "<NUM>")
+
+  /** Canonical text normalization: lowercase, collapse whitespace
+    * runs to single spaces, trim — the usual pre-dedup normalizer. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   // ---- L8 language id ------------------------------------------------
 
   /** Tiny per-language stopword profiles (public common-word lists).

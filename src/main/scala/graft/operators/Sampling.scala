@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Random sampling (`df.sample`) is not reproducible across engines,
+  * runs, or partitionings — useless for a pipeline whose outputs must
+  * be auditable. Both operators here key the decision on a content
+  * hash of a stable key column, so the same row makes the same
+  * decision everywhere: in this engine, in the oracle, next year.
+  *
+  * Scale shape: `hashRateSample` is a pure per-row filter — it rides
+  * the parquet scan, zero shuffle, and composes with pushdown on other
+  * predicates. `stratifiedQuota` needs a per-stratum total order, so
+  * it costs one shuffle on the stratum key; skewed strata are bounded
+  * by the quota itself (only `quota` rows survive per stratum, and
+  * rank-k selection short-circuits the rest).
+  */
+object Sampling {
+
+  /** Lexicographic md5-prefix threshold for a sampling rate: the first
+    * 8 hex chars of md5 are uniform over [0, 2^32), so keeping rows
+    * with prefix < hex(rate·2^32) keeps ≈rate of them — deterministic,
+    * engine-portable (md5 is md5 everywhere), and stable under
+    * repartitioning. */
+  def rateThresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0,1]")
+    f"${math.min((rate * 4294967296.0).toLong, 4294967295L)}%08x"
+  }
+
+  /** The sampling decision column: md5-prefix of the key, compared to
+    * the rate threshold. */
+  def hashKeep(key: Column, rate: Double): Column =
+    substring(md5(key.cast("string")), 1, 8) < lit(rateThresholdHex(rate))
+
+  /** Keep ≈`rate` of rows, decided by content hash of `keyCol` —
+    * a scan-stage filter, no shuffle. */
+  def hashRateSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.where(hashKeep(col(keyCol), rate))
+
+  /** Exactly min(quota, |stratum|) rows per stratum, chosen in
+    * deterministic hash order (ties broken by the key itself) — the
+    * per-domain/per-language cap every mixture-balancing pipeline
+    * needs. One shuffle on the stratum column. */
+  def stratifiedQuota(df: DataFrame, stratumCol: String, keyCol: String,
+                      quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= quota)
+      .drop("__rn")
+  }
+}

@@ -91,9 +91,6 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               vecCol: String = "embedding", idCol: String = "vec_id",
               numCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    require(nProbe <= numCells, "nProbe must be <= numCells")
-    val spark = candidates.sparkSession
-    import spark.implicits._
     val c = candidates.select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec"))
 
     def toDoubles(a: Any): Array[Double] = a match {
@@ -106,28 +103,11 @@ object Similarity {
     var centroids: Array[Array[Double]] = c.orderBy(col("c_id")).limit(numCells)
       .collect().map(r => toDoubles(r.get(1)))
 
-    /** (cell, ctr) table for broadcast — numCells rows. */
-    def centroidDF(): DataFrame =
-      centroids.zipWithIndex.map { case (ctr, i) => (i, ctr.toSeq) }.toSeq
-        .toDF("cell", "ctr")
-
-    /** Nearest-centroid assignment: broadcast the centroid table,
-      * score every (vector, centroid) with the fused cosine, keep the
-      * argmax — ties break to the highest cell id (max over
-      * (score, cell) structs), matching the seed ordering. */
-    def assignCells(vecs: DataFrame, vecCol0: String, idCol0: String): DataFrame =
-      vecs.crossJoin(broadcast(centroidDF()))
-        .select(col(idCol0), col(vecCol0),
-          struct(cosine(col(vecCol0), col("ctr")).as("s"), col("cell")).as("sc"))
-        .groupBy(col(idCol0))
-        .agg(max(col("sc")).as("m"), first(col(vecCol0)).as(vecCol0))
-        .select(col(idCol0), col(vecCol0), col("m.cell").as("cell"))
-
     var it = 0
     while (it < iters) {
       // Lloyd pass: assign, then per-(cell, dim) mean, rounded for
       // run-to-run stability
-      val means = assignCells(c, "c_vec", "c_id")
+      val means = assignCells(c, "c_vec", "c_id", centroids)
         .select(col("cell"), posexplode(col("c_vec")))
         .groupBy(col("cell"), col("pos"))
         .agg(round(avg(col("col")), 6).as("m"))
@@ -139,11 +119,66 @@ object Similarity {
       it += 1
     }
 
-    val assigned = assignCells(c, "c_vec", "c_id")
+    ivfQuery(queries, candidates, k, vecCol, idCol, centroids, nProbe)
+  }
+
+  /** Deterministic ±1 centroid matrix for the fixed-centroid IVF
+    * variant — same splitmix64 chain as `hyperplanes`, offset by 4096
+    * seeds so the cells never coincide with the SRP planes. */
+  def fixedCentroids(numCells: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numCells, dim) { (i, d) =>
+      if ((GraftHash.splitmix64(GraftHash.permSeed(4096 + i) ^ (d * 0x9e3779b97f4a7c15L)) & 1L) == 1L) 1.0
+      else -1.0
+    }
+
+  /** IVF ANN with DATA-INDEPENDENT centroids (random ±1 cells, the
+    * same trick as SRP hyperplanes): no Lloyd passes, no driver
+    * collects — the entire pipeline is one static dataflow, at the
+    * cost of cells that partition direction space uniformly instead of
+    * adapting to the data. The right default when the index must be
+    * reproducible from a seed alone (or built before the data exists);
+    * `ivfTopK` refines these into data-adapted cells when recall per
+    * probe matters more. */
+  def ivfFixedTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                   vecCol: String = "embedding", idCol: String = "vec_id",
+                   numCells: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame =
+    ivfQuery(queries, candidates, k, vecCol, idCol,
+      fixedCentroids(numCells, dim), nProbe)
+
+  /** Nearest-centroid assignment: broadcast the centroid table, score
+    * every (vector, centroid) with the fused cosine, keep the argmax —
+    * ties break to the highest cell id (max over (score, cell)
+    * structs). Plan size is independent of numCells. */
+  private def assignCells(vecs: DataFrame, vecCol0: String, idCol0: String,
+                          centroids: Array[Array[Double]]): DataFrame =
+    vecs.crossJoin(broadcast(centroidDF(vecs, centroids)))
+      .select(col(idCol0), col(vecCol0),
+        struct(cosine(col(vecCol0), col("ctr")).as("s"), col("cell")).as("sc"))
+      .groupBy(col(idCol0))
+      .agg(max(col("sc")).as("m"), first(col(vecCol0)).as(vecCol0))
+      .select(col(idCol0), col(vecCol0), col("m.cell").as("cell"))
+
+  /** (cell, ctr) table for broadcast — numCells rows. */
+  private def centroidDF(like: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val spark = like.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (ctr, i) => (i, ctr.toSeq) }.toSeq
+      .toDF("cell", "ctr")
+  }
+
+  /** The probe-and-score stage shared by both IVF variants: assign
+    * candidates to cells, pick each query's nProbe best cells with the
+    * bounded-heap top-k, join on cell, verify with exact cosine. */
+  private def ivfQuery(queries: DataFrame, candidates: DataFrame, k: Int,
+                       vecCol: String, idCol: String,
+                       centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    require(nProbe <= centroids.length, "nProbe must be <= numCells")
+    val c = candidates.select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec"))
+    val assigned = assignCells(c, "c_vec", "c_id", centroids)
     val q = queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
     // nProbe nearest cells per query: same broadcast-scored shape,
     // bounded-heap top-nProbe instead of argmax
-    val qProbes = q.crossJoin(broadcast(centroidDF()))
+    val qProbes = q.crossJoin(broadcast(centroidDF(queries, centroids)))
       .select(col("q_id"), col("q_vec"), col("cell").cast("long").as("cell"),
         cosine(col("q_vec"), col("ctr")).as("s"))
       .groupBy(col("q_id"))

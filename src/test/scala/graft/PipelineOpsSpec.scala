@@ -1,0 +1,175 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{ConnectedComponents, Decontaminate, Sampling, TextStats}
+
+/** Round-4 pipeline operators: dedup clustering, decontamination,
+  * deterministic sampling, n-gram repetition stats. */
+class PipelineOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // ---- connected components -------------------------------------------
+
+  /** Brute-force union-find twin for the components oracle. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("components matches union-find on a mixed graph (chain, triangle, singles)") {
+    import spark.implicits._
+    // a 6-node path (worst case for plain propagation), a triangle,
+    // an isolated pair, ids deliberately out of order
+    val edges = Seq((10L, 9L), (9L, 8L), (8L, 7L), (7L, 6L), (6L, 5L),
+      (20L, 22L), (22L, 21L), (21L, 20L), (30L, 31L))
+    val got = ConnectedComponents.components(edges.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ufComponents(edges))
+  }
+
+  test("components converges on a long path in O(log n) rounds (pointer jumping)") {
+    import spark.implicits._
+    // 64-node path: plain 1-hop propagation needs 63 rounds; pointer
+    // jumping must finish well inside maxRounds=10
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val got = ConnectedComponents.components(edges.toDF("id1", "id2"), maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L),
+      s"path must collapse to component 0: ${got.toSeq.sortBy(_._1).take(8)}...")
+  }
+
+  test("clusters + dropClustered keep exactly one doc per near-dup group") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val kept = ConnectedComponents.dropClustered(docs, edges)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L), s"got $kept")
+    val cl = ConnectedComponents.clusters(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(cl.toSeq == Seq((1L, 3L, "1,2,3"), (5L, 2L, "5,6")))
+  }
+
+  // ---- decontamination -------------------------------------------------
+
+  test("decontaminate drops docs sharing an n-gram with the benchmark, keeps the rest") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then the quick brown fox jumps over something"), // 5-gram overlap
+      (2L, "totally unrelated text with enough tokens to shingle fine"),
+      (3L, "fox jumps over the lazy dog said the announcer yesterday")    // 5-gram overlap
+    ).toDF("doc_id", "text")
+    val hits = Decontaminate.contaminationHits(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(1L, 3L), s"got $hits")
+    assert(hits.values.forall(_ >= 1L))
+    val clean = Decontaminate.decontaminate(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(clean == Seq(2L))
+  }
+
+  test("decontamination corpus side never shuffles document rows (broadcast probe)") {
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.where(col("doc_id") % 17 === 0)
+    val plan = Decontaminate.contaminationHits(docs, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$plan")
+  }
+
+  // ---- sampling --------------------------------------------------------
+
+  test("hashRateSample is deterministic, rate-accurate, and partition-invariant") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val a = Sampling.hashRateSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashRateSample(docs.repartition(13), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must not depend on partitioning")
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.2 && a.size < n * 0.4,
+      s"rate 0.3 sample of $n rows returned ${a.size}")
+    // nested sampling property of threshold sampling: a 10% sample is
+    // a subset of a 30% sample
+    val c = Sampling.hashRateSample(docs, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a), "samples must nest by rate")
+  }
+
+  test("stratifiedQuota returns min(quota, stratum size) rows per stratum, deterministically") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val q = Sampling.stratifiedQuota(docs, "source", "doc_id", 20)
+    val sizes = q.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == full.map { case (k, v) => k -> math.min(v, 20L) })
+    val ids1 = q.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedQuota(docs.repartition(7), "source", "doc_id", 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "quota selection must be deterministic")
+  }
+
+  // ---- repetition stats ------------------------------------------------
+
+  test("ngramRepetition flags the boilerplate doc, not the clean one") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),       // bigram 'buy now' dominates
+      (2L, "each word here appears only once total")
+    ).toDF("doc_id", "text")
+    val got = TextStats.ngramRepetition(docs)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // doc 1: 7 bigrams, 'buy now' ×4, 'now buy' ×3 → top 4/7, dup 1 - 2/7
+    assert(got(1L)._1 > 0.5 && got(1L)._2 > 0.5, s"got ${got(1L)}")
+    assert(got(2L)._1 < 0.2 && got(2L)._2 == 0.0, s"got ${got(2L)}")
+  }
+
+  // ---- scrubbing -------------------------------------------------------
+
+  test("scrubText replaces urls, emails, and digit runs with typed tokens") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val df = Seq(
+      "contact bob@example.com or visit https://x.io/p?q=1 room 42"
+    ).toDF("text")
+    val out = df.select(TextFunctions.scrubText(col("text"))).head.getString(0)
+    assert(out == "contact <EMAIL> or visit <URL> room <NUM>", out)
+    val counts = df.select(
+      TextFunctions.countMatches(col("text"), TextFunctions.EmailPattern),
+      TextFunctions.countMatches(col("text"), TextFunctions.UrlPattern)).head
+    assert(counts.getInt(0) == 1 && counts.getInt(1) == 1)
+  }
+
+  test("normalizeText lowercases, collapses whitespace, trims") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val out = Seq("  Hello   WORLD\t\tfoo \n").toDF("t")
+      .select(TextFunctions.normalizeText(col("t"))).head.getString(0)
+    assert(out == "hello world foo", s"'$out'")
+  }
+
+  // ---- fixed-centroid IVF ---------------------------------------------
+
+  test("ivfFixedTopK is a pure dataflow with sane recall vs brute force") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val q = e.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(q, e, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val fixed = Similarity.ivfFixedTopK(q, e, 10, numCells = 16, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(fixed.nonEmpty)
+    val recall = (exact & fixed).size.toDouble / exact.size
+    assert(recall >= 0.4, f"recall vs brute force too low: $recall%.2f")
+  }
+}
