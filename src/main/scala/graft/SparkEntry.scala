@@ -171,6 +171,20 @@ object SparkEntry {
           d.where(col("doc_id") % 17 =!= 0), d.where(col("doc_id") % 17 === 0))
         .orderBy(col("doc_id"))
     }),
+    // incremental dedup: new batch (vec_id%4=0) probed against the
+    // already-deduped corpus (the rest); corpus×corpus never recomputed
+    "dedup_incremental" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Dedup.embeddingPairsIncremental(
+          e.where(col("vec_id") % 4 =!= 0), e.where(col("vec_id") % 4 === 0))
+        .select(col("new_id"), col("old_id"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("new_id"), col("old_id"))
+    }),
+    // sequence packing: two-phase distributed prefix sum over the
+    // corpus order, docs binned into fixed-budget context windows
+    "pack_sequences" -> ((s, dir) =>
+      Packing.packSummary(Tables.documents(s, dir), "n_chars", budget = 4096)
+        .orderBy(col("seq_id"))),
     // deterministic hash-rate sampling: a scan-stage filter, summarized
     // per language so membership differences hash-mismatch
     "sample_hash" -> ((s, dir) =>
@@ -393,6 +407,38 @@ object SparkEntry {
         |SELECT c.doc_id, count(*) AS n_hits
         |FROM corp c JOIN bench b USING (shingle)
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    // incremental twin: same SRP banding, corpus-side-only hot-bucket
+    // gate (no 2-member minimum — the batch supplies the second member)
+    "dedup_incremental" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |bits AS (SELECT id, e, ${srpBitsSql(16, 64)} FROM v),
+        |banded AS (${srpBandedSql(16, 4)}),
+        |cb AS (SELECT * FROM banded WHERE id % 4 <> 0),
+        |bb AS (SELECT * FROM banded WHERE id % 4 = 0),
+        |ok AS (SELECT band, bhash FROM cb GROUP BY 1, 2 HAVING count(*) <= 200),
+        |cand AS (
+        | SELECT DISTINCT b.id AS new_id, c.id AS old_id
+        | FROM bb b JOIN cb c ON b.band = c.band AND b.bhash = c.bhash
+        | JOIN ok ON ok.band = b.band AND ok.bhash = b.bhash
+        | WHERE b.id <> c.id)
+        |SELECT cand.new_id, cand.old_id,
+        | round(list_cosine_similarity(v1.e, v2.e), 4) AS cos
+        |FROM cand JOIN v v1 ON v1.id = cand.new_id JOIN v v2 ON v2.id = cand.old_id
+        |WHERE list_cosine_similarity(v1.e, v2.e) >= 0.35
+        |ORDER BY new_id, old_id""".stripMargin,
+    // packing twin: DuckDB computes the prefix sum as one global
+    // window — correct for an oracle, the exact shape the distributed
+    // implementation avoids
+    "pack_sequences" ->
+      """WITH c AS (
+        | SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS n_tokens,
+        |  sum(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |   - n_chars AS start
+        | FROM documents)
+        |SELECT CAST(start // 4096 AS BIGINT) AS seq_id, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        | min(id) AS first_id, max(id) AS last_id
+        |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
     "sample_hash" ->
       s"""SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents

@@ -54,20 +54,21 @@ object ConnectedComponents {
         .groupBy(col("a").as("id"))
         .agg(min(col("comp")).as("nmin"))
       val hop = assign.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
       // pointer jump: comp := comp(comp) — labels are node ids, so
-      // resolving through the assignment collapses label chains
+      // resolving through the assignment collapses label chains. The
+      // previous label rides along as __old so the convergence check
+      // is a filter over this round's (checkpointed) result, not an
+      // extra join.
       val jumped = hop
         .join(assign.select(col("id").as("__l_id"), col("comp").as("__l_comp")),
           hop("comp") === col("__l_id"), "left")
-        .select(col("id"), coalesce(col("__l_comp"), col("comp")).as("comp"))
+        .select(col("id"), col("__old"),
+          coalesce(col("__l_comp"), col("comp")).as("comp"))
         .localCheckpoint(true)
-      val changed = jumped.join(assign.withColumnRenamed("comp", "__old"), "id")
-        .where(col("comp") =!= col("__old"))
-        .limit(1).count()
-      converged = changed == 0
-      assign = jumped
+      converged = jumped.where(col("comp") =!= col("__old")).limit(1).count() == 0
+      assign = jumped.select(col("id"), col("comp"))
       round += 1
     }
     assign

@@ -175,6 +175,40 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Incremental near-dup: pairs between a NEW batch and an existing
+    * corpus ONLY — the daily-snapshot shape, where corpus×corpus was
+    * already deduped in previous runs and must not be recomputed. The
+    * corpus side is banded once (at scale: persisted as the dedup
+    * index, exactly the streaming signature store's layout) and the
+    * batch probes it with a (band, bhash)-keyed join; buckets hotter
+    * than `maxBucket` on the corpus side are excluded the same
+    * count-first way as the batch path, so one boilerplate bucket
+    * cannot go quadratic. Verified with exact cosine. Returns
+    * (new_id, old_id, cos). */
+  def embeddingPairsIncremental(corpus: DataFrame, batch: DataFrame,
+                                vecCol: String = "embedding", idCol: String = "vec_id",
+                                threshold: Double = 0.35, numPlanes: Int = 16,
+                                bands: Int = 4, maxBucket: Int = 200): DataFrame = {
+    val cBanded = Similarity.srpBanded(corpus, vecCol, idCol, numPlanes, bands)
+    val bBanded = Similarity.srpBanded(batch, vecCol, idCol, numPlanes, bands)
+    val okBuckets = cBanded.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucket)
+      .select(col("band"), col("bhash"))
+    // hot buckets are excluded BEFORE the probe join — filtering after
+    // it would still materialize the quadratic bucket blow-up
+    val cSafe = cBanded.join(okBuckets, Seq("band", "bhash"), "left_semi")
+    val cand = bBanded.withColumnRenamed("id", "new_id")
+      .join(cSafe.withColumnRenamed("id", "old_id"), Seq("band", "bhash"))
+      .where(col("new_id") =!= col("old_id"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val bv = batch.select(col(idCol).cast("long").as("new_id"), col(vecCol).as("__nv"))
+    val cv = corpus.select(col(idCol).cast("long").as("old_id"), col(vecCol).as("__ov"))
+    cand.join(bv, "new_id").join(cv, "old_id")
+      .select(col("new_id"), col("old_id"), cosine(col("__nv"), col("__ov")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** L5: embedding cosine near-duplicate pairs via signed-random-
     * projection buckets (same banded-LSH shape; bit signs come from
     * the fused-pass cosine expression), verified with exact cosine. */

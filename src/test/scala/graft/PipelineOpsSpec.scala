@@ -158,6 +158,68 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == "hello world foo", s"'$out'")
   }
 
+  // ---- sequence packing ------------------------------------------------
+
+  test("prefixSum equals the single-partition cumulative sum regardless of partitioning") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val docs = (0L until 500L).map(i => (i, 1L + (i * 7) % 40)).toDF("doc_id", "n_tok")
+    val expected = docs.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, t)) => (id, t, cum + t) }
+      .drop(1).map { case (id, t, cumIncl) => id -> (cumIncl - t) }.toMap
+    for (parts <- Seq(1, 4, 13)) {
+      val got = Packing.prefixSum(docs.repartition(17), "n_tok", partitions = parts)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expected, s"prefix sum wrong at $parts range partitions")
+    }
+  }
+
+  test("assignSequences packs contiguous runs within the token budget") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val docs = Seq((1L, 30L), (2L, 40L), (3L, 50L), (4L, 10L), (5L, 100L), (6L, 5L))
+      .toDF("doc_id", "n_tok")
+    val got = Packing.assignSequences(docs, "n_tok", budget = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // starts: 0,30,70,120,130,230 → seqs 0,0,0,1,1,2
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 2L), s"$got")
+    val summary = Packing.packSummary(docs, "n_tok", 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(summary == Seq((0L, 3L, 120L), (1L, 2L, 110L), (2L, 1L, 5L)))
+  }
+
+  test("prefixSum plan has no global-order window (per-partition windows only)") {
+    import graft.operators.Packing
+    val docs = Tables.documents(spark, sf)
+    val plan = Packing.prefixSum(docs, "n_chars").queryExecution.executedPlan.toString
+    // a global-order cumsum plans Window over an empty partition spec
+    // preceded by a single-partition Exchange — the 100 TB trap this
+    // operator exists to avoid
+    assert(!plan.contains("SinglePartition"), s"global window detected:\n$plan")
+  }
+
+  // ---- incremental dedup ----------------------------------------------
+
+  test("embeddingPairsIncremental finds batch-vs-corpus pairs and only those") {
+    import graft.operators.Dedup
+    val e = Tables.embeddings(spark, sf)
+    val corpus = e.where(col("vec_id") % 4 =!= 0)
+    val batch = e.where(col("vec_id") % 4 === 0)
+    val inc = Dedup.embeddingPairsIncremental(corpus, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair crosses the batch/corpus boundary
+    assert(inc.forall { case (n, o) => n % 4 == 0 && o % 4 != 0 })
+    // and matches the full-pairs run restricted to crossing pairs
+    val full = Dedup.embeddingPairs(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossing = full.collect {
+      case (a, b) if a % 4 == 0 && b % 4 != 0 => (a, b)
+      case (a, b) if b % 4 == 0 && a % 4 != 0 => (b, a)
+    }
+    assert(inc == crossing, s"inc=$inc expected=$crossing")
+  }
+
   // ---- fixed-centroid IVF ---------------------------------------------
 
   test("ivfFixedTopK is a pure dataflow with sane recall vs brute force") {
