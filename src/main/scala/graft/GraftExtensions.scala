@@ -63,6 +63,14 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         WinnowFingerprintText(args(0), intArg(args(1), "graft_fingerprint_text", 1),
           intArg(args(2), "graft_fingerprint_text", 2))),
+    (FunctionIdentifier("graft_repetition"),
+      new ExpressionInfo(classOf[RepetitionStatsText].getName, "graft_repetition"),
+      (args: Seq[Expression]) =>
+        RepetitionStatsText(args(0), intArg(args(1), "graft_repetition", 1))),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleHashesText].getName, "graft_shingles"),
+      (args: Seq[Expression]) =>
+        ShingleHashesText(args(0), intArg(args(1), "graft_shingles", 1))),
     (FunctionIdentifier("graft_langid"),
       new ExpressionInfo(classOf[LangIdText].getName, "graft_langid"),
       (args: Seq[Expression]) => LangIdText(args(0))),

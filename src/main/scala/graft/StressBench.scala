@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-stress harness: amplifies the documents table N× and times
-  * the two paths whose scale behavior round-2 review flagged as
-  * unproven beyond sf0.1 — chunked posting lists and MinHash-LSH
-  * dedup — at 1× and N×, printing the wall-time ratio.
+  * the paths whose scale behavior is not proven by sf0.1 alone —
+  * chunked posting lists, MinHash-LSH dedup, pair clustering,
+  * sequence packing, and decontamination — at 1× and N×, printing the
+  * wall-time ratio.
   *
   * Amplification prefixes every token with the replica index, so a
   * replica shares NO shingles with its siblings (replicas are fully
@@ -51,7 +52,20 @@ object StressBench {
       "ii_field_values_chunked" -> (() =>
         operators.InvertedIndex.fieldValuesChunked(docs, "source", chunkSize = 1000)),
       "dedup_minhash_lsh" -> (() =>
-        operators.Dedup.minhashLshPairs(docs)))
+        operators.Dedup.minhashLshPairs(docs)),
+      // pairs → clusters: constant duplicate density means ~N× pairs
+      // and constant cluster diameter, so rounds must not grow with N
+      "dedup_clusters" -> (() =>
+        operators.ConnectedComponents.clusters(operators.Dedup.minhashLshPairs(docs))),
+      // two-phase prefix sum: must scale with the range shuffle, not
+      // with a single-partition window
+      "pack_sequences" -> (() =>
+        operators.Packing.packSummary(docs, "n_chars", budget = 4096)),
+      // broadcast-probe decontamination: the corpus side is the only
+      // thing growing; the benchmark shingle set stays broadcast-sized
+      "decontaminate" -> (() =>
+        operators.Decontaminate.contaminationHits(
+          docs.where(col("doc_id") % 17 =!= 0), docs.where(col("doc_id") % 17 === 0))))
     ops.map { case (name, f) =>
       timeNoop(f()) // warm-up
       val secs = timeNoop(f())

@@ -166,6 +166,13 @@ object TextFunctions {
 
   // ---- signature wrappers (dedup/similarity building blocks) ---------
 
+  /** Fused sorted-distinct shingle hashes (64-bit) straight from
+    * text — array_distinct(wordShingles(text, n)) with hashes standing
+    * in for the strings; one imperative pass, no intermediate arrays.
+    * The decontamination probe's join-key material. */
+  def shingleHashes(text: Column, n: Int): Column =
+    call_function("graft_shingles", text, lit(n))
+
   def minhash(shingles: Column, numHashes: Int): Column =
     call_function("graft_minhash", shingles, lit(numHashes))
 

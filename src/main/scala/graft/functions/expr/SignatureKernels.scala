@@ -48,6 +48,43 @@ object SignatureKernels {
     new GenericArrayData(sig)
   }
 
+  /** Sorted DISTINCT k-gram shingle hashes straight from text — the
+    * decontamination probe's per-row form (mirrors
+    * array_distinct(wordShingles(text, k)) with hashes standing in
+    * for the shingle strings; 64-bit FNV collisions are the only
+    * semantic difference, negligible at any corpus size). */
+  def shingleHashes(s: UTF8String, k: Int): ArrayData = {
+    val grams = TextTokenizer.gramHashes(TextTokenizer.tokenHashes(s), k)
+    java.util.Arrays.sort(grams)
+    var m = 0
+    var i = 0
+    while (i < grams.length) {
+      if (m == 0 || grams(m - 1) != grams(i)) { grams(m) = grams(i); m += 1 }
+      i += 1
+    }
+    new GenericArrayData(
+      if (m == grams.length) grams else java.util.Arrays.copyOf(grams, m))
+  }
+
+  /** One-pass n-gram repetition stats: (total grams, top gram count,
+    * distinct grams) from the sorted gram-hash array — run lengths of
+    * a sorted array are gram multiplicities. */
+  def repetitionStats(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val grams = TextTokenizer.gramHashes(TextTokenizer.tokenHashes(s), k)
+    java.util.Arrays.sort(grams)
+    var top = 0L
+    var dist = 0L
+    var run = 0L
+    var i = 0
+    while (i < grams.length) {
+      if (i == 0 || grams(i) != grams(i - 1)) { dist += 1; run = 1L } else run += 1
+      if (run > top) top = run
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](grams.length.toLong, top, dist))
+  }
+
   def simhashText(s: UTF8String): Long =
     simhashFromHashes(TextTokenizer.tokenHashes(s))
 

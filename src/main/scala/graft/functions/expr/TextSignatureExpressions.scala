@@ -104,6 +104,56 @@ case class MinHashText(child: Expression, shingleSize: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Sorted distinct shingle hashes straight from text:
+  * `string -> array<long>` — the join key material for
+  * decontamination-style n-gram overlap probes. */
+case class ShingleHashesText(child: Expression, shingleSize: Int)
+    extends UnaryExpression {
+  require(shingleSize > 0, "shingleSize must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.string(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.shingleHashes(input.asInstanceOf[UTF8String], shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expr.SignatureKernels.shingleHashes($c, $shingleSize);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-pass n-gram repetition stats straight from text:
+  * `string -> struct<total, top, dist>` (gram occurrences, the mode
+  * gram's count, distinct grams) — the Gopher-style repetition rule's
+  * per-row form. */
+case class RepetitionStatsText(child: Expression, shingleSize: Int)
+    extends UnaryExpression {
+  require(shingleSize > 0, "shingleSize must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.string(child, prettyName)
+  override def dataType: DataType = StructType(Seq(
+    StructField("total", LongType, nullable = false),
+    StructField("top", LongType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+  override def prettyName: String = "graft_repetition"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.repetitionStats(input.asInstanceOf[UTF8String], shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expr.SignatureKernels.repetitionStats($c, $shingleSize);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SimHash straight from text: `string -> long`; equals
   * SimHash64(split tokens) bit for bit. */
 case class SimHashText(child: Expression) extends UnaryExpression {

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.wordShingles
+import graft.functions.TextFunctions.shingleHashes
 
 /** Benchmark decontamination — remove training documents that overlap
   * an evaluation/benchmark set (the standard n-gram-overlap rule used
@@ -20,11 +20,14 @@ import graft.functions.TextFunctions.wordShingles
   */
 object Decontaminate {
 
-  /** Distinct n-gram shingles of the benchmark set. */
+  /** Distinct n-gram shingle HASHES of the benchmark set (the fused
+    * single-pass kernel; strings never materialize — a 64-bit FNV
+    * collision is the only false-positive source, negligible at any
+    * corpus size). */
   def benchmarkShingles(benchmark: DataFrame, textCol: String = "text",
                         n: Int = 5): DataFrame =
     benchmark.where(col(textCol).isNotNull)
-      .select(explode(array_distinct(wordShingles(col(textCol), n))).as("shingle"))
+      .select(explode(shingleHashes(col(textCol), n)).as("shingle"))
       .distinct()
 
   /** Per-document contamination report: (doc_id, n_hits) for every
@@ -36,7 +39,7 @@ object Decontaminate {
     val bench = benchmarkShingles(benchmark, textCol, n)
     corpus.where(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(array_distinct(wordShingles(col(textCol), n))).as("shingle"))
+        explode(shingleHashes(col(textCol), n)).as("shingle"))
       .join(broadcast(bench), "shingle")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
