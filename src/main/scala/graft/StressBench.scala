@@ -40,9 +40,12 @@ object StressBench {
         col("lang"), col("source"), col("n_chars"))
   }
 
-  private def timeNoop(df: DataFrame): Double = {
+  /** Times CONSTRUCTION + execution: operators with an eager driver
+    * loop (connected components) do their work while the DataFrame is
+    * being built, so the thunk must run inside the timer. */
+  private def timeNoop(f: () => DataFrame): Double = {
     val t0 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
+    f().write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -67,8 +70,8 @@ object StressBench {
         operators.Decontaminate.contaminationHits(
           docs.where(col("doc_id") % 17 =!= 0), docs.where(col("doc_id") % 17 === 0))))
     ops.map { case (name, f) =>
-      timeNoop(f()) // warm-up
-      val secs = timeNoop(f())
+      timeNoop(f) // warm-up
+      val secs = timeNoop(f)
       println(f"[stress] $label $name%-24s ${secs}%8.2fs")
       name -> secs
     }.toMap
