@@ -54,13 +54,14 @@ object SparkEntry {
       s"($i, [${c.mkString(", ")}])"
     }.mkString(",\n   ")
 
-  /** Word-shingle CTE body shared by the decontamination oracle: same
+  /** Word-shingle CTE body shared by the decontamination oracles: same
     * semantics as TextFunctions.wordShingles (docs shorter than n
-    * collapse to one whole-doc shingle), distinct per doc. */
-  private def shingleCteSql(n: Int): String =
+    * collapse to one whole-doc shingle), distinct per doc. `src` is
+    * the table/CTE to shingle (must expose doc_id, text). */
+  private def shingleCteSql(n: Int, src: String = "documents"): String =
     s"""toks AS (
        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS t
-       | FROM documents),
+       | FROM $src),
        |sh AS (
        | SELECT doc_id,
        |  CASE WHEN len(t) >= $n
@@ -185,6 +186,21 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) =>
       Packing.packSummary(Tables.documents(s, dir), "n_chars", budget = 4096)
         .orderBy(col("seq_id"))),
+    // the composed pipeline a training-data user actually runs:
+    // normalize → exact dedup → decontaminate → quality filter → pack
+    // into context windows. Every stage is the library operator; the
+    // oracle replays the whole chain in SQL.
+    "pipeline_e2e" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("text", TextFunctions.normalizeText(col("text")))
+      val bench = d.where(col("doc_id") % 17 === 0)
+      val corpus = Dedup.dropExactDuplicates(d).where(col("doc_id") % 17 =!= 0)
+      val clean = Decontaminate.decontaminate(corpus, bench)
+      val good = clean.where(
+        TextFunctions.tokenCount(col("text")) >= 10 &&
+          TextFunctions.punctRatio(col("text")) <= 0.2)
+      Packing.packSummary(good, "n_chars", budget = 4096).orderBy(col("seq_id"))
+    }),
     // deterministic hash-rate sampling: a scan-stage filter, summarized
     // per language so membership differences hash-mismatch
     "sample_hash" -> ((s, dir) =>
@@ -439,6 +455,42 @@ object SparkEntry {
         | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         | min(id) AS first_id, max(id) AS last_id
         |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
+    // end-to-end twin: every pipeline stage replayed in SQL over the
+    // normalized text (dedup keeper = min doc_id per md5; decontam =
+    // NOT EXISTS vs the benchmark shingles; quality = token count +
+    // punct ratio; packing = global-window prefix sum)
+    "pipeline_e2e" ->
+      s"""WITH norm AS (
+        | SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text, n_chars
+        | FROM documents),
+        |dedup AS (
+        | SELECT doc_id, text, n_chars FROM (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM norm)
+        | WHERE doc_id = keeper),
+        |${shingleCteSql(5, "norm")},
+        |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 17 = 0),
+        |contaminated AS (
+        | SELECT DISTINCT c.doc_id
+        | FROM (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 17 <> 0) c
+        | JOIN bench b USING (shingle)),
+        |clean AS (
+        | SELECT * FROM dedup
+        | WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |good AS (
+        | SELECT * FROM clean
+        | WHERE len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) >= 10
+        |  AND (CASE WHEN len(text) > 0
+        |        THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / len(text)
+        |        ELSE 0 END) <= 0.2),
+        |packed AS (
+        | SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS n_tokens,
+        |  sum(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |   - n_chars AS start
+        | FROM good)
+        |SELECT CAST(start // 4096 AS BIGINT) AS seq_id, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        | min(id) AS first_id, max(id) AS last_id
+        |FROM packed GROUP BY 1 ORDER BY seq_id""".stripMargin,
     "sample_hash" ->
       s"""SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents

@@ -220,6 +220,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(inc == crossing, s"inc=$inc expected=$crossing")
   }
 
+  // ---- end-to-end pipeline --------------------------------------------
+
+  test("pipeline_e2e composes: every packed doc survived dedup+decontam+quality") {
+    val packed = SparkEntry.queries("pipeline_e2e")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(packed.nonEmpty)
+    val nDocs = packed.map(_.getLong(1)).sum
+    val total = Tables.documents(spark, "/root/testdata/sf0.01").count()
+    assert(nDocs < total, "some docs must be filtered by the pipeline")
+    // sequences are contiguous, non-overlapping id ranges
+    val ranges = packed.map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, _, lastA), (_, firstB, _)) => assert(lastA < firstB)
+      case _ =>
+    }
+  }
+
   // ---- fixed-centroid IVF ---------------------------------------------
 
   test("ivfFixedTopK is a pure dataflow with sane recall vs brute force") {
