@@ -40,11 +40,24 @@ object Packing {
             else docs.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = docs
       .select(col(idCol).cast("long").as("id"), col(tokenCol).cast("long").as("n_tokens"))
+      // a null token count would poison every later start offset (the
+      // window sum skips it but the row's own `start` goes null);
+      // droppable rows must not silently shift the packing, so they
+      // are excluded up front
+      .where(col("n_tokens").isNotNull)
       .repartitionByRange(n, col("id"))
       .withColumn("__pid", spark_partition_id())
     val localW = Window.partitionBy(col("__pid")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // MATERIALIZED once: the per-partition sums below and the final
+    // join both consume `local`, and RangePartitioner re-SAMPLES its
+    // boundaries per job — two independent executions could place ids
+    // in different partitions, pairing totals with the wrong pids
+    // (observed at sf0.1: 6 sequences off). One materialization pins
+    // one boundary set for both consumers; at cluster scale this is
+    // the op's single full pass, persisted like any shuffle output.
     val local = ranged.withColumn("__cum", sum(col("n_tokens")).over(localW))
+      .localCheckpoint(true)
     // one row per partition: (pid, total). Collected to the driver —
     // partition-count-sized, not data-sized.
     val totals = local.groupBy(col("__pid")).agg(max(col("__cum")).as("__total"))

@@ -175,6 +175,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixSum is consistent across its two internal consumers at sampling scale") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // regression: RangePartitioner re-samples boundaries per job, and
+    // prefixSum's totals-collect and output pass are separate jobs —
+    // without materializing the ranged cumsum once, a 50k-row input
+    // could pair partition totals with the wrong partitions (caught at
+    // sf0.1 by the DuckDB oracle: starts off by one boundary's worth)
+    val docs = spark.range(0, 50000).select(col("id").as("doc_id"),
+      (col("id") % 37 + 1).as("n_tok"))
+    val got = Packing.prefixSum(docs, "n_tok")
+    val rows = got.orderBy("id").collect()
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == cum, s"start mismatch at id ${r.getLong(0)}")
+      cum += r.getLong(1)
+    }
+  }
+
   test("assignSequences packs contiguous runs within the token budget") {
     import spark.implicits._
     import graft.operators.Packing
