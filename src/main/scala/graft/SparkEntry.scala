@@ -208,6 +208,14 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("lang"))),
+    // mixture reweighting: per-source keep-rates as a scan-stage
+    // threshold filter; summarized per source
+    "sample_mixture" -> ((s, dir) =>
+      Sampling.mixtureSample(Tables.documents(s, dir), "source", "doc_id",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("source"))),
     // per-stratum quota sampling in deterministic md5 order
     "sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedQuota(Tables.documents(s, dir), "source", "doc_id", 20)
@@ -496,6 +504,15 @@ object SparkEntry {
         |FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.rateThresholdHex(0.3)}'
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "sample_mixture" ->
+      s"""SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        | CASE source WHEN 'src0' THEN '${Sampling.rateThresholdHex(1.0)}'
+        |  WHEN 'src1' THEN '${Sampling.rateThresholdHex(0.5)}'
+        |  WHEN 'src2' THEN '${Sampling.rateThresholdHex(0.25)}'
+        |  ELSE '${Sampling.rateThresholdHex(0.1)}' END
+        |GROUP BY source ORDER BY source""".stripMargin,
     "sample_stratified" ->
       """SELECT source, count(*) AS n_sampled,
         | array_to_string(list_sort(list(doc_id)), ',') AS ids

@@ -53,4 +53,23 @@ object Sampling {
       .where(col("__rn") <= quota)
       .drop("__rn")
   }
+
+  /** Downsample each stratum at its own rate — the mixture-reweighting
+    * step that turns "we have 80% web / 20% code" into the target
+    * blend. `rates` maps stratum → keep-rate in [0,1]; unlisted strata
+    * keep `defaultRate`. Still a pure scan-stage filter: the per-
+    * stratum threshold joins in as a broadcast (or folds to a literal
+    * CASE for small maps), so the corpus never shuffles and the
+    * decision stays the md5 threshold rule — deterministic,
+    * partition-invariant, and nested (raising a stratum's rate only
+    * ADDS rows to its sample). */
+  def mixtureSample(df: DataFrame, stratumCol: String, keyCol: String,
+                    rates: Map[String, Double],
+                    defaultRate: Double = 1.0): DataFrame = {
+    val thresh = rates.foldLeft(lit(rateThresholdHex(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(rateThresholdHex(rate))).otherwise(acc)
+    }
+    df.where(substring(md5(col(keyCol).cast("string")), 1, 8) < thresh)
+  }
 }

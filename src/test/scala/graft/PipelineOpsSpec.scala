@@ -105,6 +105,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(c.subsetOf(a), "samples must nest by rate")
   }
 
+  test("mixtureSample keeps per-stratum rates, nests, and preserves rate-1.0 strata") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val sampled = Sampling.mixtureSample(docs, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.0)
+    val got = sampled.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet.subsetOf(Set("src0", "src1")), s"rate-0 strata must vanish: $got")
+    assert(got("src0") == 25L, "rate 1.0 keeps every row")
+    assert(got.getOrElse("src1", 0L) > 5L && got("src1") < 20L,
+      s"rate 0.5 of 25 rows should keep roughly half: $got")
+    // nesting: the 0.5 sample of src1 is a subset of its full stratum
+    // and equals hashRateSample at the same rate
+    val direct = Sampling.hashRateSample(docs.where(col("source") === "src1"), "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaMixture = sampled.where(col("source") === "src1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(direct == viaMixture)
+  }
+
   test("stratifiedQuota returns min(quota, stratum size) rows per stratum, deterministically") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val q = Sampling.stratifiedQuota(docs, "source", "doc_id", 20)
