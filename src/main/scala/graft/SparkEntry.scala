@@ -137,6 +137,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // partition pruning on a hive-partitioned clustered layout: the
+    // lang predicate eliminates whole directories at planning time
+    "partitioned_scan" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_partitioned_${dir.hashCode.abs}"
+      graft.sources.ClusteredParquet.writePartitioned(Tables.documents(s, dir), path, "lang")
+      graft.sources.ClusteredParquet.read(s, path)
+        .where(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    }),
     // §2.3 LLM-data-pipeline operators
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir)).orderBy(col("h"))),
@@ -708,6 +719,10 @@ object SparkEntry {
     "clustered_write_scan" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN ($iiDocIdsSql) ORDER BY doc_id""".stripMargin,
+    "partitioned_scan" ->
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount FROM lineitem
         |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24

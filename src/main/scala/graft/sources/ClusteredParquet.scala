@@ -52,6 +52,26 @@ object ClusteredParquet {
                   docIdCol: String = "doc_id"): DataFrame =
     graft.operators.InvertedIndex.restrictToDocIds(read(spark, path), docIds, docIdCol)
 
+  /** Hive-style partitioned + clustered layout: directory partitions
+    * on a low-cardinality column (lang, date, source tier) with each
+    * partition internally doc-id-clustered. This buys PARTITION
+    * pruning — a predicate on the partition column eliminates whole
+    * directories at planning time, before any file footer is read —
+    * on top of R8's row-group pruning within the surviving
+    * partitions. The two prune at different granularities and
+    * compose; at 100 TB, `lang = 'en' AND doc_id IN (...)` reads only
+    * the en directory's matching row groups. Partition columns must
+    * be low-cardinality (each value is a directory): languages,
+    * dates, sources — never doc ids. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+                       docIdCol: String = "doc_id", filesPerPartition: Int = 4): Unit =
+    df.repartitionByRange(filesPerPartition, col(partitionCol), col(docIdCol))
+      .sortWithinPartitions(partitionCol, docIdCol)
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy(partitionCol)
+      .parquet(path)
+
   /** Rows the parquet scan emitted while executing `df` — i.e. rows
     * surviving row-group pruning, BEFORE any post-scan filter. Used by
     * the R8 spec to prove clustering skips row groups. Executes via

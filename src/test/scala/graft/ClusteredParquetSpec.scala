@@ -10,6 +10,25 @@ class ClusteredParquetSpec extends AnyFunSuite {
 
   private lazy val tmp = Files.createTempDirectory("graft-clustered").toString
 
+  test("partitioned layout prunes whole partitions at planning time") {
+    val docs = Tables.documents(spark, sf)
+    val path = s"$tmp/partitioned"
+    ClusteredParquet.writePartitioned(docs, path, "lang")
+    val q = ClusteredParquet.read(spark, path).where(col("lang") === "en")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"lang predicate must be a partition filter:\n$plan")
+    // the scan must emit ONLY the en partition's rows — directories
+    // for other languages are never read
+    val enRows = docs.where(col("lang") === "en").count()
+    assert(ClusteredParquet.scanOutputRows(q) == enRows,
+      "partition pruning must skip every non-en directory")
+    // and composes with row-group pruning inside the partition
+    val both = ClusteredParquet.read(spark, path)
+      .where(col("lang") === "en" && col("doc_id") < 50)
+    assert(ClusteredParquet.scanOutputRows(both) < enRows)
+  }
+
   test("R7: clustered write produces files covering disjoint doc_id ranges") {
     val docs = Tables.documents(spark, sf)
     val path = s"$tmp/clustered"
