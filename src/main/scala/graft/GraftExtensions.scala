@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.expr._
@@ -85,7 +86,17 @@ object GraftExtensions {
     (FunctionIdentifier("graft_collect_capped"),
       new ExpressionInfo(classOf[CollectCapped].getName, "graft_collect_capped"),
       (args: Seq[Expression]) =>
-        CollectCapped(args(0), intArg(args(1), "graft_collect_capped", 1))))
+        CollectCapped(args(0), intArg(args(1), "graft_collect_capped", 1))),
+    // Spark's own runtime-filter Bloom machinery, surfaced as callable
+    // functions: (long, estItems, numBits) -> binary sketch, and
+    // (binary, long) -> might-contain. The sketch is the scale path
+    // when an exact key set outgrows a broadcast hash relation.
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (args: Seq[Expression]) => BloomFilterAggregate(args(0), args(1), args(2), 0, 0)),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_bloom_contains"),
+      (args: Seq[Expression]) => BloomFilterMightContain(args(0), args(1))))
 
   /** Idempotent registration on an already-built session (tests,
     * notebooks attached to a foreign session). */

@@ -69,6 +69,18 @@ object SparkEntry {
        |   ELSE [array_to_string(t, ' ')] END AS s
        | FROM toks)""".stripMargin
 
+  /** Decontamination twin (5-gram shingles, benchmark = doc_id%17=0):
+    * per-corpus-doc count of distinct shingles shared with ANY
+    * benchmark doc. Shared verbatim by the exact and Bloom-prefiltered
+    * entries — the Bloom sketch never changes the result set. */
+  private lazy val decontaminateOracle: String =
+    s"""WITH ${shingleCteSql(5)},
+      |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 17 = 0),
+      |corp AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 17 <> 0)
+      |SELECT c.doc_id, count(*) AS n_hits
+      |FROM corp c JOIN bench b USING (shingle)
+      |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
+
   /** Per-language stopword score columns for the langid oracle —
     * generated from the same Stopwords profiles the kernel hashes. */
   private def langidScoresSql: String =
@@ -180,6 +192,16 @@ object SparkEntry {
     "decontaminate" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       Decontaminate.contaminationHits(
+          d.where(col("doc_id") % 17 =!= 0), d.where(col("doc_id") % 17 === 0))
+        .orderBy(col("doc_id"))
+    }),
+    // same decontamination on the Bloom-sketch path: corpus probes a
+    // broadcast Bloom of the benchmark shingles, survivors take a
+    // shuffled exact join — the plan for a benchmark too large to
+    // broadcast exactly. Result-identical to `decontaminate`.
+    "decontaminate_bloom" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Decontaminate.contaminationHitsBloom(
           d.where(col("doc_id") % 17 =!= 0), d.where(col("doc_id") % 17 === 0))
         .orderBy(col("doc_id"))
     }),
@@ -432,16 +454,10 @@ object SparkEntry {
         |SELECT component, count(*) AS n_members,
         | array_to_string(list_sort(list(id)), ',') AS members
         |FROM comp GROUP BY component ORDER BY component""".stripMargin,
-    // decontamination twin: 5-gram shingles, benchmark = doc_id%17=0,
-    // per-corpus-doc count of distinct shingles shared with ANY
-    // benchmark doc
-    "decontaminate" ->
-      s"""WITH ${shingleCteSql(5)},
-        |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 17 = 0),
-        |corp AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 17 <> 0)
-        |SELECT c.doc_id, count(*) AS n_hits
-        |FROM corp c JOIN bench b USING (shingle)
-        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    "decontaminate" -> decontaminateOracle,
+    // the Bloom path only PREFILTERS — the exact join decides, so the
+    // oracle is the very same query
+    "decontaminate_bloom" -> decontaminateOracle,
     // incremental twin: same SRP banding, corpus-side-only hot-bucket
     // gate (no 2-member minimum — the batch supplies the second member)
     "dedup_incremental" ->

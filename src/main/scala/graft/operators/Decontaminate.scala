@@ -55,4 +55,64 @@ object Decontaminate {
       .select(col("doc_id").as(idCol))
     corpus.join(hits, Seq(idCol), "left_anti")
   }
+
+  // ---- Bloom-prefiltered variant (the 100 TB escape hatch) -----------
+
+  /** Serialized Bloom sketch over the benchmark's distinct shingle
+    * hashes (Spark's split-block BloomFilter, the same machinery
+    * behind runtime join filters). Sized for `fpp` at the observed
+    * item count; ~1.2 bytes/shingle at 1% — 10–20× smaller than the
+    * exact hash relation the broadcast join would build. None when
+    * the benchmark has no shingles. */
+  def benchmarkBloomBytes(benchmark: DataFrame, textCol: String = "text",
+                          n: Int = 5, fpp: Double = 0.01): Option[Array[Byte]] = {
+    require(fpp > 0 && fpp < 1, "fpp in (0,1)")
+    val bench = benchmarkShingles(benchmark, textCol, n)
+    val items = bench.count()
+    if (items == 0L) None
+    else {
+      val ln2 = math.log(2)
+      val numBits = math.max(64L, math.ceil(-items * math.log(fpp) / (ln2 * ln2)).toLong)
+      Some(bench.agg(
+          call_function("graft_bloom_agg", col("shingle"), lit(items), lit(numBits)))
+        .head.getAs[Array[Byte]](0))
+    }
+  }
+
+  /** `contaminationHits`, re-planned for a benchmark shingle set too
+    * large to broadcast as an exact hash relation. The corpus probes a
+    * broadcast Bloom SKETCH first (no false negatives, so no hit is
+    * lost), which drops all but ~fpp of the non-contaminated shingles
+    * BEFORE any exchange; only the survivors take the shuffled exact
+    * join that removes Bloom false positives. Output is row-identical
+    * to `contaminationHits` — the sketch only prunes, the exact join
+    * decides. At 100 TB this converts a full-corpus-shingle shuffle
+    * into a shuffle of roughly corpus_hits + fpp·corpus_shingles rows. */
+  def contaminationHitsBloom(corpus: DataFrame, benchmark: DataFrame,
+                             textCol: String = "text", idCol: String = "doc_id",
+                             n: Int = 5, fpp: Double = 0.01): DataFrame =
+    benchmarkBloomBytes(benchmark, textCol, n, fpp) match {
+      case None =>
+        corpus.select(col(idCol).cast("long").as("doc_id"),
+          lit(0L).as("n_hits")).where(lit(false))
+      case Some(sketch) =>
+        val bench = benchmarkShingles(benchmark, textCol, n)
+        corpus.where(col(textCol).isNotNull)
+          .select(col(idCol).cast("long").as("doc_id"),
+            explode(shingleHashes(col(textCol), n)).as("shingle"))
+          .where(call_function("graft_bloom_contains", lit(sketch), col("shingle")))
+          .join(bench.hint("shuffle_hash"), "shingle")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hits"))
+    }
+
+  /** `decontaminate` on the Bloom-prefiltered path; result-identical. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         n: Int = 5, minHits: Long = 1L, fpp: Double = 0.01): DataFrame = {
+    val hits = contaminationHitsBloom(corpus, benchmark, textCol, idCol, n, fpp)
+      .where(col("n_hits") >= minHits)
+      .select(col("doc_id").as(idCol))
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
 }

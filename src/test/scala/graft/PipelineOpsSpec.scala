@@ -86,6 +86,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$plan")
   }
 
+  test("bloom-prefiltered decontamination is result-identical to the exact path") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.where(col("doc_id") % 17 =!= 0)
+    val bench = docs.where(col("doc_id") % 17 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(rows(Decontaminate.contaminationHitsBloom(corpus, bench)) ==
+      rows(Decontaminate.contaminationHits(corpus, bench)))
+    // and the kept-corpus agrees too
+    val keptBloom = Decontaminate.decontaminateBloom(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptExact = Decontaminate.decontaminate(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptBloom == keptExact)
+  }
+
+  test("bloom path probes the sketch pre-exchange and never broadcasts the exact set") {
+    val docs = Tables.documents(spark, sf)
+    val plan = Decontaminate.contaminationHitsBloom(
+        docs.where(col("doc_id") % 17 =!= 0), docs.where(col("doc_id") % 17 === 0))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"Bloom probe missing:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"exact verify must stay a shuffled join (the sketch replaces the broadcast):\n$plan")
+  }
+
+  test("empty benchmark -> zero contamination, corpus passes through") {
+    import spark.implicits._
+    val corpus = Seq((1L, "some words here for a doc")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Decontaminate.contaminationHitsBloom(corpus, bench).count() == 0L)
+    assert(Decontaminate.decontaminateBloom(corpus, bench).count() == 1L)
+  }
+
   // ---- sampling --------------------------------------------------------
 
   test("hashRateSample is deterministic, rate-accurate, and partition-invariant") {
