@@ -101,6 +101,37 @@ object SparkEntry {
        |            ELSE '${desc.last}' END""".stripMargin
   }
 
+  /** BM25 twin: identical formula structure and constants to
+    * Search.bm25TopK — interpolated constants go through
+    * CAST('…' AS DOUBLE) so DuckDB's strtod reproduces the exact
+    * Scala doubles (decimal-literal arithmetic would diverge). */
+  private def bm25OracleSql(terms: Seq[String], k: Int,
+                            k1: Double = 1.2, b: Double = 0.75): String = {
+    val termValues = terms.map(t => s"('$t')").mkString(", ")
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    s"""WITH toks AS (
+       | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS t
+       | FROM documents),
+       |base AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+       |tf AS (
+       | SELECT doc_id, dl, term, len(list_filter(t, x -> x = term)) AS tf
+       | FROM base CROSS JOIN (VALUES $termValues) q(term)
+       | WHERE len(list_filter(t, x -> x = term)) > 0),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       | SELECT doc_id,
+       |  sum(ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+       |      (CAST(tf AS DOUBLE) * CAST('$k1p1' AS DOUBLE)) /
+       |      (CAST(tf AS DOUBLE) + CAST('$k1' AS DOUBLE) *
+       |       (CAST('$oneMinusB' AS DOUBLE) + CAST('$b' AS DOUBLE) * dl / avgdl))) AS score
+       | FROM tf JOIN dft USING (term) CROSS JOIN stats
+       | GROUP BY doc_id)
+       |SELECT doc_id, round(score, 4) AS score
+       |FROM scored ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 reference surface: inverted-index log engine
@@ -128,6 +159,18 @@ object SparkEntry {
                 array_join(col("doc_ids"), ",").as("doc_ids"))
         .orderBy(col("value"), col("chunk"))),
     "ingest_nested_json" -> (NestedIngest.ingestNestedJson _),
+    // the search layer over the inverted-index surface: boolean
+    // posting-list algebra, positional phrase adjacency, BM25 ranking
+    "ii_search_boolean" -> ((s, dir) =>
+      Search.booleanSearch(Tables.documents(s, dir),
+          must = Seq("spark", "vector"), mustNot = Seq("slow"))
+        .orderBy(col("doc_id"))),
+    "ii_phrase_search" -> ((s, dir) =>
+      Search.phraseSearch(Tables.documents(s, dir), Seq("fast", "table"))
+        .orderBy(col("doc_id"))),
+    "search_bm25" -> ((s, dir) =>
+      Search.bm25TopK(Tables.documents(s, dir), Seq("spark", "vector", "slow"), 20)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
     // the reference's actual query shape: inverted index over a
     // dotted nested field, resolved through JSON ingest + flattening
     // (R1 ∘ R5 ∘ R6; reference src/main.rs:398-499 + 260-262).
@@ -395,6 +438,28 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "ii_search_boolean" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents)
+        |SELECT doc_id FROM toks
+        |WHERE list_contains(t, 'spark') AND list_contains(t, 'vector')
+        | AND NOT list_contains(t, 'slow')
+        |ORDER BY doc_id""".stripMargin,
+    // 1-based list positions: occurrence at comprehension index i means
+    // 0-based token position i-1, hence the -1 on first_pos
+    "ii_phrase_search" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |occ AS (
+        | SELECT doc_id,
+        |  [i for i in range(1, len(t)) if t[i] = 'fast' and t[i+1] = 'table'] AS ps
+        | FROM toks)
+        |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_occurrences,
+        | CAST(list_min(ps) - 1 AS BIGINT) AS first_pos
+        |FROM occ WHERE len(ps) > 0 ORDER BY doc_id""".stripMargin,
+    "search_bm25" -> bm25OracleSql(Seq("spark", "vector", "slow"), 20),
     // full n-gram Jaccard twin: 3-gram word shingles (docs shorter
     // than 3 tokens collapse to one whole-doc shingle), distinct sets,
     // |∩| / |∪| — mirrors TextFunctions.wordShingles + verifyJaccard

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Full-text search over the inverted-index surface — the query layer
+  * a user of an inverted-index engine (reference src/main.rs:398-499
+  * builds value→posting-list maps) ultimately wants on top of it:
+  * boolean term search, positional phrase search, and BM25 relevance
+  * ranking.
+  *
+  * Spark-first shapes, chosen per query class:
+  *
+  *  - Term/posting queries never materialize the full token explode.
+  *    Tokens are intersected with the (tiny, literal) query vocabulary
+  *    INSIDE the scan projection, so the generator output is bounded by
+  *    |query terms| per doc, not |tokens| — at 100 TB the explode is
+  *    the difference between shuffling a few matched rows and
+  *    shuffling the entire tokenized corpus.
+  *  - Boolean search has two result-identical paths: a posting-list
+  *    aggregation (the "index algebra" path — one shuffle of matched
+  *    postings, conditional-count AND/NOT semantics) and a pure
+  *    scan-stage filter (zero shuffle, the right plan when no
+  *    materialized index exists). SearchSpec proves them equal.
+  *  - Phrase search aligns positional postings by (doc, pos - offset)
+  *    equi-joins — the classic positional-index adjacency join; only
+  *    phrase-term positions ever shuffle.
+  *  - BM25 keeps corpus statistics (N, avgdl) one broadcast row and
+  *    document frequencies one broadcast table; per-doc scores reduce
+  *    in a map-side-combined sum and the final top-k is a
+  *    TakeOrderedAndProject, so nothing unbounded crosses the wire.
+  *    At production scale N/avgdl/df come from a precomputed corpus
+  *    statistics table (they change slowly); this operator computes
+  *    them inline so the result is self-contained.
+  */
+object Search {
+
+  /** Search-side tokenization: lowercased whitespace tokens — the
+    * match side of TextFunctions.tokens. */
+  def searchTokens(text: Column): Column = TextFunctions.tokens(lower(text))
+
+  /** Query-restricted postings (doc_id, term): one row per (doc,
+    * distinct matched query term). The intersect runs in the scan
+    * projection, so unmatched tokens never leave the generator. */
+  def postingsFor(docs: DataFrame, terms: Seq[String],
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val termArr = array(terms.distinct.map(lit): _*)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(array_intersect(array_distinct(searchTokens(col(textCol))), termArr)).as("term"))
+  }
+
+  /** Boolean search, posting-list path: docs containing ALL of `must`
+    * and NONE of `mustNot`. AND = count of distinct matched must-terms
+    * equals |must|; NOT = any matched mustNot-term disqualifies. One
+    * shuffle, keyed on doc_id, carrying only matched postings. */
+  def booleanSearch(docs: DataFrame, must: Seq[String], mustNot: Seq[String] = Nil,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(must.nonEmpty, "at least one required term")
+    val m = must.distinct.map(_.toLowerCase)
+    val n = mustNot.distinct.map(_.toLowerCase)
+    postingsFor(docs, m ++ n, textCol, idCol)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("term").isin(m: _*), 1L).otherwise(0L)).as("n_must"),
+        // empty isin = constant-false predicate, so no-mustNot degrades
+        // to max(false) — still a valid aggregate
+        max(col("term").isin(n: _*)).as("has_not"))
+      .where(col("n_must") === m.size && !col("has_not"))
+      .select(col("doc_id"))
+  }
+
+  /** Boolean search, scan path: the same predicate as a pushed-down
+    * per-row filter — zero shuffle, for corpora with no prebuilt
+    * index. Result-identical to `booleanSearch`. */
+  def booleanSearchScan(docs: DataFrame, must: Seq[String], mustNot: Seq[String] = Nil,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = searchTokens(col(textCol))
+    val mustPred = must.distinct.map(w => array_contains(t, w.toLowerCase)).reduce(_ && _)
+    val notPred = mustNot.distinct
+      .map(w => array_contains(t, w.toLowerCase))
+      .foldLeft(lit(false))(_ || _)
+    docs.where(mustPred && !notPred).select(col(idCol).cast("long").as("doc_id"))
+  }
+
+  /** Positional postings (doc_id, pos, term) restricted to `terms`:
+    * positions are attached and filtered INSIDE the array (transform +
+    * filter) before the explode, so only query-term occurrences are
+    * generated. */
+  def positionalPostingsFor(docs: DataFrame, terms: Seq[String],
+                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val termArr = array(terms.distinct.map(lit): _*)
+    val indexed = filter(
+      transform(searchTokens(col(textCol)),
+        (tok, i) => struct(i.cast("long").as("pos"), tok.as("term"))),
+      s => array_contains(termArr, s.getField("term")))
+    docs.select(col(idCol).cast("long").as("doc_id"), explode(indexed).as("pt"))
+      .select(col("doc_id"), col("pt.pos").as("pos"), col("pt.term").as("term"))
+  }
+
+  /** Phrase search via positional-posting adjacency joins: word i of
+    * the phrase must appear at (anchor position + i). Each join is an
+    * equi-join on (doc_id, aligned position) over phrase-term-only
+    * postings. Returns (doc_id, n_occurrences, first_pos), 0-based
+    * positions, matching docs only. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two words")
+    val words = phrase.map(_.toLowerCase)
+    val p = positionalPostingsFor(docs, words, textCol, idCol)
+    val anchor = p.where(col("term") === words.head)
+      .select(col("doc_id"), col("pos").as("p0"))
+    val aligned = words.zipWithIndex.tail.foldLeft(anchor) { case (acc, (w, i)) =>
+      // positions are unique per doc, so each join is 1:1 on (doc, p0)
+      acc.join(
+        p.where(col("term") === w).select(col("doc_id"), (col("pos") - i).as("p0")),
+        Seq("doc_id", "p0"))
+    }
+    aligned.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"), min(col("p0")).as("first_pos"))
+  }
+
+  /** Per-row phrase occurrence count — the scan-path twin of
+    * `phraseSearch` (SearchSpec proves them equal). */
+  def phraseOccurrences(text: Column, phrase: Seq[String]): Column = {
+    val words = phrase.map(_.toLowerCase)
+    val t = searchTokens(text)
+    val m = words.size
+    val matchAt = (i: Column) =>
+      words.zipWithIndex
+        .map { case (w, j) => element_at(t, (i + j + 1).cast("int")) === w }
+        .reduce(_ && _)
+    when(size(t) >= m, size(filter(sequence(lit(0), size(t) - m), matchAt)))
+      .otherwise(0)
+  }
+
+  /** BM25 top-k relevance ranking for a bag-of-words query.
+    *
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the standard
+    * non-negative BM25+ idf), score = Σ_terms idf · tf·(k1+1) /
+    * (tf + k1·(1 - b + b·dl/avgdl)). Robertson-Spärck Jones weighting
+    * as published (Robertson & Zaragoza 2009, "The Probabilistic
+    * Relevance Framework: BM25 and Beyond").
+    *
+    * Returns the k best (doc_id, score), score descending, doc_id
+    * ascending on ties. */
+  def bm25TopK(docs: DataFrame, query: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(query.nonEmpty && k > 0)
+    val terms = query.distinct.map(_.toLowerCase)
+    // constants are pre-folded in Scala so an oracle re-deriving the
+    // same formula from these exact doubles stays bit-comparable
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        searchTokens(col(textCol)).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+    // corpus statistics: one row, broadcast back onto the scored rows
+    val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // per-(doc, query term) frequencies; docs lacking the term drop out
+    val tfStructs = array(terms.map(w =>
+      struct(lit(w).as("term"),
+        size(filter(col("t"), x => x === w)).cast("long").as("tf"))): _*)
+    val tf = base.select(col("doc_id"), col("dl"), explode(tfStructs).as("ts"))
+      .select(col("doc_id"), col("dl"), col("ts.term").as("term"), col("ts.tf").as("tf"))
+      .where(col("tf") > 0)
+    // document frequency per query term: |terms| rows, broadcast
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * k1p1) /
+          (col("tf") + lit(k1) * (lit(oneMinusB) + lit(b) * col("dl") / col("avgdl")))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

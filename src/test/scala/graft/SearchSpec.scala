@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Search
+
+class SearchSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def docs = Tables.documents(spark, sf)
+
+  private lazy val texts: Map[Long, Array[String]] =
+    docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .toMap
+
+  test("boolean search: posting-list path == scan path == brute force") {
+    val must = Seq("spark", "vector")
+    val mustNot = Seq("slow")
+    val viaPostings = Search.booleanSearch(docs, must, mustNot)
+      .collect().map(_.getLong(0)).toSet
+    val viaScan = Search.booleanSearchScan(docs, must, mustNot)
+      .collect().map(_.getLong(0)).toSet
+    val brute = texts.collect { case (id, t)
+      if must.forall(t.contains) && !mustNot.exists(t.contains) => id }.toSet
+    assert(brute.nonEmpty, "query should match some docs in testdata")
+    assert(viaPostings == brute)
+    assert(viaScan == brute)
+  }
+
+  test("boolean search: AND across terms, not OR") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta"), (2L, "alpha"), (3L, "beta"), (4L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val hits = Search.booleanSearch(df, Seq("alpha", "beta"), Seq("gamma"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L))
+  }
+
+  test("phrase search: join path matches the scan-expression count and brute force") {
+    val phrase = Seq("fast", "table")
+    val found = Search.phraseSearch(docs, phrase)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val brute = texts.flatMap { case (id, t) =>
+      val occ = t.indices.dropRight(1).filter(i => t(i) == "fast" && t(i + 1) == "table")
+      if (occ.nonEmpty) Some(id -> (occ.size.toLong, occ.min.toLong)) else None
+    }
+    assert(brute.nonEmpty, "phrase should occur in testdata")
+    assert(found == brute)
+    val viaExpr = docs
+      .select(col("doc_id"), Search.phraseOccurrences(col("text"), phrase).as("n"))
+      .where(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(viaExpr == found.map { case (id, (n, _)) => id -> n })
+  }
+
+  test("phrase search: repeated-word phrases count overlapping occurrences") {
+    import spark.implicits._
+    val df = Seq((1L, "x table table table y"), (2L, "table x table")).toDF("doc_id", "text")
+    val r = Search.phraseSearch(df, Seq("table", "table"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set((1L, 2L, 1L)))
+  }
+
+  test("bm25: scores rank an obviously relevant doc first and agree with a reference impl") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark filler filler filler filler filler filler filler"),
+      (3L, "filler filler filler"),
+      (4L, "spark spark filler")).toDF("doc_id", "text")
+    val got = Search.bm25TopK(corpus, Seq("spark"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // reference BM25 on the same corpus, straight from the formula
+    val dls = Map(1L -> 3.0, 2L -> 8.0, 3L -> 3.0, 4L -> 3.0)
+    val tfs = Map(1L -> 3.0, 2L -> 1.0, 4L -> 2.0)
+    val n = 4.0; val df_ = 3.0; val avgdl = (3 + 8 + 3 + 3) / 4.0
+    val idf = math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+    val expect = tfs.map { case (id, tf) =>
+      id -> idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dls(id) / avgdl))
+    }
+    assert(got.map(_._1).toSeq == Seq(1L, 4L, 2L), s"rank order was ${got.toSeq}")
+    got.foreach { case (id, s) => assert(math.abs(s - expect(id)) < 1e-9) }
+  }
+
+  test("bm25 on testdata: k bounds output, scores descend, ties break by doc_id") {
+    val r = Search.bm25TopK(docs, Seq("spark", "vector", "slow"), 20)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(r.length == 20)
+    r.sliding(2).foreach { case Array((id1, s1), (id2, s2)) =>
+      assert(s1 > s2 || (s1 == s2 && id1 < id2))
+    }
+  }
+}
