@@ -409,6 +409,11 @@ object SparkEntry {
     "q_json_extract"   -> (Relational.jsonExtract _),
     "q_explode_tokens" -> (Relational.explodeTokens _),
     "q_union_case"     -> (Relational.unionCase _),
+    "q_rollup"         -> (Relational.rollupAgg _),
+    "q_cube"           -> (Relational.cubeAgg _),
+    "q_pivot"          -> (Relational.pivotLangCounts _),
+    "q_quantiles"      -> (Relational.quantiles _),
+    "q_histogram"      -> ((s, dir) => Relational.histogram(s, dir)),
   )
 
   /** DuckDB-dialect twins of `queries`, identical column names and
@@ -878,5 +883,40 @@ object SparkEntry {
         |  CASE WHEN l_quantity >= 40 THEN 'hi' WHEN l_quantity >= 15 THEN 'mid'
         |   ELSE 'lo' END AS bucket FROM lineitem)
         |GROUP BY src, bucket ORDER BY src, bucket""".stripMargin,
+    "q_rollup" ->
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_cube" ->
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_pivot" ->
+      """SELECT source,
+        | count(*) FILTER (WHERE lang = 'de') AS de,
+        | count(*) FILTER (WHERE lang = 'en') AS en,
+        | count(*) FILTER (WHERE lang = 'es') AS es,
+        | count(*) FILTER (WHERE lang = 'fr') AS fr,
+        | count(*) FILTER (WHERE lang = 'zh') AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // quantile_cont = the same (1-f)·lower + f·upper linear
+    // interpolation at rank p·(n-1) Spark's exact `percentile` uses
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) * 5000.0 AS BIGINT) AS bin,
+        | count(*) AS n, round(avg(l_discount), 4) AS avg_disc
+        |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin,
   )
 }

@@ -214,6 +214,100 @@ object Relational {
       .limit(20)
   }
 
+  /** C13: ROLLUP — hierarchical subtotals (flag, status) → (flag) →
+    * grand total. Spark plans one Expand (×3, one branch per grouping
+    * set) feeding a single partially-aggregated shuffle, so the bytes
+    * crossing the exchange are O(sets × groups per partition), not
+    * O(rows) — rollup over low-cardinality keys scales like a plain
+    * group-by. `grouping()` flags are rewritten to 'ALL' labels so the
+    * output carries no NULL grouping markers (engine-agnostic hash). */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(grouping($"l_returnflag").as("g_rf"), grouping($"l_linestatus").as("g_ls"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(
+        when($"g_rf" === 1, "ALL").otherwise($"l_returnflag").as("rf"),
+        when($"g_ls" === 1, "ALL").otherwise($"l_linestatus").as("ls"),
+        $"sum_qty", $"sum_price", $"n")
+      .orderBy($"rf", $"ls")
+  }
+
+  /** C13b: CUBE — all 2^k grouping-set combinations; same Expand-based
+    * plan shape as rollup (×4 here). */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(grouping($"l_returnflag").as("g_rf"), grouping($"l_linestatus").as("g_ls"),
+        round(sum($"l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        when($"g_rf" === 1, "ALL").otherwise($"l_returnflag").as("rf"),
+        when($"g_ls" === 1, "ALL").otherwise($"l_linestatus").as("ls"),
+        $"sum_qty", $"n")
+      .orderBy($"rf", $"ls")
+  }
+
+  /** C14: PIVOT — long→wide on an explicit value list. Passing the
+    * values makes the plan a single group-by with conditional
+    * aggregates; omitting them would add a driver-side distinct job to
+    * discover columns first — never do that at 100 TB. Empty cells
+    * become 0 (Spark's pivot count yields null for absent combos,
+    * which no SQL conditional-count twin would produce). */
+  def pivotLangCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .groupBy($"source")
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"source")
+  }
+
+  /** C15: exact percentiles per group. `percentile` buffers every
+    * value of the group in an ObjectHashAggregate — correct and fine
+    * for bounded groups, the documented scale-weak path for huge ones.
+    * The 100 TB API is `approxQuantiles` below (constant-size sketch);
+    * RelationalSpec gates the sketch against these exact values. */
+  def quantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** C15 at scale: KLL/GK-style mergeable quantile sketch
+    * (`approx_percentile`) — one pass, constant memory per group,
+    * rank error ≤ 1/accuracy. */
+  def approxQuantiles(spark: SparkSession, sfDir: String, accuracy: Int = 10000): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(expr(s"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), $accuracy)")
+        .as("qs"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** C16: fixed-width histogram — a scan-stage floor-bucket key into a
+    * plain group-by; the profile query every ingest pipeline runs.
+    * Bin edges are data-independent so no extra pass computes min/max. */
+  def histogram(spark: SparkSession, sfDir: String, binWidth: Double = 5000.0): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy((floor($"l_extendedprice" / binWidth) * binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), round(avg($"l_discount"), 4).as("avg_disc"))
+      .orderBy($"bin")
+  }
+
   /** C12: union + CASE buckets across two tables. */
   def unionCase(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

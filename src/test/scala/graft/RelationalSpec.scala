@@ -58,4 +58,54 @@ class RelationalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
+
+  test("rollup: subtotal levels are internally consistent") {
+    val rows = operators.Relational.rollupAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(4))).toMap
+    val leaves = rows.filter { case ((rf, ls), _) => rf != "ALL" && ls != "ALL" }
+    val flags = leaves.keys.map(_._1).toSet
+    // per-flag subtotal = sum of its leaves; grand total = sum of subtotals
+    flags.foreach { f =>
+      val leafN = leaves.collect { case ((`f`, _), (_, n)) => n }.sum
+      assert(rows((f, "ALL"))._2 == leafN, s"flag $f subtotal mismatch")
+    }
+    val grand = rows(("ALL", "ALL"))._2
+    assert(grand == leaves.values.map(_._2).sum)
+    // cube contains the same leaves plus the status-only margin sets
+    val cube = operators.Relational.cubeAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows.keySet.subsetOf(cube))
+    assert(cube.exists { case (rf, ls) => rf == "ALL" && ls != "ALL" })
+  }
+
+  test("pivot: wide counts sum back to the table count, absent cells are 0") {
+    val df = operators.Relational.pivotLangCounts(spark, sf)
+    val langCols = df.columns.filter(_ != "source")
+    assert(langCols.sorted.sameElements(Array("de", "en", "es", "fr", "zh")))
+    val total = df.collect().map(r => langCols.indices.map(i => r.getLong(i + 1)).sum).sum
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("quantiles: exact percentiles ordered, approx sketch lands within rank tolerance") {
+    val exact = operators.Relational.quantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    exact.values.foreach(qs => assert(qs.sameElements(qs.sorted), "percentiles must ascend"))
+    val approx = operators.Relational.approxQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    // accuracy=10000 over ≤60k-row groups: rank error ≤ n/10000 ≈ a few
+    // ranks — the sketch value must sit inside the adjacent exact
+    // percentile bracket
+    approx.foreach { case (flag, qs) =>
+      val e = exact(flag)
+      assert(qs(1) >= e(0) && qs(1) <= e(2), s"$flag approx p50 ${qs(1)} outside [p25,p75] $e")
+      assert(qs(3) >= e(2), s"$flag approx p95 ${qs(3)} below exact p75")
+    }
+  }
+
+  test("histogram: bins are multiples of the width and cover every row") {
+    val rows = operators.Relational.histogram(spark, sf).collect()
+    rows.foreach(r => assert(r.getLong(0) % 5000 == 0))
+    assert(rows.map(_.getLong(1)).sum == Tables.lineitem(spark, sf).count())
+  }
 }
