@@ -257,6 +257,11 @@ object SparkEntry {
         .select(col("new_id"), col("old_id"), round(col("cos"), 4).as("cos"))
         .orderBy(col("new_id"), col("old_id"))
     }),
+    // sliding-window token chunking (window 64, stride 32): the
+    // context-window slicer between cleaning and packing; zero-shuffle
+    "chunk_docs" -> ((s, dir) =>
+      Chunking.chunkSummary(Tables.documents(s, dir), window = 64, stride = 32)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
     // sequence packing: two-phase distributed prefix sum over the
     // corpus order, docs binned into fixed-budget context windows
     "pack_sequences" -> ((s, dir) =>
@@ -547,6 +552,23 @@ object SparkEntry {
         |FROM cand JOIN v v1 ON v1.id = cand.new_id JOIN v v2 ON v2.id = cand.old_id
         |WHERE list_cosine_similarity(v1.e, v2.e) >= 0.35
         |ORDER BY new_id, old_id""".stripMargin,
+    // chunking twin: chunk count 1 + ceil((len-64)/32) for long docs,
+    // 1-based inclusive list slicing t[a:b] = Spark's slice(t, a, 64)
+    "chunk_docs" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id, t,
+        |  CASE WHEN len(t) <= 64 THEN 1
+        |       ELSE CAST(ceil((len(t) - 64) / 32.0) AS INT) + 1 END AS nc
+        | FROM toks),
+        |ch AS (
+        | SELECT doc_id, t, unnest([i for i in range(0, nc)]) AS ci FROM b)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        | CAST(len(t[ci*32+1 : ci*32+64]) AS BIGINT) AS n_toks,
+        | md5(array_to_string(t[ci*32+1 : ci*32+64], ' ')) AS h
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     // packing twin: DuckDB computes the prefix sum as one global
     // window — correct for an oracle, the exact shape the distributed
     // implementation avoids
