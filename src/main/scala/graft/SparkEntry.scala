@@ -171,6 +171,12 @@ object SparkEntry {
     "search_bm25" -> ((s, dir) =>
       Search.bm25TopK(Tables.documents(s, dir), Seq("spark", "vector", "slow"), 20)
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
+    "search_fuzzy" -> ((s, dir) =>
+      Search.fuzzySearch(Tables.documents(s, dir), Seq("spak", "strem", "jion"), maxDist = 2)
+        .orderBy(col("q"), col("dist"), col("term"))),
+    "search_prefix" -> ((s, dir) =>
+      Search.prefixSearch(Tables.documents(s, dir), "s")
+        .orderBy(col("term"))),
     // the reference's actual query shape: inverted index over a
     // dotted nested field, resolved through JSON ingest + flattening
     // (R1 ∘ R5 ∘ R6; reference src/main.rs:398-499 + 260-262).
@@ -470,6 +476,28 @@ object SparkEntry {
         | CAST(list_min(ps) - 1 AS BIGINT) AS first_pos
         |FROM occ WHERE len(ps) > 0 ORDER BY doc_id""".stripMargin,
     "search_bm25" -> bm25OracleSql(Seq("spark", "vector", "slow"), 20),
+    // levenshtein with the same length-difference lower-bound gate;
+    // DuckDB's uncapped distance equals the capped one inside ≤ maxDist
+    "search_fuzzy" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |v AS (
+        | SELECT term, count(*) AS df
+        | FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks)
+        | GROUP BY term),
+        |q AS (SELECT unnest(['spak', 'strem', 'jion']) AS q)
+        |SELECT q, term, CAST(levenshtein(q, term) AS BIGINT) AS dist, df
+        |FROM v CROSS JOIN q
+        |WHERE abs(len(term) - len(q)) <= 2 AND levenshtein(q, term) <= 2
+        |ORDER BY q, dist, term""".stripMargin,
+    "search_prefix" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents)
+        |SELECT term, count(*) AS df
+        |FROM (SELECT doc_id, unnest(list_filter(list_distinct(t), x -> x LIKE 's%')) AS term FROM toks)
+        |GROUP BY term ORDER BY term""".stripMargin,
     // full n-gram Jaccard twin: 3-gram word shingles (docs shorter
     // than 3 tokens collapse to one whole-doc shingle), distinct sets,
     // |∩| / |∪| — mirrors TextFunctions.wordShingles + verifyJaccard

@@ -133,6 +133,46 @@ object Search {
       .otherwise(0)
   }
 
+  /** Term dictionary with document frequencies — the vocabulary side
+    * of the inverted index. `array_distinct` runs inside the scan
+    * projection so each (doc, term) contributes once; the single
+    * shuffle is the term group-by with map-side partial counts. */
+  def vocabulary(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(array_distinct(searchTokens(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** Fuzzy term lookup: vocabulary entries within edit distance
+    * `maxDist` of any query term — the spell-correction layer of a
+    * search engine. Query terms broadcast (a handful of literals); the
+    * vocabulary never moves. The length gate |len(q) − len(term)| ≤
+    * maxDist is a Levenshtein lower bound, so the quadratic DP runs
+    * only on plausible pairs, and the threshold-capped `levenshtein`
+    * (returns −1 past maxDist) bounds the DP band itself. */
+  def fuzzySearch(docs: DataFrame, terms: Seq[String], maxDist: Int = 1,
+                  textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty && maxDist >= 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val queries = terms.distinct.map(_.toLowerCase).toDF("q")
+    val dist = levenshtein(col("q"), col("term"), maxDist)
+    vocabulary(docs, textCol)
+      .join(broadcast(queries),
+        abs(length(col("term")) - length(col("q"))) <= maxDist && dist >= 0)
+      .select(col("q"), col("term"), dist.cast("long").as("dist"), col("df"))
+  }
+
+  /** Prefix (`pre*` wildcard) search over the term dictionary: terms
+    * starting with `prefix` and their document frequencies. The prefix
+    * test runs inside the token array before the explode, so only
+    * matching terms are ever generated. */
+  def prefixSearch(docs: DataFrame, prefix: String,
+                   textCol: String = "text"): DataFrame = {
+    val p = prefix.toLowerCase
+    docs.select(explode(filter(array_distinct(searchTokens(col(textCol))),
+        t => t.startsWith(lit(p)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+  }
+
   /** BM25 top-k relevance ranking for a bag-of-words query.
     *
     * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the standard

@@ -83,6 +83,42 @@ class SearchSpec extends AnyFunSuite {
     got.foreach { case (id, s) => assert(math.abs(s - expect(id)) < 1e-9) }
   }
 
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("fuzzy search matches a brute-force edit-distance scan of the vocabulary") {
+    val qs = Seq("spak", "strem", "jion")
+    val got = Search.fuzzySearch(docs, qs, maxDist = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val vocab = texts.values.flatMap(_.distinct)
+      .groupBy(identity).map { case (t, occ) => t -> occ.size.toLong }
+    val brute = (for {
+      q <- qs; (t, df) <- vocab
+      d = lev(q, t) if d <= 2
+    } yield (q, t, d.toLong, df)).toSet
+    assert(brute.nonEmpty, "typo queries should match vocabulary terms")
+    assert(got == brute)
+    // each planted typo finds its intended correction at distance >= 1
+    assert(got.exists { case (q, t, _, _) => q == "spak" && t == "spark" })
+    assert(got.exists { case (q, t, _, _) => q == "strem" && t == "stream" })
+  }
+
+  test("prefix search returns exactly the vocabulary terms under the prefix") {
+    val got = Search.prefixSearch(docs, "s").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val brute = texts.values.flatMap(_.distinct).filter(_.startsWith("s"))
+      .groupBy(identity).map { case (t, occ) => t -> occ.size.toLong }
+    assert(brute.nonEmpty)
+    assert(got == brute)
+  }
+
   test("bm25 on testdata: k bounds output, scores descend, ties break by doc_id") {
     val r = Search.bm25TopK(docs, Seq("spark", "vector", "slow"), 20)
       .collect().map(x => (x.getLong(0), x.getDouble(1)))
