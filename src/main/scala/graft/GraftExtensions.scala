@@ -79,6 +79,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SrpSignBits].getName, "graft_srp"),
       (args: Seq[Expression]) =>
         SrpSignBits(args(0), intArg(args(1), "graft_srp", 1))),
+    (FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder"),
+      (args: Seq[Expression]) => ZOrder2(args(0), args(1))),
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (args: Seq[Expression]) =>

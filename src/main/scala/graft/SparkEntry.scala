@@ -209,6 +209,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("source"))
     }),
+    // z-order clustered layout: a 2-d box predicate over the Morton
+    // layout — row-group stats prune BOTH dimensions (pruning itself
+    // is asserted in ZOrderSpec; this entry pins result correctness)
+    "zorder_scan" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${dir.hashCode.abs}"
+      graft.sources.ClusteredParquet.writeZOrdered(
+        Tables.lineitem(s, dir), path, "l_partkey", "l_orderkey", numFiles = 8)
+      graft.sources.ClusteredParquet.read(s, path)
+        .where(col("l_partkey").between(100, 299) && col("l_orderkey").between(1000, 3999))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+                col("l_suppkey"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     // §2.3 LLM-data-pipeline operators
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir)).orderBy(col("h"))),
@@ -855,6 +868,11 @@ object SparkEntry {
     "clustered_write_scan" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN ($iiDocIdsSql) ORDER BY doc_id""".stripMargin,
+    "zorder_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 299 AND l_orderkey BETWEEN 1000 AND 3999
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "partitioned_scan" ->
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en'

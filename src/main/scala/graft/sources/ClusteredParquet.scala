@@ -72,6 +72,30 @@ object ClusteredParquet {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** Z-order (Morton) clustered layout: the multi-dimensional
+    * extension of R7. Rows sort by the bit-interleaved key of two
+    * columns, so every file and row group carries a tight [min,max]
+    * envelope in BOTH columns at once — a box predicate
+    * `a IN [a0,a1] AND b IN [b0,b1]` prunes on footer stats in both
+    * dimensions, where the single-column clustered layout only prunes
+    * its sort column. At 100 TB this is the difference between
+    * scanning ~selectivity(a)·data for a 2-d box and scanning
+    * ~selectivity(a)·selectivity(b)·data (plus z-curve boundary
+    * groups). Coordinates must be non-negative and fit 32 bits —
+    * pre-bucket continuous domains first. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int = 0, rowGroupBytes: Long = 0L): Unit = {
+    val parts = if (numFiles > 0) numFiles
+                else df.sparkSession.sessionState.conf.numShufflePartitions
+    val z = call_function("graft_zorder", col(colA).cast("long"), col(colB).cast("long"))
+    var w = df.repartitionByRange(parts, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+    if (rowGroupBytes > 0) w = w.option("parquet.block.size", rowGroupBytes.toString)
+    w.parquet(path)
+  }
+
   /** Rows the parquet scan emitted while executing `df` — i.e. rows
     * surviving row-group pruning, BEFORE any post-scan filter. Used by
     * the R8 spec to prove clustering skips row groups. Executes via
