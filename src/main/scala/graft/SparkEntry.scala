@@ -339,6 +339,23 @@ object SparkEntry {
                 round(col("score"), 4).as("score"))
         .orderBy(col("q_id"), col("rank"))
     }),
+    // scalar int8 quantization summary: codes pinned via saturation
+    // count + code sum, plus the original↔dequantized cosine retention
+    "embed_quantize" -> ((s, dir) =>
+      Quantization.quantizeSummary(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"))),
+    // the ANN family running unchanged over the compressed store:
+    // exact top-k over dequantized int8 vectors (the 4×-less-memory
+    // scale path; recall vs float32 exact is pinned in the spec)
+    "ann_int8" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+          Quantization.dequantized(e.where(col("vec_id") < 8)),
+          Quantization.dequantized(e), 10)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
+                round(col("score"), 4).as("score"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
     "ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e.where(col("vec_id") < 8), e, 10)
@@ -736,6 +753,44 @@ object SparkEntry {
         | SELECT q_id, c_id, s,
         |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
         | FROM rescored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(s, 4) AS score
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // int8 twin: same max-abs half-up quantization (identical double
+    // op order: x/maxabs*127+0.5, then code·(maxabs/127)), then the
+    // exact-top-k pipeline over the dequantized vectors
+    "embed_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max([abs(x) for x in e]) AS maxabs FROM v),
+        |q AS (
+        | SELECT vec_id, e, maxabs,
+        |  CASE WHEN maxabs = 0 THEN [0 for x in e]
+        |   ELSE [CAST(floor(x / maxabs * 127 + 0.5) AS INT) for x in e] END AS qv
+        | FROM m)
+        |SELECT vec_id,
+        | CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+        | CAST(list_sum(qv) AS BIGINT) AS sum_q,
+        | round(maxabs / 127, 6) AS scale,
+        | round(list_cosine_similarity(e,
+        |   [CAST(x AS DOUBLE) * (maxabs / 127) for x in qv]), 4) AS cos_ret
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "ann_int8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max([abs(x) for x in e]) AS maxabs FROM v),
+        |dq AS (
+        | SELECT vec_id,
+        |  CASE WHEN maxabs = 0 THEN [CAST(0 AS DOUBLE) for x in e]
+        |   ELSE [CAST(floor(x / maxabs * 127 + 0.5) AS INT) * (maxabs / 127) for x in e]
+        |  END AS e
+        | FROM m),
+        |q AS (SELECT vec_id AS q_id, e AS qv FROM dq WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS c_id, e AS cv FROM dq),
+        |scored AS (
+        | SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS s
+        | FROM q CROSS JOIN c WHERE q_id <> c_id),
+        |ranked AS (
+        | SELECT q_id, c_id, s,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
+        | FROM scored)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(s, 4) AS score
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // exact twin: all-pairs cosine + top-10 per query, ties broken
