@@ -158,6 +158,19 @@ object SparkEntry {
         .select(col("value"), col("chunk"), col("n_docs"),
                 array_join(col("doc_ids"), ",").as("doc_ids"))
         .orderBy(col("value"), col("chunk"))),
+    // index maintenance: delta-merge compaction must equal a full
+    // rebuild (base = 90% of docs, delta = the appended 10%)
+    "ii_index_merge" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val base = InvertedIndex.fieldValuesChunked(
+        d.where(col("doc_id") % 10 =!= 0), "source", chunkSize = 100)
+      val delta = InvertedIndex.fieldValuesChunked(
+        d.where(col("doc_id") % 10 === 0), "source", chunkSize = 100)
+      InvertedIndex.mergeChunked(base, delta)
+        .select(col("value"), col("chunk"), col("n_docs"),
+                array_join(col("doc_ids"), ",").as("doc_ids"))
+        .orderBy(col("value"), col("chunk"))
+    }),
     "ingest_nested_json" -> (NestedIngest.ingestNestedJson _),
     // the search layer over the inverted-index surface: boolean
     // posting-list algebra, positional phrase adjacency, BM25 ranking
@@ -451,6 +464,8 @@ object SparkEntry {
     "q_explode_tokens" -> (Relational.explodeTokens _),
     "q_union_case"     -> (Relational.unionCase _),
     "q_rollup"         -> (Relational.rollupAgg _),
+    "q_grouped_topk"   -> ((s, dir) =>
+      Relational.groupedTopK(s, dir).orderBy(col("c_mktsegment"), col("rank"))),
     "q_cube"           -> (Relational.cubeAgg _),
     "q_pivot"          -> (Relational.pivotLangCounts _),
     "q_quantiles"      -> (Relational.quantiles _),
@@ -478,6 +493,12 @@ object SparkEntry {
         | CAST(max(n_chars) AS DOUBLE) AS max_v, round(avg(n_chars), 4) AS avg_v
         |FROM documents WHERE doc_id IN ($iiDocIdsSql)""".stripMargin,
     "ii_field_values_chunked" ->
+      """SELECT source AS value, CAST(doc_id // 100 AS BIGINT) AS chunk, count(*) AS n_docs,
+        | array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+        |FROM documents GROUP BY 1, 2 ORDER BY value, chunk""".stripMargin,
+    // merge invariant: compacting base+delta must equal rebuilding the
+    // chunked index over the whole corpus — the oracle IS the rebuild
+    "ii_index_merge" ->
       """SELECT source AS value, CAST(doc_id // 100 AS BIGINT) AS chunk, count(*) AS n_docs,
         | array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
         |FROM documents GROUP BY 1, 2 ORDER BY value, chunk""".stripMargin,
@@ -1006,6 +1027,17 @@ object SparkEntry {
         |  CASE WHEN l_quantity >= 40 THEN 'hi' WHEN l_quantity >= 15 THEN 'mid'
         |   ELSE 'lo' END AS bucket FROM lineitem)
         |GROUP BY src, bucket ORDER BY src, bucket""".stripMargin,
+    // window row_number twin of the bounded-heap aggregate; identical
+    // (score DESC, id ASC) total order as TopKBuffer
+    "q_grouped_topk" ->
+      """SELECT c_mktsegment, CAST(rn AS BIGINT) AS rank, o_orderkey,
+        | round(o_totalprice, 2) AS o_totalprice
+        |FROM (
+        | SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
     "q_rollup" ->
       """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
         | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,

@@ -119,6 +119,32 @@ object InvertedIndex {
            count(lit(1)).as("n_docs"))
   }
 
+  /** Index maintenance: merge a delta index (from newly appended docs)
+    * into a base index, chunk by chunk — the compaction step that
+    * keeps an inverted index current without re-scanning the corpus.
+    *
+    * Both sides carry the `fieldValuesChunked` schema
+    * (value, chunk, doc_ids, n_docs). The merge is a full-outer join
+    * on (value, chunk): chunks present on one side only pass through
+    * untouched; chunks present on both concatenate + re-sort their
+    * (bounded, ≤ chunkSize) posting lists. At scale the base is stored
+    * bucketed on (value, chunk), so the join shuffles ONLY the delta —
+    * merge cost is O(delta + touched chunks), never O(corpus).
+    * Precondition (append-only log): delta doc ids are disjoint from
+    * the base's.
+    *
+    * Invariant (the spec + driver oracle): merge(index(A), index(B))
+    * == index(A ∪ B). */
+  def mergeChunked(base: DataFrame, delta: DataFrame): DataFrame = {
+    val emptyIds = array().cast("array<bigint>")
+    base.as("b").join(delta.as("d"), Seq("value", "chunk"), "full_outer")
+      .select(col("value"), col("chunk"),
+        sort_array(concat(
+          coalesce(col("b.doc_ids"), emptyIds),
+          coalesce(col("d.doc_ids"), emptyIds))).as("doc_ids"),
+        (coalesce(col("b.n_docs"), lit(0L)) + coalesce(col("d.n_docs"), lit(0L))).as("n_docs"))
+  }
+
   /** R3: {min, max, avg} of a numeric field over all docs — a single
     * partial-aggregate pass, one-row result. Doubles match the
     * reference's Float64 casts (src/main.rs:562-573). */

@@ -308,6 +308,24 @@ object Relational {
       .orderBy($"bin")
   }
 
+  /** C17: grouped top-k — the k best orders per market segment via the
+    * bounded-heap `graft_topk` TypedImperativeAggregate: each partition
+    * keeps a k-element heap per group and only k rows per
+    * (partition, group) cross the exchange. The window-function
+    * formulation (`row_number() <= k`) shuffles and sorts EVERY row of
+    * every group — the right oracle, the wrong 100 TB plan. */
+  def groupedTopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(graft.functions.TextFunctions.topk($"o_orderkey", $"o_totalprice", k).as("top"))
+      .select($"c_mktsegment", posexplode($"top").as(Seq("rank0", "t")))
+      .select($"c_mktsegment", ($"rank0" + 1).cast("long").as("rank"),
+        $"t.id".as("o_orderkey"), round($"t.score", 2).as("o_totalprice"))
+  }
+
   /** C12: union + CASE buckets across two tables. */
   def unionCase(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

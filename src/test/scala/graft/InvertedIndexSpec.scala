@@ -9,6 +9,26 @@ class InvertedIndexSpec extends AnyFunSuite {
 
   private def docs = Tables.documents(spark, sf)
 
+  test("delta merge equals a full rebuild, and passthrough chunks are untouched") {
+    import org.apache.spark.sql.functions._
+    val base = operators.InvertedIndex.fieldValuesChunked(
+      docs.where(col("doc_id") % 10 =!= 0), "source", chunkSize = 100)
+    val delta = operators.InvertedIndex.fieldValuesChunked(
+      docs.where(col("doc_id") % 10 === 0), "source", chunkSize = 100)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getSeq[Long](2), r.getLong(3))).toMap
+    val merged = canon(operators.InvertedIndex.mergeChunked(base, delta))
+    val rebuilt = canon(operators.InvertedIndex.fieldValuesChunked(docs, "source", chunkSize = 100))
+    assert(merged == rebuilt)
+    // a chunk with no delta docs must come through bit-identical
+    val baseOnly = canon(base).keySet -- canon(delta).keySet
+    assert(baseOnly.nonEmpty, "need at least one untouched chunk for the passthrough case")
+    baseOnly.foreach(k => assert(merged(k) == canon(base)(k)))
+    // and a delta-only chunk appears verbatim
+    val deltaOnly = canon(delta).keySet -- canon(base).keySet
+    deltaOnly.foreach(k => assert(merged(k) == canon(delta)(k)))
+  }
+
   test("R5: dotted field paths resolve to flattened columns") {
     assert(InvertedIndex.fieldNameToColumn("user.metrics.clicks") == "user_metrics_clicks")
     assert(InvertedIndex.fieldNameToColumn("level") == "level")

@@ -103,6 +103,26 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped top-k: heap aggregate matches a window row_number, no per-group sort of all rows") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = operators.Relational.groupedTopK(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val expect = o.join(c, o("o_custkey") === c("c_custkey"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn").cast("long"), col("o_orderkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect && got.nonEmpty)
+    // the aggregate plan must not contain a window sort over all rows
+    val plan = operators.Relational.groupedTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"grouped top-k must not plan a window:\n$plan")
+  }
+
   test("histogram: bins are multiples of the width and cover every row") {
     val rows = operators.Relational.histogram(spark, sf).collect()
     rows.foreach(r => assert(r.getLong(0) % 5000 == 0))
