@@ -68,7 +68,14 @@ object StressBench {
       // thing growing; the benchmark shingle set stays broadcast-sized
       "decontaminate" -> (() =>
         operators.Decontaminate.contaminationHits(
-          docs.where(col("doc_id") % 17 =!= 0), docs.where(col("doc_id") % 17 === 0))))
+          docs.where(col("doc_id") % 17 =!= 0), docs.where(col("doc_id") % 17 === 0))),
+      // per-row slicer: must scale with the scan, nothing else
+      "chunk_docs" -> (() =>
+        operators.Chunking.chunkSummary(docs, window = 64, stride = 32)),
+      // BM25: corpus stats + df stay broadcast-sized; the tf explode
+      // is bounded by |query terms| per doc, so growth is scan-linear
+      "search_bm25" -> (() =>
+        operators.Search.bm25TopK(docs, Seq("spark", "vector", "slow"), 20)))
     ops.map { case (name, f) =>
       timeNoop(f) // warm-up
       val secs = timeNoop(f)
