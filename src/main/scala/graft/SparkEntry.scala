@@ -184,6 +184,9 @@ object SparkEntry {
     "search_bm25" -> ((s, dir) =>
       Search.bm25TopK(Tables.documents(s, dir), Seq("spark", "vector", "slow"), 20)
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
+    "search_proximity" -> ((s, dir) =>
+      Search.proximitySearch(Tables.documents(s, dir), "spark", "slow", maxDist = 5)
+        .orderBy(col("doc_id"))),
     "search_fuzzy" -> ((s, dir) =>
       Search.fuzzySearch(Tables.documents(s, dir), Seq("spak", "strem", "jion"), maxDist = 2)
         .orderBy(col("q"), col("dist"), col("term"))),
@@ -527,6 +530,18 @@ object SparkEntry {
         | CAST(list_min(ps) - 1 AS BIGINT) AS first_pos
         |FROM occ WHERE len(ps) > 0 ORDER BY doc_id""".stripMargin,
     "search_bm25" -> bm25OracleSql(Seq("spark", "vector", "slow"), 20),
+    // 1-based positions cancel in the distance; join over unnested
+    // per-term position lists = the per-row O(|pa|·|pb|) array min
+    "search_proximity" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |a AS (SELECT doc_id, unnest([i for i in range(1, len(t)+1) if t[i] = 'spark']) AS pa FROM toks),
+        |b AS (SELECT doc_id, unnest([i for i in range(1, len(t)+1) if t[i] = 'slow']) AS pb FROM toks)
+        |SELECT doc_id, CAST(min(abs(pa - pb)) AS BIGINT) AS best_dist
+        |FROM a JOIN b USING (doc_id)
+        |GROUP BY doc_id HAVING min(abs(pa - pb)) <= 5
+        |ORDER BY doc_id""".stripMargin,
     // levenshtein with the same length-difference lower-bound gate;
     // DuckDB's uncapped distance equals the capped one inside ≤ maxDist
     "search_fuzzy" ->

@@ -173,6 +173,29 @@ object Search {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
   }
 
+  /** Proximity search: docs where `termA` and `termB` co-occur within
+    * `maxDist` token positions, with the best (smallest) distance.
+    * Entirely per-row — positions of the two query terms are extracted
+    * inside the token array and the O(|pa|·|pb|) min-distance runs as
+    * an array expression over those (few) occurrences, so the corpus
+    * never shuffles; the scan IS the query. */
+  def proximitySearch(docs: DataFrame, termA: String, termB: String, maxDist: Int,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxDist >= 1)
+    def positions(t: Column, term: String): Column =
+      filter(transform(t, (tok, i) => when(tok === term.toLowerCase, i).otherwise(-1)),
+        x => x >= 0)
+    val t = searchTokens(col(textCol))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        positions(t, termA).as("pa"), positions(t, termB).as("pb"))
+      .where(size(col("pa")) > 0 && size(col("pb")) > 0)
+      .select(col("doc_id"),
+        array_min(flatten(transform(col("pa"), x =>
+          transform(col("pb"), y => abs(x - y))))).cast("long").as("best_dist"))
+      .where(col("best_dist") <= maxDist)
+  }
+
   /** BM25 top-k relevance ranking for a bag-of-words query.
     *
     * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the standard

@@ -110,6 +110,23 @@ class SearchSpec extends AnyFunSuite {
     assert(got.exists { case (q, t, _, _) => q == "strem" && t == "stream" })
   }
 
+  test("proximity search matches brute force and is a zero-shuffle plan") {
+    val got = Search.proximitySearch(docs, "spark", "slow", maxDist = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = texts.flatMap { case (id, t) =>
+      val pa = t.indices.filter(t(_) == "spark")
+      val pb = t.indices.filter(t(_) == "slow")
+      if (pa.nonEmpty && pb.nonEmpty) {
+        val d = (for (x <- pa; y <- pb) yield math.abs(x - y)).min
+        if (d <= 5) Some(id -> d.toLong) else None
+      } else None
+    }
+    assert(brute.nonEmpty && got == brute)
+    val plan = Search.proximitySearch(docs, "spark", "slow", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"proximity search must not shuffle:\n$plan")
+  }
+
   test("prefix search returns exactly the vocabulary terms under the prefix") {
     val got = Search.prefixSearch(docs, "s").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
