@@ -45,6 +45,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "streaming and batch twins must agree")
   }
 
+  test("stateless pipeline ops run unchanged on a stream: chunking matches batch") {
+    // chunkTokens is a pure per-row projection + bounded explode, so
+    // it is append-mode streamable with no extra code — the streaming
+    // parity the per-row design buys for the whole text-op family
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = graft.operators.Chunking.chunkSummary(stream, 64, 32)
+      .writeStream.format("memory").queryName("graft_stream_chunks")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_stream_chunks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val batch = graft.operators.Chunking
+      .chunkSummary(Tables.documents(spark, sf), 64, 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("L13: stream-stream join matches within the lookback and not outside it") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
