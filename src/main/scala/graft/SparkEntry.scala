@@ -332,6 +332,12 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("source"))),
+    // weighted sampling (Efraimidis-Spirakis A-Res, deterministic
+    // hash randomness): longer docs proportionally likelier
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(Tables.documents(s, dir), "doc_id", "n_chars", 50)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
     // per-stratum quota sampling in deterministic md5 order
     "sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedQuota(Tables.documents(s, dir), "source", "doc_id", 20)
@@ -726,6 +732,15 @@ object SparkEntry {
         |  WHEN 'src2' THEN '${Sampling.rateThresholdHex(0.25)}'
         |  ELSE '${Sampling.rateThresholdHex(0.1)}' END
         |GROUP BY source ORDER BY source""".stripMargin,
+    // A-Res twin: identical ln(u)/w ranking; hex→int via CAST('0x'…)
+    "sample_weighted" ->
+      """SELECT doc_id, source, n_chars FROM (
+        | SELECT doc_id, source, n_chars,
+        |  row_number() OVER (ORDER BY
+        |   ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+        |      / 4294967296.0) / n_chars DESC, doc_id) AS rn
+        | FROM documents WHERE n_chars > 0)
+        |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT source, count(*) AS n_sampled,
         | array_to_string(list_sort(list(doc_id)), ',') AS ids

@@ -54,6 +54,26 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Weighted sampling without replacement, k rows: Efraimidis &
+    * Spirakis' A-Res ("Weighted random sampling with a reservoir",
+    * IPL 2006) — each row draws u ∈ (0,1] and ranks by u^(1/w); the k
+    * largest ranks are an exact weighted sample. Here u is a
+    * deterministic content hash (32-bit md5 prefix), and we rank by
+    * ln(u)/w — the same order as u^(1/w), without pow()'s cross-engine
+    * wobble. Distributed as TakeOrderedAndProject: per-partition
+    * k-heaps, k rows to the driver, no shuffle of the data. Rows with
+    * non-positive weight are excluded (they'd get rank −∞ anyway). */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long")
+    val u = (h + lit(1.0)) / lit(4294967296.0)
+    df.where(col(weightCol) > 0)
+      .withColumn("__es", log(u) / col(weightCol))
+      .orderBy(col("__es").desc, col(keyCol))
+      .limit(k)
+      .drop("__es")
+  }
+
   /** Downsample each stratum at its own rate — the mixture-reweighting
     * step that turns "we have 80% web / 20% code" into the target
     * blend. `rates` maps stratum → keep-rate in [0,1]; unlisted strata

@@ -172,6 +172,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ids1 == ids2, "quota selection must be deterministic")
   }
 
+  test("weightedSample matches the A-Res formula brute-forced, and is partition-invariant") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val got = Sampling.weightedSample(docs, "doc_id", "n_chars", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // brute force: same md5-prefix u, ln(u)/w ranking, top 50
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = rows.filter(_._2 > 0).map { case (id, w) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967296.0
+      (math.log(u) / w, id)
+    }.sortBy { case (k, id) => (-k, id) }.take(50).map(_._2).toSet
+    assert(got == expect)
+    val again = Sampling.weightedSample(docs.repartition(11), "doc_id", "n_chars", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got, "weighted sample must be partition-invariant")
+    // weighting matters: heavier docs are over-represented vs uniform
+    val sampledAvgW = rows.toMap.view.filterKeys(got).values.sum.toDouble / got.size
+    val corpusAvgW = rows.map(_._2).sum.toDouble / rows.length
+    assert(sampledAvgW > corpusAvgW, "weighted sample should skew toward heavy rows")
+  }
+
   // ---- repetition stats ------------------------------------------------
 
   test("ngramRepetition flags the boilerplate doc, not the clean one") {
