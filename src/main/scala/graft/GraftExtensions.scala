@@ -86,6 +86,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (args: Seq[Expression]) =>
         TopKByScore(args(0), args(1), intArg(args(2), "graft_topk", 2))),
+    (FunctionIdentifier("graft_freqitems"),
+      new ExpressionInfo(classOf[FreqItemsSketch].getName, "graft_freqitems"),
+      (args: Seq[Expression]) =>
+        FreqItemsSketch(args(0), intArg(args(1), "graft_freqitems", 1))),
     (FunctionIdentifier("graft_collect_capped"),
       new ExpressionInfo(classOf[CollectCapped].getName, "graft_collect_capped"),
       (args: Seq[Expression]) =>

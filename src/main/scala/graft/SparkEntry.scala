@@ -345,6 +345,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sampled"),
           array_join(array_sort(collect_list(col("doc_id"))), ",").as("ids"))
         .orderBy(col("source"))),
+    // heavy hitters over the token stream: Misra-Gries candidates
+    // (O(cap) state) + exact bounded re-count; exact result => the
+    // oracle is the plain HAVING query the sketch plan avoids at scale
+    "text_heavy_hitters" -> ((s, dir) =>
+      FrequentItems.heavyHitters(
+          Tables.documents(s, dir)
+            .select(explode(TextFunctions.tokens(col("text"))).as("token")),
+          "token", phi = 0.02)
+        .orderBy(col("item"))),
     "text_scrub" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -750,6 +759,16 @@ object SparkEntry {
         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         | FROM documents)
         |WHERE rn <= 20 GROUP BY source ORDER BY source""".stripMargin,
+    "text_heavy_hitters" ->
+      """WITH tok AS (
+        | SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS item
+        | FROM documents),
+        |tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT item, count(*) AS cnt,
+        | round(count(*) / (SELECT n FROM tot), 4) AS share
+        |FROM tok GROUP BY item
+        |HAVING count(*) > (SELECT n FROM tot) * 0.02
+        |ORDER BY item""".stripMargin,
     "text_scrub" ->
       s"""SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
