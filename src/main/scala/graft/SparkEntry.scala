@@ -248,6 +248,13 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir))
         .orderBy(col("id1"), col("id2"))),
+    // sorted-neighborhood dedup: length-sorted window blocking, exact
+    // Jaccard verification — the linear-candidate alternative to LSH
+    "dedup_snm" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir),
+          sortCols = Seq("n_chars"), window = 10, minJaccard = 0.5)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id1"), col("id2"))),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val pairs = d.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
@@ -579,6 +586,29 @@ object SparkEntry {
         |SELECT term, count(*) AS df
         |FROM (SELECT doc_id, unnest(list_filter(list_distinct(t), x -> x LIKE 's%')) AS term FROM toks)
         |GROUP BY term ORDER BY term""".stripMargin,
+    // SNM twin: global (n_chars, doc_id) rank, window-9 successor
+    // pairs, the 3-gram Jaccard of dedup_ngram_jaccard, >= 0.5 gate
+    "dedup_snm" ->
+      """WITH toks AS (
+        | SELECT doc_id, n_chars, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, n_chars,
+        |  CASE WHEN len(t) >= 3
+        |   THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+        |   ELSE [array_to_string(t, ' ')] END AS s
+        | FROM toks),
+        |ranked AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank FROM sh),
+        |pairs AS (
+        | SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2
+        | FROM ranked a JOIN ranked b ON b.rank BETWEEN a.rank + 1 AND a.rank + 9),
+        |scored AS (
+        | SELECT p.id1, p.id2,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+        |   (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
+        | FROM pairs p JOIN sh x ON x.doc_id = p.id1 JOIN sh y ON y.doc_id = p.id2)
+        |SELECT id1, id2, round(j, 4) AS jaccard
+        |FROM scored WHERE j >= 0.5 ORDER BY id1, id2""".stripMargin,
     // full n-gram Jaccard twin: 3-gram word shingles (docs shorter
     // than 3 tokens collapse to one whole-doc shingle), distinct sets,
     // |∩| / |∪| — mirrors TextFunctions.wordShingles + verifyJaccard

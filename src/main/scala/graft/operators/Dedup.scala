@@ -132,6 +132,62 @@ object Dedup {
     * the pairs FIRST, then shingles only the matched rows (shingling
     * above the join means the n² -> candidates reduction also applies
     * to the shingle compute, not just the set arithmetic). */
+  /** Exact 0-based global rank of every row under `orderCols` — the
+    * two-phase distributed form (range-repartition → per-partition
+    * row_number → broadcast exclusive offsets), NOT a partition-less
+    * window that would funnel the corpus through one task. Same
+    * machinery as Packing.prefixSum, including the one materialization
+    * that pins the range boundaries for both consumers. */
+  def globalRank(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(n, orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy(col("__pid"))
+      .orderBy(orderCols.map(col): _*)
+    val local = ranged.withColumn("__rn", row_number().over(localW))
+      .localCheckpoint(true)
+    val totals = local.groupBy(col("__pid")).agg(count(lit(1)).as("__total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val offsets = totals.map(_._1).zip(
+      totals.map(_._2).scanLeft(0L)(_ + _).init)
+    val offDF = df.sparkSession.createDataFrame(
+      if (offsets.nonEmpty) offsets else Seq((0, 0L)))
+      .toDF("__pid", "__off")
+    local.join(broadcast(offDF), "__pid")
+      .withColumn("rank", col("__rn") - 1 + col("__off"))
+      .drop("__pid", "__rn", "__off")
+  }
+
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo's
+    * merge/purge method): sort the corpus by a cheap blocking key
+    * (near-dups sort near each other), compare each row only to its
+    * `window − 1` successors, verify candidates with exact n-gram
+    * Jaccard. Candidate count is rows × (window−1) — linear, not
+    * quadratic — and the only shuffles are the range sort and the
+    * rank equi-join. The classic multi-pass variant (different keys
+    * per pass, union of pairs) is this operator called repeatedly. */
+  def sortedNeighborhoodPairs(docs: DataFrame, sortCols: Seq[String], window: Int,
+                              minJaccard: Double = 0.8,
+                              textCol: String = "text",
+                              idCol: String = "doc_id"): DataFrame = {
+    require(window >= 2, "window must cover at least one neighbor")
+    // only (key cols, id) travel through the rank shuffle — never text
+    val ranked = globalRank(
+      docs.select(col(idCol).cast("long").as("__id") +: sortCols.map(col): _*),
+      sortCols :+ "__id")
+      .select(col("__id"), col("rank"))
+    val probes = ranked
+      .withColumn("__d", explode(sequence(lit(1), lit(window - 1))))
+      .select(col("__id").as("idA"), (col("rank") + col("__d")).as("rank"))
+    val pairs = probes.join(ranked, "rank")
+      .select(least(col("idA"), col("__id")).as("id1"),
+        greatest(col("idA"), col("__id")).as("id2"))
+    verifyJaccard(pairs, docs, textCol, idCol)
+      .where(col("jaccard") >= minJaccard)
+  }
+
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id", shingleSize: Int = 3): DataFrame = {
     val d1 = docs.select(col(idCol).cast("long").as("id1"), col(textCol).as("__t1"))

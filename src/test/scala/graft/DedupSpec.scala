@@ -187,6 +187,46 @@ class DedupSpec extends AnyFunSuite {
       "under-cap group returns the complete sorted list")
   }
 
+  test("globalRank matches a single-window row_number and survives repartitioning") {
+    val ranked = Dedup.globalRank(
+        docs.select(col("doc_id"), col("n_chars")), Seq("n_chars", "doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expect = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, nc) => (nc, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+    assert(ranked == expect)
+    val again = Dedup.globalRank(
+        docs.repartition(13).select(col("doc_id"), col("n_chars")), Seq("n_chars", "doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == expect, "rank must be partition-invariant")
+  }
+
+  test("sorted-neighborhood pairs: planted adjacent near-dups found, verified exactly") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = Seq(
+      (1L, base, base.length.toLong),
+      (2L, base + " mu", (base + " mu").length.toLong), // near-dup of 1, close length
+      (3L, "completely different words entirely here now yes ok fine sure",
+        60L),
+      (4L, (1 to 12).map(i => s"x$i").mkString(" "), 50L))
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Dedup.sortedNeighborhoodPairs(rows, Seq("n_chars"), window = 3,
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // window semantics: the SNM result on testdata is a subset of the
+    // all-pairs Jaccard >= threshold relation (blocking never invents pairs)
+    val snm = Dedup.sortedNeighborhoodPairs(docs, Seq("n_chars"), 10, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(snm.nonEmpty, "testdata's planted near-dups are length-adjacent")
+    val verified = Dedup.verifyJaccard(
+        spark.createDataFrame(snm.toSeq).toDF("id1", "id2"), docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    snm.foreach(p => assert(verified(p) >= 0.5))
+  }
+
   test("L2 plan shape: one exchange on band buckets, no shingle explode before it") {
     val plan = Dedup.minhashLshPairs(docs).queryExecution.optimizedPlan.toString
     // signature computed as the custom per-row expression, not an explode of shingles
