@@ -46,6 +46,14 @@ object SparkEntry {
     }.mkString("\n UNION ALL ")
   }
 
+  /** PQ codebook literals for the ann_pq oracle — the same ±1
+    * [m][K][dsub] codebooks ProductQuantization derives from the
+    * splitmix64 chain (seed block 8192), as DuckDB VALUES rows. */
+  private def pqCodebookValuesSql(m: Int, numK: Int, dsub: Int): String =
+    ProductQuantization.codebooks(m, numK, dsub).zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, k) => s"($j, $k, [${c.mkString(", ")}])" }
+    }.mkString(",\n   ")
+
   /** Fixed IVF centroid literals for the ann_ivf_fixed oracle — the
     * same ±1 matrix Similarity.fixedCentroids derives from the
     * splitmix64 chain, embedded as DuckDB VALUES rows. */
@@ -390,6 +398,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(
           Quantization.dequantized(e.where(col("vec_id") < 8)),
           Quantization.dequantized(e), 10)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
+                round(col("score"), 4).as("score"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+    // product quantization: 8 nibble codes per 64-dim vector (64× vs
+    // float32); ADC scoring via broadcast per-query LUTs + graft_topk
+    "ann_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      ProductQuantization.adcTopK(e.where(col("vec_id") < 8), e, 10)
         .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
                 round(col("score"), 4).as("score"))
         .orderBy(col("q_id"), col("rank"))
@@ -891,6 +908,36 @@ object SparkEntry {
         | SELECT q_id, c_id, s,
         |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
         | FROM scored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(s, 4) AS score
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // PQ twin: same ±1 codebooks as VALUES; assignment ties (s DESC,
+    // code DESC) match max(struct(s, code)); ADC = Σ_j lut[j, code_j]
+    "ann_pq" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cb AS (SELECT * FROM (VALUES
+        |   ${pqCodebookValuesSql(8, 16, 8)}) t(j, code, cvec)),
+        |sub AS (
+        | SELECT vec_id AS id, js.j, e[js.j*8+1 : js.j*8+8] AS sub
+        | FROM v CROSS JOIN (SELECT DISTINCT j FROM cb) js),
+        |scored AS (
+        | SELECT id, j, code, list_cosine_similarity(sub, cvec) AS s
+        | FROM sub JOIN cb USING (j)),
+        |assigned AS (
+        | SELECT id, j, code FROM (
+        |  SELECT id, j, code,
+        |   row_number() OVER (PARTITION BY id, j ORDER BY s DESC, code DESC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |lutw AS (
+        | SELECT q.id AS q_id, cb.j, cb.code, list_dot_product(q.sub, cb.cvec) AS w
+        | FROM sub q JOIN cb ON cb.j = q.j WHERE q.id < 8),
+        |adc AS (
+        | SELECT l.q_id, a.id AS c_id, sum(l.w) AS s
+        | FROM assigned a JOIN lutw l ON l.j = a.j AND l.code = a.code
+        | WHERE l.q_id <> a.id GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT q_id, c_id, s,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
+        | FROM adc)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(s, 4) AS score
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // exact twin: all-pairs cosine + top-10 per query, ties broken

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.expr.GraftHash
+import graft.functions.TextFunctions.topk
+
+/** Product quantization (PQ) for vector search at corpus scale
+  * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011): split each d-dim vector into `m` subvectors,
+  * quantize each against its own K-entry codebook, store m small
+  * codes — here 8 subspaces × 16 centroids = 8 nibbles per 64-dim
+  * vector, a 64× cut vs float32 — and score queries against codes via
+  * an ADC (asymmetric distance computation) lookup table without ever
+  * reconstructing candidates.
+  *
+  * Codebooks are DATA-INDEPENDENT ±1 matrices from the library's
+  * splitmix64 chain (the ann_ivf_fixed trick): reproducible from the
+  * seed alone, identical on every executor, and embeddable in the
+  * DuckDB oracle — at the cost of codebooks that tile direction space
+  * uniformly instead of adapting to the data (k-means-trained
+  * codebooks slot in by replacing `codebooks`).
+  *
+  * Scale shape:
+  *  - encoding = one subspace explode + broadcast-codebook argmax +
+  *    one shuffle on id (index build, amortized over queries);
+  *  - scoring = broadcast the per-query LUT (m·K doubles per query),
+  *    evaluate score as a FIXED-ORDER fold over the code array (a
+  *    per-row expression — candidates and their codes never shuffle),
+  *    reduce with the bounded-heap `graft_topk`, so only k rows per
+  *    (partition, query) cross the exchange.
+  */
+object ProductQuantization {
+
+  /** [m][K][dsub] ±1 codebooks; seed block 8192 keeps them disjoint
+    * from the SRP planes (4096-offset IVF cells). */
+  def codebooks(m: Int, numK: Int, dsub: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m, numK, dsub) { (j, c, d) =>
+      if ((GraftHash.splitmix64(
+        GraftHash.permSeed(8192 + j * numK + c) ^ (d * 0x9e3779b97f4a7c15L)) & 1L) == 1L) 1.0
+      else -1.0
+    }
+
+  private def codebookDF(spark: org.apache.spark.sql.SparkSession,
+                         m: Int, numK: Int, dsub: Int): DataFrame = {
+    val rows = for {
+      (cb, j) <- codebooks(m, numK, dsub).zipWithIndex
+      (c, k) <- cb.zipWithIndex
+    } yield Row(j, k, c.toSeq)
+    val schema = StructType(Seq(
+      StructField("j", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("cvec", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
+  /** (id, j, sub): the m subvectors of each embedding, as doubles. */
+  private def subvectors(emb: DataFrame, m: Int, dsub: Int,
+                         vecCol: String, idCol: String): DataFrame = {
+    val e = transform(col(vecCol), x => x.cast("double"))
+    val subs = array((0 until m).map(j =>
+      struct(lit(j).as("j"), slice(e, j * dsub + 1, dsub).as("sub"))): _*)
+    emb.select(col(idCol).cast("long").as("id"), explode(subs).as("s"))
+      .select(col("id"), col("s.j").as("j"), col("s.sub").as("sub"))
+  }
+
+  /** PQ encoding: (id, codes array<int>, position j holds subspace
+    * j's code). Assignment = cosine argmax against the broadcast
+    * codebook (±1 centroids share a norm per subspace, so cosine and
+    * dot argmax agree); ties go to the HIGHEST code, the ann_ivf_fixed
+    * convention. */
+  def encode(emb: DataFrame, m: Int = 8, numK: Int = 16,
+             vecCol: String = "embedding", idCol: String = "vec_id",
+             dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val dsub = dim / m
+    val cb = codebookDF(emb.sparkSession, m, numK, dsub)
+    subvectors(emb, m, dsub, vecCol, idCol)
+      .join(broadcast(cb), "j")
+      .select(col("id"), col("j"), col("code"),
+        call_function("graft_cosine", col("sub"), col("cvec")).as("s"))
+      .groupBy(col("id"), col("j"))
+      .agg(max(struct(col("s"), col("code"))).as("best"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("best.code").as("code")))),
+        x => x.getField("code")).as("codes"))
+  }
+
+  /** ADC top-k: per query, a flattened m·K lookup table of
+    * ⟨q_sub, centroid⟩ dot products; each candidate's score is the
+    * fixed-order fold Σ_j lut[j·K + code_j] — approximating
+    * ⟨q, reconstruction(x)⟩ — evaluated as a per-row expression over
+    * the broadcast LUT. Returns (q_id, rank, c_id, score). */
+  def adcTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              m: Int = 8, numK: Int = 16,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val dsub = dim / m
+    val cb = codebookDF(queries.sparkSession, m, numK, dsub)
+    // (q_id, lut): lut[j*K + code] = dot(q_sub_j, centroid_{j,code});
+    // the dot is a sequential fold, matching DuckDB's list_dot_product
+    val lut = subvectors(queries, m, dsub, vecCol, idCol)
+      .join(broadcast(cb), "j")
+      .select(col("id").as("q_id"), (col("j") * numK + col("code")).as("slot"),
+        aggregate(zip_with(col("sub"), col("cvec"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x).as("w"))
+      .groupBy(col("q_id"))
+      .agg(transform(array_sort(collect_list(struct(col("slot"), col("w")))),
+        x => x.getField("w")).as("lut"))
+    val codes = encode(candidates, m, numK, vecCol, idCol, dim)
+    val score = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, j) => element_at(col("lut"), (j * numK + c + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+    codes.crossJoin(broadcast(lut))
+      .where(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("c_id"), score.as("score"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("c_id"), col("score"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rank0", "t")))
+      .select(col("q_id"), (col("rank0") + 1).as("rank"),
+        col("t.id").as("c_id"), col("t.score").as("score"))
+  }
+}
