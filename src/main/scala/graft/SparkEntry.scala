@@ -280,6 +280,19 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       ConnectedComponents.clusters(Dedup.embeddingPairs(Tables.embeddings(s, dir)))
         .orderBy(col("component"))),
+    // hybrid semantic dedup: a doc pair is a duplicate if EITHER the
+    // texts are near-dups (SNM window + exact Jaccard) OR the
+    // embeddings are (SRP-banded cosine); union of edges → clusters.
+    // doc_id ≡ vec_id joins the two modalities of the same corpus.
+    "dedup_hybrid" -> ((s, dir) => {
+      val textPairs = Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir),
+          sortCols = Seq("n_chars"), window = 10, minJaccard = 0.5)
+        .select(col("id1"), col("id2"))
+      val embPairs = Dedup.embeddingPairs(Tables.embeddings(s, dir))
+        .select(col("id1"), col("id2"))
+      ConnectedComponents.clusters(textPairs.unionByName(embPairs))
+        .orderBy(col("component"))
+    }),
     // benchmark decontamination: corpus docs sharing a 5-gram with the
     // (broadcast) benchmark subset, with per-doc hit counts
     "decontaminate" -> ((s, dir) => {
@@ -675,6 +688,51 @@ object SparkEntry {
         |pairs AS (
         | SELECT c.id1, c.id2 FROM cand c JOIN v v1 ON v1.id = c.id1 JOIN v v2 ON v2.id = c.id2
         | WHERE list_cosine_similarity(v1.e, v2.e) >= 0.35),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION SELECT id2, id1 FROM pairs),
+        |reach(id, r) AS (
+        | SELECT a, a FROM edges
+        | UNION
+        | SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT component, count(*) AS n_members,
+        | array_to_string(list_sort(list(id)), ',') AS members
+        |FROM comp GROUP BY component ORDER BY component""".stripMargin,
+    // hybrid twin: SNM text pairs ∪ SRP embedding pairs, closed by the
+    // recursive-CTE reachability of dedup_clusters
+    "dedup_hybrid" ->
+      s"""WITH RECURSIVE toks AS (
+        | SELECT doc_id, n_chars, list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |shh AS (
+        | SELECT doc_id, n_chars,
+        |  CASE WHEN len(t) >= 3
+        |   THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+        |   ELSE [array_to_string(t, ' ')] END AS s
+        | FROM toks),
+        |rankedw AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank FROM shh),
+        |wcand AS (
+        | SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2
+        | FROM rankedw a JOIN rankedw b ON b.rank BETWEEN a.rank + 1 AND a.rank + 9),
+        |wpairs AS (
+        | SELECT id1, id2 FROM (
+        |  SELECT p.id1, p.id2,
+        |   CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+        |    (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
+        |  FROM wcand p JOIN shh x ON x.doc_id = p.id1 JOIN shh y ON y.doc_id = p.id2)
+        | WHERE j >= 0.5),
+        |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |bits AS (SELECT id, e, ${srpBitsSql(16, 64)} FROM v),
+        |banded AS (${srpBandedSql(16, 4)}),
+        |ok AS (SELECT band, bhash FROM banded GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 200),
+        |ecand AS (
+        | SELECT DISTINCT a.id AS id1, b.id AS id2
+        | FROM banded a JOIN ok USING (band, bhash) JOIN banded b
+        |  ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id),
+        |epairs AS (
+        | SELECT c.id1, c.id2 FROM ecand c JOIN v v1 ON v1.id = c.id1 JOIN v v2 ON v2.id = c.id2
+        | WHERE list_cosine_similarity(v1.e, v2.e) >= 0.35),
+        |pairs AS (SELECT id1, id2 FROM wpairs UNION SELECT id1, id2 FROM epairs),
         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
         |          UNION SELECT id2, id1 FROM pairs),
         |reach(id, r) AS (

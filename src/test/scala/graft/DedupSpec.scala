@@ -227,6 +227,22 @@ class DedupSpec extends AnyFunSuite {
     snm.foreach(p => assert(verified(p) >= 0.5))
   }
 
+  test("hybrid dedup: every pair from either modality lands in one component") {
+    val emb = Tables.embeddings(spark, sf)
+    val textPairs = Dedup.sortedNeighborhoodPairs(docs, Seq("n_chars"), 10, 0.5)
+      .select(col("id1"), col("id2"))
+    val embPairs = Dedup.embeddingPairs(emb).select(col("id1"), col("id2"))
+    val comp = operators.ConnectedComponents
+      .components(textPairs.unionByName(embPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allPairs = (textPairs.collect() ++ embPairs.collect())
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(allPairs.nonEmpty)
+    allPairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across components")
+    }
+  }
+
   test("L2 plan shape: one exchange on band buckets, no shingle explode before it") {
     val plan = Dedup.minhashLshPairs(docs).queryExecution.optimizedPlan.toString
     // signature computed as the custom per-row expression, not an explode of shingles
