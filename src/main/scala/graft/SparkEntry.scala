@@ -515,6 +515,7 @@ object SparkEntry {
     "q_topk"           -> (Relational.topK _),
     "q_window"         -> (Relational.windowFns _),
     "q_time_window"    -> (Relational.timeWindow _),
+    "q_sliding_window" -> (Relational.slidingWindow _),
     "q_json_extract"   -> (Relational.jsonExtract _),
     "q_explode_tokens" -> (Relational.explodeTokens _),
     "q_union_case"     -> (Relational.unionCase _),
@@ -1192,6 +1193,14 @@ object SparkEntry {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         | count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // sliding twin: the 4 window starts covering an event are the 6h
+    // bucket floor minus i·6h for i in 0..3 (epoch-aligned like Spark)
+    "q_sliding_window" ->
+      """SELECT strftime(to_timestamp((epoch_us(ts) // 21600000000 - i) * 21600),
+        |        '%Y-%m-%d %H') AS win_start,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) s
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
         | round(avg(CAST(json_extract_string(props,'$.k') AS BIGINT)),4) AS avg_k,

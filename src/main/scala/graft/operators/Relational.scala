@@ -188,6 +188,21 @@ object Relational {
       .orderBy($"day", $"event_type")
   }
 
+  /** C9b: SLIDING time windows (1-day window every 6 hours) — each
+    * event lands in window/slide = 4 overlapping windows. Spark plans
+    * this as a 4-row explode inside the scan stage feeding the same
+    * single-shuffle aggregation as the tumbling form; the fan-out is
+    * window/slide, fixed at plan time, never data-dependent. */
+  def slidingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 day", "6 hours").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH").as("win_start"),
+              $"event_type", $"n", $"sum_value")
+      .orderBy($"win_start", $"event_type")
+  }
+
   /** C10: JSON field extraction from the events `props` column
     * (reference ingests JSON logs — src/main.rs:9 README "8-9GB of
     * JSON data ingested"). */
