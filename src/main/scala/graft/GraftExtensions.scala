@@ -72,6 +72,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ShingleHashesText].getName, "graft_shingles"),
       (args: Seq[Expression]) =>
         ShingleHashesText(args(0), intArg(args(1), "graft_shingles", 1))),
+    (FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesText].getName, "graft_word_shingles"),
+      (args: Seq[Expression]) =>
+        WordShinglesText(args(0), intArg(args(1), "graft_word_shingles", 1))),
     (FunctionIdentifier("graft_langid"),
       new ExpressionInfo(classOf[LangIdText].getName, "graft_langid"),
       (args: Seq[Expression]) => LangIdText(args(0))),

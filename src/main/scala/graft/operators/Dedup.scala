@@ -23,8 +23,8 @@ object Dedup {
 
   /** L4 helper: exact n-gram (set) Jaccard between two text columns. */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
-    val sa = array_distinct(wordShingles(a, n))
-    val sb = array_distinct(wordShingles(b, n))
+    val sa = distinctWordShingles(a, n)
+    val sb = distinctWordShingles(b, n)
     size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
   }
 
@@ -191,14 +191,14 @@ object Dedup {
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id", shingleSize: Int = 3): DataFrame = {
     // Shingle once per DOCUMENT, below the join — a doc in k candidate
-    // pairs would otherwise pay the shingle transform k times (Catalyst
+    // pairs would otherwise pay the shingle pass k times (Catalyst
     // does not push non-trivial expressions through a join on its own;
     // measured 9x on a window-10 SNM pass where every doc sits in ~18
     // pairs). The distinct shingle array rides the pair-join shuffle in
     // place of the raw text — comparable bytes, and the per-pair work
     // drops to one array_intersect.
     val sh = docs.select(col(idCol).cast("long").as("__sid"),
-      array_distinct(wordShingles(col(textCol), shingleSize)).as("__s"))
+      distinctWordShingles(col(textCol), shingleSize).as("__s"))
     val d1 = sh.select(col("__sid").as("id1"), col("__s").as("__s1"))
     val d2 = sh.select(col("__sid").as("id2"), col("__s").as("__s2"))
     pairs.join(d1, "id1").join(d2, "id2")

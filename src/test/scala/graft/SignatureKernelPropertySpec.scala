@@ -33,6 +33,36 @@ class SignatureKernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("word-shingle kernel matches the array_distinct(wordShingles) reference") {
+    def reference(s: String, k: Int): Seq[String] = {
+      val t = s.split("\\s+").filter(_.nonEmpty).toSeq
+      val raw = if (t.length >= k) t.sliding(k).map(_.mkString(" ")).toSeq
+                else Seq(t.mkString(" "))
+      raw.distinct
+    }
+    val ks = Seq(1, 2, 3, 5)
+    (1 to 300).foreach { _ =>
+      // messy whitespace, short docs, repeated tokens (exercise distinct)
+      val parts = List.fill(rnd.nextInt(25))(
+        if (rnd.nextInt(4) == 0) Seq(" ", "\t", "\n", "  ")(rnd.nextInt(4))
+        else Seq("a", "b", "ab", token())(rnd.nextInt(4)))
+      val s = parts.mkString(if (rnd.nextBoolean()) " " else "")
+      val k = ks(rnd.nextInt(ks.length))
+      val got = SignatureKernels.wordShingleStrings(UTF8String.fromString(s), k)
+      val gotSeq = (0 until got.numElements()).map(i => got.getUTF8String(i).toString)
+      assert(gotSeq == reference(s, k), s"k=$k input=${s.map(_.toInt)}")
+    }
+    // degenerate cases: empty text / all-whitespace collapse to [""]
+    Seq("", "   ", "\t\n").foreach { s =>
+      val got = SignatureKernels.wordShingleStrings(UTF8String.fromString(s), 3)
+      assert(got.numElements() == 1 && got.getUTF8String(0).toString == "")
+    }
+    // multi-byte UTF-8 survives byte-level slicing
+    val uni = SignatureKernels.wordShingleStrings(UTF8String.fromString("héllo wörld héllo wörld ünïcode"), 2)
+    val uniSeq = (0 until uni.numElements()).map(i => uni.getUTF8String(i).toString)
+    assert(uniSeq == Seq("héllo wörld", "wörld héllo", "wörld ünïcode"))
+  }
+
   test("minhash is deterministic with the declared width") {
     (1 to 100).foreach { _ =>
       val d = doc()
