@@ -391,6 +391,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "text_repetition" -> ((s, dir) =>
       TextStats.ngramRepetition(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+    // TF-IDF top-5 keywords per doc; log-free rational idf so the
+    // DuckDB twin reproduces the ranking doubles bit-exactly
+    "text_tfidf" -> ((s, dir) =>
+      TextStats.tfidfTopTerms(Tables.documents(s, dir), k = 5)
+        .orderBy(col("doc_id"), col("rank"))),
+    // unigram-LM mean negative log-likelihood (perplexity stand-in)
+    "text_lm_score" -> ((s, dir) =>
+      TextStats.unigramLogLoss(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+    // one-sided (containment) near-dup over the SNM candidate window:
+    // catches subsumption that symmetric Jaccard misses
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir),
+          sortCols = Seq("n_chars"), window = 10, minContainment = 0.5)
+        .select(col("id1"), col("id2"),
+          round(col("c1"), 4).as("c1"), round(col("c2"), 4).as("c2"))
+        .orderBy(col("id1"), col("id2"))),
     "ann_ivf_fixed" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfFixedTopK(e.where(col("vec_id") < 8), e, 10)
@@ -514,6 +531,8 @@ object SparkEntry {
     "q_distinct"       -> (Relational.distinctCounts _),
     "q_topk"           -> (Relational.topK _),
     "q_window"         -> (Relational.windowFns _),
+    "q_window_nav"     -> (Relational.navWindow _),
+    "q_intersect_except" -> (Relational.intersectExcept _),
     "q_time_window"    -> (Relational.timeWindow _),
     "q_sliding_window" -> (Relational.slidingWindow _),
     "q_json_extract"   -> (Relational.jsonExtract _),
@@ -901,6 +920,59 @@ object SparkEntry {
         | round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_frac,
         | round(1 - CAST(count(*) AS DOUBLE) / sum(c), 4) AS dup_frac
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // TF-IDF twin: lowercased \s+ tokens, per-(doc,term) tf, doc
+    // frequency over tf, rational idf (N+1)/(df+1) — identical IEEE
+    // double sequence as the Spark side, so row_number ranking agrees
+    "text_tfidf" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        | SELECT doc_id, term,
+        |  CAST(tf AS DOUBLE) * ((n.n + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS score
+        | FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, round(score, 4) AS score
+        |FROM (SELECT doc_id, term, score,
+        |       row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |      FROM scored)
+        |WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin,
+    // unigram-LM twin: corpus term counts, -ln(p) averaged per doc
+    "text_lm_score" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS term
+        | FROM documents),
+        |vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM vocab)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | round(avg(-ln(CAST(cnt AS DOUBLE) / t.t)), 4) AS avg_nll
+        |FROM toks JOIN vocab USING (term) CROSS JOIN t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // containment twin: the dedup_snm candidate window scored with
+    // one-sided |∩|/|A| and |∩|/|B|, max-direction >= 0.5 gate
+    "dedup_containment" ->
+      """WITH toks AS (
+        | SELECT doc_id, n_chars, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, n_chars,
+        |  CASE WHEN len(t) >= 3
+        |   THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+        |   ELSE [array_to_string(t, ' ')] END AS s
+        | FROM toks),
+        |ranked AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank FROM sh),
+        |pairs AS (
+        | SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2
+        | FROM ranked a JOIN ranked b ON b.rank BETWEEN a.rank + 1 AND a.rank + 9),
+        |scored AS (
+        | SELECT p.id1, p.id2,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s) AS c1,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(y.s) AS c2
+        | FROM pairs p JOIN sh x ON x.doc_id = p.id1 JOIN sh y ON y.doc_id = p.id2)
+        |SELECT id1, id2, round(c1, 4) AS c1, round(c2, 4) AS c2
+        |FROM scored WHERE greatest(c1, c2) >= 0.5 ORDER BY id1, id2""".stripMargin,
     // fixed-centroid IVF twin: the ±1 centroid literals come from the
     // same splitmix64 chain as Similarity.fixedCentroids; assignment
     // ties break to the HIGHEST cell (max struct order), probe ties to
@@ -1189,6 +1261,31 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING),2) AS running
         | FROM orders)
         |WHERE rk <= 2 ORDER BY o_custkey, rk, o_orderkey""".stripMargin,
+    // navigation-window twin: the custkey filter selects whole window
+    // partitions, so pre-window WHERE placement is equivalent
+    "q_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(o_totalprice - lag(o_totalprice, 1)
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_delta,
+        | round(lead(o_totalprice, 1)
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) - o_totalprice, 2) AS next_delta,
+        | CAST(ntile(4)
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS quartile,
+        | round(cume_dist()
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS cdist
+        |FROM orders WHERE o_custkey % 100 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_intersect_except" ->
+      """SELECT 'both' AS rel, nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'customers_only' AS rel, nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey FROM supplier)
+        |ORDER BY rel, nationkey""".stripMargin,
     "q_time_window" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         | count(*) AS n, round(sum(value),2) AS sum_value

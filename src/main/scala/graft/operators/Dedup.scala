@@ -208,6 +208,47 @@ object Dedup {
           (size(col("__s1")) + size(col("__s2")) - col("__inter"))).as("jaccard"))
   }
 
+  /** Containment verification — the ONE-SIDED Jaccard |A∩B|/|A| (and
+    * its mirror /|B|) over candidate pairs. Symmetric Jaccard misses
+    * subsumption: a paragraph quoted whole inside a much longer doc
+    * has tiny |∩|/|∪| but containment ≈ 1, and training-data dedup
+    * wants exactly that case (boilerplate embedded in pages, docs
+    * that are prefixes of re-crawls). Same per-document shingling and
+    * join shape as verifyJaccard. */
+  def verifyContainment(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).cast("long").as("__sid"),
+      distinctWordShingles(col(textCol), shingleSize).as("__s"))
+    val d1 = sh.select(col("__sid").as("id1"), col("__s").as("__s1"))
+    val d2 = sh.select(col("__sid").as("id2"), col("__s").as("__s2"))
+    pairs.join(d1, "id1").join(d2, "id2")
+      .withColumn("__inter", size(array_intersect(col("__s1"), col("__s2"))).cast("double"))
+      .select(col("id1"), col("id2"),
+        (col("__inter") / size(col("__s1"))).as("c1"),
+        (col("__inter") / size(col("__s2"))).as("c2"))
+  }
+
+  /** Containment near-dup pairs over the sorted-neighborhood candidate
+    * window: flags pairs where EITHER side is mostly inside the other
+    * (max-direction containment ≥ `minContainment`). */
+  def containmentPairs(docs: DataFrame, sortCols: Seq[String], window: Int,
+                       minContainment: Double = 0.5,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val ranked = globalRank(
+      docs.select(col(idCol).cast("long").as("__id") +: sortCols.map(col): _*),
+      sortCols :+ "__id")
+      .select(col("__id"), col("rank"))
+    val probes = ranked
+      .withColumn("__d", explode(sequence(lit(1), lit(window - 1))))
+      .select(col("__id").as("idA"), (col("rank") + col("__d")).as("rank"))
+    val pairs = probes.join(ranked, "rank")
+      .select(least(col("idA"), col("__id")).as("id1"),
+        greatest(col("idA"), col("__id")).as("id2"))
+    verifyContainment(pairs, docs, textCol, idCol)
+      .where(greatest(col("c1"), col("c2")) >= minContainment)
+  }
+
   /** L3: SimHash near-duplicate pairs. 64-bit signature split into
     * `maxHamming + 1` bands — pigeonhole: any pair within Hamming
     * distance maxHamming agrees exactly on ≥1 band, so band-bucketing

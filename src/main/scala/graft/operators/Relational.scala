@@ -175,6 +175,41 @@ object Relational {
       .orderBy($"o_custkey", $"rk", $"o_orderkey")
   }
 
+  /** C8b: navigation windows — lag/lead (delta to the customer's
+    * previous/next order), ntile spend-quartile, cume_dist. Same
+    * single o_custkey exchange as C8; all four functions share one
+    * sort order so Spark plans ONE Window operator, not four. */
+  def navWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byDate = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .withColumn("prev_delta",
+        round($"o_totalprice" - lag($"o_totalprice", 1).over(byDate), 2))
+      .withColumn("next_delta",
+        round(lead($"o_totalprice", 1).over(byDate) - $"o_totalprice", 2))
+      .withColumn("quartile", ntile(4).over(byDate).cast("long"))
+      .withColumn("cdist", round(cume_dist().over(byDate), 4))
+      .where($"o_custkey" % 100 === 0)
+      .select($"o_custkey", $"o_orderkey", $"prev_delta", $"next_delta",
+        $"quartile", $"cdist")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** C12b: INTERSECT / EXCEPT set operations — nations that have both
+    * customers and suppliers, and nations with customers but no
+    * suppliers. Spark plans these as left-semi / left-anti aggregates
+    * over the distinct keys, not row-multiset diffs. */
+  def intersectExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir).select($"c_nationkey".as("nationkey"))
+    val s = Tables.supplier(spark, sfDir).select($"s_nationkey".as("nationkey"))
+    val both = c.intersect(s).withColumn("rel", lit("both"))
+    val onlyC = c.except(s).withColumn("rel", lit("customers_only"))
+    both.unionByName(onlyC).select($"rel", $"nationkey")
+      .orderBy($"rel", $"nationkey")
+  }
+
   /** C9: tumbling time-window aggregation over the events table —
     * the batch twin of the structured-streaming pipeline
     * (graft.streaming.EventStream). */

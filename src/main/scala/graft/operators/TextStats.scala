@@ -32,4 +32,60 @@ object TextStats {
       .select(col("doc_id"), col("__r.total").as("total"),
         round(col("__r.top").cast("double") / col("__r.total"), 4).as("top_frac"),
         round(lit(1.0) - col("__r.dist").cast("double") / col("__r.total"), 4).as("dup_frac"))
+
+  /** TF-IDF top-k keyword extraction per document — the corpus-level
+    * text statistic (unlike the per-row signals above, term rarity is
+    * a property of the WHOLE corpus, so this one genuinely shuffles).
+    *
+    * idf is the log-free (N+1)/(df+1) variant: `ln` differs by ulps
+    * across libm implementations, and a ulp is enough to flip a
+    * row_number tie — rational arithmetic makes the DuckDB twin
+    * bit-identical. Monotone in df either way, so the top-k set is
+    * the standard one.
+    *
+    * Scale shape: one exchange keyed (doc, term) for tf, one keyed
+    * term for df (both map-side combined), the tf⋈df equi-join on
+    * term, then a window keyed doc_id. The per-doc top-k via window
+    * is safe here because a partition is one document's distinct
+    * terms — bounded by doc length, never corpus-sized; N rides in as
+    * a broadcast single-row aggregate so the plan stays fully lazy. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        col("tf").cast("double") * ((col("__n") + 1.0) / (col("df").cast("double") + 1.0)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), round(col("score"), 4).as("score"))
+  }
+
+  /** Unigram language-model score — mean negative log-likelihood of
+    * each document's tokens under the corpus unigram distribution
+    * (the cheap stand-in for a perplexity quality filter: templated /
+    * common-token docs score low, rare-token gibberish scores high).
+    *
+    * Scale shape: the vocabulary (term, count) is corpus-bounded and
+    * joins back to the token stream on term — broadcastable for real
+    * vocabularies (AQE decides); per-doc mean is one exchange keyed
+    * doc_id. Total token count rides in as a broadcast scalar. */
+  def unigramLogLoss(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("__t"))
+    toks.join(vocab, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("cnt").cast("double") / col("__t"))), 4).as("avg_nll"))
+  }
 }

@@ -248,4 +248,27 @@ class DedupSpec extends AnyFunSuite {
     // signature computed as the custom per-row expression, not an explode of shingles
     assert(plan.contains("graft_minhash"), "minhash must be the custom expression")
   }
+
+  test("containment: a doc embedded whole in a longer doc scores c≈1 one-sided") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = s"intro words here $short trailing content words again and again"
+    val far = "completely different material nothing shared at all whatsoever"
+    val df = Seq((1L, short, short.length), (2L, long, long.length),
+        (3L, far, far.length))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.containmentPairs(df, Seq("n_chars"), window = 3,
+        minContainment = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // (1,2): every 3-gram of `short` appears in `long` → containment of
+    // the short side is exactly 1; symmetric Jaccard is well below 0.8
+    val hit = out.find(p => p._1 == 1L && p._2 == 2L)
+    assert(hit.isDefined, s"subsumed pair not found in ${out.toSeq}")
+    assert(hit.get._3 == 1.0, s"short-side containment should be 1.0: $hit")
+    assert(hit.get._4 < 0.8)
+    assert(!out.exists(p => p._2 == 3L || p._1 == 3L), "unrelated doc flagged")
+    val jac = Dedup.sortedNeighborhoodPairs(df, Seq("n_chars"), window = 3,
+        minJaccard = 0.8).count()
+    assert(jac == 0, "symmetric Jaccard should NOT flag the subsumption pair")
+  }
 }

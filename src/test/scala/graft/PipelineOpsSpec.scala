@@ -211,6 +211,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(2L)._1 < 0.2 && got(2L)._2 == 0.0, s"got ${got(2L)}")
   }
 
+  test("tfidfTopTerms ranks a unique term above corpus-wide terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared shared shared zebra"),
+      (2L, "shared shared shared"),
+      (3L, "shared shared shared")
+    ).toDF("doc_id", "text")
+    val got = TextStats.tfidfTopTerms(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val doc1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // zebra: tf 1, df 1 → 1 * 4/2 = 2.0; shared: tf 3, df 3 → 3 * 4/4 = 3.0
+    assert(doc1.map(_._3).toSeq == Seq("shared", "zebra"), doc1.toSeq.toString)
+    assert(doc1.map(_._4).toSeq == Seq(3.0, 2.0))
+    // docs 2/3 only contain 'shared' → exactly one ranked term each
+    assert(got.count(_._1 == 2L) == 1 && got.count(_._1 == 3L) == 1)
+  }
+
+  test("unigramLogLoss: rare-token docs score higher than common-token docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "rare1 rare2 rare3 rare4")
+    ).toDF("doc_id", "text")
+    val byId = TextStats.unigramLogLoss(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus: 8 tokens; common ×4 → p=0.5, each rare ×1 → p=0.125
+    assert(math.abs(byId(1L)._2 - (-math.log(0.5))) < 1e-4)
+    assert(math.abs(byId(2L)._2 - (-math.log(0.125))) < 1e-4)
+    assert(byId(2L)._2 > byId(1L)._2)
+    assert(byId(1L)._1 == 4L && byId(2L)._1 == 4L)
+  }
+
   // ---- scrubbing -------------------------------------------------------
 
   test("scrubText replaces urls, emails, and digit runs with typed tokens") {
