@@ -400,6 +400,15 @@ object SparkEntry {
     "text_lm_score" -> ((s, dir) =>
       TextStats.unigramLogLoss(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
+    // top-20 bigram collocations by PMI; ranking on the rational lift
+    // so the top-k SET is engine-exact, ln only on the reported value
+    "text_collocations" -> ((s, dir) =>
+      TextStats.collocations(Tables.documents(s, dir), minCount = 5, k = 20)),
+    // fixed-size deterministic per-group sample via bounded heap (the
+    // "k exemplars per class" contract; stratified = rate-based twin)
+    "sample_reservoir" -> ((s, dir) =>
+      Sampling.reservoirPerGroup(Tables.documents(s, dir), "lang", "doc_id", 10)
+        .orderBy(col("lang"), col("rank"))),
     // one-sided (containment) near-dup over the SNM candidate window:
     // catches subsumption that symmetric Jaccard misses
     "dedup_containment" -> ((s, dir) =>
@@ -950,6 +959,38 @@ object SparkEntry {
         | round(avg(-ln(CAST(cnt AS DOUBLE) / t.t)), 4) AS avg_nll
         |FROM toks JOIN vocab USING (term) CROSS JOIN t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // PMI twin: bigram strings via the text_repetition comprehension,
+    // components re-split on the space, identical lift double sequence
+    "text_collocations" ->
+      """WITH toks AS (
+        | SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+        |bgs AS (SELECT [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))] AS gs
+        |        FROM toks WHERE len(t) >= 2),
+        |bg AS (SELECT unnest(gs) AS b FROM bgs),
+        |bcnt AS (SELECT b, count(*) AS cb FROM bg GROUP BY 1 HAVING count(*) >= 5),
+        |tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS t,
+        |               (SELECT CAST(count(*) AS DOUBLE) FROM bg) AS btot),
+        |scored AS (
+        | SELECT b AS bigram, cb,
+        |  (CAST(cb AS DOUBLE) / tot.btot) /
+        |   ((CAST(u1.c AS DOUBLE) / tot.t) * (CAST(u2.c AS DOUBLE) / tot.t)) AS lift
+        | FROM bcnt JOIN ucnt u1 ON u1.w = string_split(bcnt.b, ' ')[1]
+        |           JOIN ucnt u2 ON u2.w = string_split(bcnt.b, ' ')[2]
+        | CROSS JOIN tot)
+        |SELECT bigram, CAST(cb AS BIGINT) AS n, round(ln(lift), 4) AS pmi
+        |FROM scored ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
+    // reservoir twin: fixed-width hex md5 prefixes order identically
+    // as strings and as the numeric heap score
+    "sample_reservoir" ->
+      """SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id FROM (
+        | SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+        | FROM documents)
+        |WHERE rn <= 10 ORDER BY lang, rank""".stripMargin,
     // containment twin: the dedup_snm candidate window scored with
     // one-sided |∩|/|A| and |∩|/|B|, max-direction >= 0.5 gate
     "dedup_containment" ->

@@ -75,7 +75,15 @@ object StressBench {
       // BM25: corpus stats + df stay broadcast-sized; the tf explode
       // is bounded by |query terms| per doc, so growth is scan-linear
       "search_bm25" -> (() =>
-        operators.Search.bm25TopK(docs, Seq("spark", "vector", "slow"), 20)))
+        operators.Search.bm25TopK(docs, Seq("spark", "vector", "slow"), 20)),
+      // TF-IDF: tf/df exchanges grow with the token stream (linear);
+      // the per-doc ranking window stays doc-bounded
+      "text_tfidf" -> (() =>
+        operators.TextStats.tfidfTopTerms(docs, k = 5)),
+      // PMI: replica-prefixed tokens mean ~N× vocabulary — unigram
+      // and bigram count exchanges must stay map-side combined
+      "text_collocations" -> (() =>
+        operators.TextStats.collocations(docs, minCount = 5, k = 20)))
     ops.map { case (name, f) =>
       timeNoop(f) // warm-up
       val secs = timeNoop(f)

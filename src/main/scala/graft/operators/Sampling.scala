@@ -92,4 +92,27 @@ object Sampling {
     }
     df.where(substring(md5(col(keyCol).cast("string")), 1, 8) < thresh)
   }
+
+  /** Deterministic FIXED-SIZE sample per group ("reservoir of k"):
+    * the k rows with the smallest md5(key) in each group, ranked.
+    * Complements stratifiedQuota (rate-based, size varies with the
+    * stratum) when the contract is "exactly k exemplars per class".
+    *
+    * Scale shape: graft_topk's bounded heap, NOT a per-group window
+    * sort — each map task keeps k candidates per group it sees, only
+    * k rows per (partition, group) cross the one exchange, and a
+    * billion-row group costs the same state as a thousand-row one.
+    * Deterministic: md5 is engine-portable, ties (equal 8-hex prefix)
+    * break on the id ascending inside the heap's comparator. */
+  def reservoirPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                        k: Int): DataFrame = {
+    // smallest hash first ⇒ heap score = negated numeric prefix
+    val score = -conv(substring(md5(col(keyCol).cast("string")), 1, 8),
+      16, 10).cast("double")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.TextFunctions.topk(col(keyCol), score, k).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("rank0", "t")))
+      .select(col(groupCol), (col("rank0") + 1).cast("long").as("rank"),
+        col("t.id").as(keyCol))
+  }
 }

@@ -67,6 +67,51 @@ object TextStats {
       .select(col("doc_id"), col("rank"), col("term"), round(col("score"), 4).as("score"))
   }
 
+  /** Top-k bigram collocations by PMI (pointwise mutual information) —
+    * the corpus-level phrase miner ("new york" scores high because its
+    * parts rarely occur apart). Bigrams come from arrays_zip over the
+    * token array (builtin codegen'd slices — no custom kernel, no
+    * per-pair HOF), docs shorter than 2 tokens contribute none.
+    *
+    * RANKING is on the rational lift (c_ab/B)/((c_a/T)(c_b/T)) — the
+    * same IEEE division sequence in both engines — and only the
+    * REPORTED pmi applies ln(lift), so libm ulp drift can't flip
+    * the order. minCount guards the classic PMI pathology (hapax
+    * pairs score highest).
+    *
+    * Scale shape: two map-side-combined exchanges (unigram, bigram
+    * counts), two vocab-sized equi-joins on the component terms,
+    * totals ride in as one broadcast row, and the final top-k is
+    * TakeOrderedAndProject — k rows to the driver, never a full sort. */
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 20,
+                   textCol: String = "text"): DataFrame = {
+    val toks = docs.select(
+      graft.functions.TextFunctions.tokens(lower(col(textCol))).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+    val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bg = toks.where(size(col("t")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1))).as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
+    val bcnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .where(col("cb") >= minCount)
+    val totals = uni.agg(count(lit(1)).cast("double").as("__t"))
+      .crossJoin(bg.agg(count(lit(1)).cast("double").as("__b")))
+    bcnt
+      .join(ucnt.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(ucnt.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("lift",
+        (col("cb").cast("double") / col("__b")) /
+          ((col("c1").cast("double") / col("__t")) * (col("c2").cast("double") / col("__t"))))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("cb").as("n"), col("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(k)
+      .select(col("bigram"), col("n"), round(log(col("lift")), 4).as("pmi"))
+  }
+
   /** Unigram language-model score — mean negative log-likelihood of
     * each document's tokens under the corpus unigram distribution
     * (the cheap stand-in for a perplexity quality filter: templated /

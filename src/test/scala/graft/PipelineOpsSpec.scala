@@ -243,6 +243,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byId(1L)._1 == 4L && byId(2L)._1 == 4L)
   }
 
+  test("collocations: a bound phrase outranks a frequent-but-independent pair") {
+    import spark.implicits._
+    // 'new york' always together; 'the'+'cat' frequent but independent
+    val phrase = Seq.fill(6)("new york").mkString(" the cat sat ")
+    val indep = "the dog the bird cat the fish cat mouse the cat horse"
+    val docs = Seq((1L, phrase), (2L, indep), (3L, indep)).toDF("doc_id", "text")
+    val got = TextStats.collocations(docs, minCount = 3, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    assert(got.head._1 == "new york", s"got ${got.toSeq}")
+    assert(got.head._3 > 0, "bound phrase must have positive PMI")
+  }
+
+  test("reservoirPerGroup: exactly k per group, deterministic, partition-invariant") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (s"g${i % 3}", i)).toDF("lang", "doc_id")
+    val a = Sampling.reservoirPerGroup(df, "lang", "doc_id", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.groupBy(_._1).forall(_._2.length == 7))
+    val b = Sampling.reservoirPerGroup(df.repartition(13), "lang", "doc_id", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.toSeq == b.toSeq, "sample must not depend on partitioning")
+    // a group smaller than k yields the whole group
+    val tiny = Seq(("g", 1L), ("g", 2L)).toDF("lang", "doc_id")
+    assert(Sampling.reservoirPerGroup(tiny, "lang", "doc_id", 7).count() == 2)
+  }
+
   // ---- scrubbing -------------------------------------------------------
 
   test("scrubText replaces urls, emails, and digit runs with typed tokens") {
