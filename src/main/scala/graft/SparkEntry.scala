@@ -505,6 +505,16 @@ object SparkEntry {
           array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
         .orderBy(col("doc_id"))),
     "mm_decode_stats" -> (graft.multimodal.Multimodal.decodeStats _),
+    // frame-sample plumbing: every-2nd-frame fan-out per video inside
+    // mapPartitions batches; summarized per media row (the stub frame
+    // digest is 64-bit-hash-valued, so the oracle checks the fan-out
+    // structure — counts and last sampled index — not the digest)
+    "mm_frame_sample" -> ((s, dir) =>
+      graft.multimodal.Multimodal.sampleFrames(
+          graft.multimodal.Multimodal.mediaFromDocuments(s, dir)).toDF()
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_idx"))
+        .orderBy(col("media_id"))),
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.batch(Tables.events(s, dir), gapMinutes = 480)),
     "q_asof_join" -> ((s, dir) => {
@@ -1195,6 +1205,17 @@ object SparkEntry {
         | CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 + (strlen(text) % 5) ELSE 1 END) AS BIGINT) AS sum_frames,
         | CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    // frame-sample twin: stub frame count (videos: 1 + bytes%5, else
+    // 1), every-2nd-frame sampling → ceil(n/2) frames, last idx is the
+    // greatest even index below n
+    "mm_frame_sample" ->
+      """WITH m AS (
+        | SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN 1 + (strlen(text) % 5) ELSE 1 END AS n_frames
+        | FROM documents)
+        |SELECT media_id, CAST((n_frames + 1) // 2 AS BIGINT) AS n_sampled,
+        | CAST(((n_frames - 1) // 2) * 2 AS INTEGER) AS last_idx
+        |FROM m ORDER BY media_id""".stripMargin,
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, l.event_type, round(r.value, 2) AS last_purchase
         |FROM events l ASOF LEFT JOIN
