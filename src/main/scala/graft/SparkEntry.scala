@@ -409,6 +409,17 @@ object SparkEntry {
     "sample_reservoir" -> ((s, dir) =>
       Sampling.reservoirPerGroup(Tables.documents(s, dir), "lang", "doc_id", 10)
         .orderBy(col("lang"), col("rank"))),
+    // incremental text dedup: new batch (doc_id%10=0) ranked into the
+    // corpus order, only cross pairs verified — corpus x corpus never
+    // recomputed (the text twin of dedup_incremental)
+    "dedup_snm_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.sortedNeighborhoodIncremental(
+          d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0),
+          sortCols = Seq("n_chars"), window = 10, minJaccard = 0.5)
+        .select(col("new_id"), col("old_id"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("new_id"), col("old_id"))
+    }),
     // one-sided (containment) near-dup over the SNM candidate window:
     // catches subsumption that symmetric Jaccard misses
     "dedup_containment" -> ((s, dir) =>
@@ -453,6 +464,17 @@ object SparkEntry {
     "ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e.where(col("vec_id") < 8), e, 10)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
+                round(col("score"), 4).as("score"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+    // filtered vector search: the metadata predicate applies BEFORE
+    // scoring (pre-filter), so top-k is exact within the filtered set
+    // — post-filtering a global top-k silently under-fills k; the
+    // label predicate reaches the parquet scan (PushedFilters)
+    "ann_filtered" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e.where(col("vec_id") < 8), e.where(col("label") <= 2), 10)
         .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
                 round(col("score"), 4).as("score"))
         .orderBy(col("q_id"), col("rank"))
@@ -1001,6 +1023,32 @@ object SparkEntry {
         |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
         | FROM documents)
         |WHERE rn <= 10 ORDER BY lang, rank""".stripMargin,
+    // incremental-SNM twin: dedup_snm's rank + window with a batch
+    // flag, cross-membership pairs only, oriented new→old
+    "dedup_snm_incremental" ->
+      """WITH toks AS (
+        | SELECT doc_id, n_chars, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, n_chars,
+        |  CASE WHEN len(t) >= 3
+        |   THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+        |   ELSE [array_to_string(t, ' ')] END AS s
+        | FROM toks),
+        |ranked AS (SELECT doc_id, doc_id % 10 = 0 AS isb,
+        |           row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank FROM sh),
+        |pairs AS (
+        | SELECT CASE WHEN a.isb THEN a.doc_id ELSE b.doc_id END AS new_id,
+        |        CASE WHEN a.isb THEN b.doc_id ELSE a.doc_id END AS old_id
+        | FROM ranked a JOIN ranked b ON b.rank BETWEEN a.rank + 1 AND a.rank + 9
+        | WHERE a.isb <> b.isb),
+        |scored AS (
+        | SELECT p.new_id, p.old_id,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+        |   (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
+        | FROM pairs p JOIN sh x ON x.doc_id = p.new_id JOIN sh y ON y.doc_id = p.old_id)
+        |SELECT new_id, old_id, round(j, 4) AS jaccard
+        |FROM scored WHERE j >= 0.5 ORDER BY new_id, old_id""".stripMargin,
     // containment twin: the dedup_snm candidate window scored with
     // one-sided |∩|/|A| and |∩|/|B|, max-direction >= 0.5 gate
     "dedup_containment" ->
@@ -1128,6 +1176,20 @@ object SparkEntry {
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 8),
         |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (
+        | SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS s
+        | FROM q CROSS JOIN c WHERE q_id <> c_id),
+        |ranked AS (
+        | SELECT q_id, c_id, s,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
+        | FROM scored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(s, 4) AS score
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings WHERE label <= 2),
         |scored AS (
         | SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS s
         | FROM q CROSS JOIN c WHERE q_id <> c_id),

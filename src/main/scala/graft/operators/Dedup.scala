@@ -208,6 +208,39 @@ object Dedup {
           (size(col("__s1")) + size(col("__s2")) - col("__inter"))).as("jaccard"))
   }
 
+  /** Incremental sorted-neighborhood text dedup: the batch-vs-corpus
+    * twin of embeddingPairsIncremental for the TEXT modality. The
+    * union is ranked once (new docs interleave into the corpus order
+    * by the blocking key — they must, or a new doc adjacent to an old
+    * near-dup would be missed), but only CROSS pairs (one new, one
+    * old) reach Jaccard verification: corpus×corpus was settled in
+    * previous runs and is never recomputed, so per-batch cost is
+    * O(batch × window), not O(corpus × window). */
+  def sortedNeighborhoodIncremental(corpus: DataFrame, batch: DataFrame,
+                                    sortCols: Seq[String], window: Int,
+                                    minJaccard: Double = 0.8,
+                                    textCol: String = "text",
+                                    idCol: String = "doc_id"): DataFrame = {
+    require(window >= 2, "window must cover at least one neighbor")
+    val all = corpus.withColumn("__new", lit(false))
+      .unionByName(batch.withColumn("__new", lit(true)))
+    val ranked = globalRank(
+      all.select(col(idCol).cast("long").as("__id") +: col("__new") +: sortCols.map(col): _*),
+      sortCols :+ "__id")
+      .select(col("__id"), col("__new"), col("rank"))
+    val probes = ranked
+      .withColumn("__d", explode(sequence(lit(1), lit(window - 1))))
+      .select(col("__id").as("idA"), col("__new").as("newA"),
+        (col("rank") + col("__d")).as("rank"))
+    val pairs = probes.join(ranked, "rank")
+      .where(col("newA") =!= col("__new"))
+      .select(when(col("newA"), col("idA")).otherwise(col("__id")).as("id1"),
+        when(col("newA"), col("__id")).otherwise(col("idA")).as("id2"))
+    verifyJaccard(pairs, all, textCol, idCol)
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id1").as("new_id"), col("id2").as("old_id"), col("jaccard"))
+  }
+
   /** Containment verification — the ONE-SIDED Jaccard |A∩B|/|A| (and
     * its mirror /|B|) over candidate pairs. Symmetric Jaccard misses
     * subsumption: a paragraph quoted whole inside a much longer doc

@@ -249,6 +249,23 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("graft_minhash"), "minhash must be the custom expression")
   }
 
+  test("incremental SNM: cross batch-corpus near-dups found, corpus-internal ones skipped") {
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = t1 + " extra"                 // near-dup of t1
+    val t3 = "one two three four five six seven eight nine ten"
+    val t4 = t3 + " more"                  // near-dup of t3
+    // corpus: t1, t3, t4 (t3~t4 is an OLD internal pair); batch: t2
+    val corpus = Seq((1L, t1, t1.length), (3L, t3, t3.length), (4L, t4, t4.length))
+      .toDF("doc_id", "text", "n_chars")
+    val batch = Seq((2L, t2, t2.length)).toDF("doc_id", "text", "n_chars")
+    val got = Dedup.sortedNeighborhoodIncremental(corpus, batch,
+        Seq("n_chars"), window = 4, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((2L, 1L)),
+      s"expected only the cross pair new=2 old=1, got ${got.toSeq}")
+  }
+
   test("containment: a doc embedded whole in a longer doc scores c≈1 one-sided") {
     import spark.implicits._
     val short = "alpha beta gamma delta epsilon zeta"
