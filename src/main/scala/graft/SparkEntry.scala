@@ -574,6 +574,9 @@ object SparkEntry {
     "q_window"         -> (Relational.windowFns _),
     "q_window_nav"     -> (Relational.navWindow _),
     "q_intersect_except" -> (Relational.intersectExcept _),
+    "q_full_outer"     -> (Relational.fullOuter _),
+    "q_exists_subquery" -> (Relational.existsSubquery _),
+    "q_scalar_subquery" -> (Relational.scalarSubquery _),
     "q_time_window"    -> (Relational.timeWindow _),
     "q_sliding_window" -> (Relational.slidingWindow _),
     "q_json_extract"   -> (Relational.jsonExtract _),
@@ -1399,6 +1402,27 @@ object SparkEntry {
         |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS cdist
         |FROM orders WHERE o_custkey % 100 = 0
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_full_outer" ->
+      """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        | coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |      FROM customer WHERE c_nationkey >= 5 GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |      FROM supplier WHERE s_nationkey < 10 GROUP BY 1) s
+        |ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey,
+        | round(o_totalprice / (SELECT max(o_totalprice) FROM orders), 4) AS price_ratio
+        |FROM orders
+        |WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_intersect_except" ->
       """SELECT 'both' AS rel, nationkey FROM (
         |  SELECT c_nationkey AS nationkey FROM customer

@@ -210,6 +210,48 @@ object Relational {
       .orderBy($"rel", $"nationkey")
   }
 
+  /** C12c: FULL OUTER join — per-nation customer vs supplier counts
+    * with each side restricted so both null directions occur. The
+    * aggregates happen BEFORE the join (nation-sized inputs), so the
+    * outer join is over tiny keyed tables, not row-level fan-out. */
+  def fullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir).where($"c_nationkey" >= 5)
+      .groupBy($"c_nationkey".as("nationkey")).agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, sfDir).where($"s_nationkey" < 10)
+      .groupBy($"s_nationkey".as("nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select($"nationkey", coalesce($"n_cust", lit(0L)).as("n_cust"),
+        coalesce($"n_supp", lit(0L)).as("n_supp"))
+      .orderBy($"nationkey")
+  }
+
+  /** C13: correlated EXISTS subquery — Catalyst decorrelates it into a
+    * left-semi join on the correlation key; same physical shape as the
+    * DataFrame semi join, exposed through the SQL surface. */
+  def existsSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** C14: scalar subquery in predicate and projection — planned as a
+    * one-row broadcast (SubqueryExec), evaluated once, not per row.
+    * `max` (not avg) keeps the scalar FP-exact across engines. */
+  def scalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey,
+        | round(o_totalprice / (SELECT max(o_totalprice) FROM orders), 4) AS price_ratio
+        |FROM orders
+        |WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** C9: tumbling time-window aggregation over the events table —
     * the batch twin of the structured-streaming pipeline
     * (graft.streaming.EventStream). */

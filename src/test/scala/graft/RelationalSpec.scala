@@ -128,4 +128,26 @@ class RelationalSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) % 5000 == 0))
     assert(rows.map(_.getLong(1)).sum == Tables.lineitem(spark, sf).count())
   }
+
+  test("EXISTS decorrelates to a left-semi join; scalar subquery evaluates once") {
+    val ex = operators.Relational.existsSubquery(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(ex.contains("LeftSemi"), s"EXISTS should plan as LeftSemi:\n$ex")
+    val sc = operators.Relational.scalarSubquery(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(sc.contains("scalar-subquery"), s"expected scalar-subquery:\n$sc")
+    // one-row result: both subquery sites see the same max
+    val rows = operators.Relational.scalarSubquery(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall { r =>
+      val ratio = r.getDouble(1); ratio > 0.9 && ratio <= 1.0
+    })
+  }
+
+  test("full outer join surfaces both null directions, coalesced to zero") {
+    val rows = operators.Relational.fullOuter(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.exists(r => r._2 == 0L && r._3 > 0L), "supplier-only side missing")
+    assert(rows.exists(r => r._2 > 0L && r._3 == 0L), "customer-only side missing")
+    assert(rows.exists(r => r._2 > 0L && r._3 > 0L))
+  }
 }
