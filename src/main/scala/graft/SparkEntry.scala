@@ -179,6 +179,16 @@ object SparkEntry {
                 array_join(col("doc_ids"), ",").as("doc_ids"))
         .orderBy(col("value"), col("chunk"))
     }),
+    // index lifecycle step 3 (add → merge → DELETE): tombstones
+    // applied per touched chunk; oracle is the rebuild-without set
+    "ii_index_delete" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val idx = InvertedIndex.fieldValuesChunked(d, "source", chunkSize = 100)
+      InvertedIndex.deleteFromChunked(idx, d.where(col("doc_id") % 7 === 0), chunkSize = 100)
+        .select(col("value"), col("chunk"), col("n_docs"),
+                array_join(col("doc_ids"), ",").as("doc_ids"))
+        .orderBy(col("value"), col("chunk"))
+    }),
     "ingest_nested_json" -> (NestedIngest.ingestNestedJson _),
     // the search layer over the inverted-index surface: boolean
     // posting-list algebra, positional phrase adjacency, BM25 ranking
@@ -621,6 +631,11 @@ object SparkEntry {
       """SELECT source AS value, CAST(doc_id // 100 AS BIGINT) AS chunk, count(*) AS n_docs,
         | array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
         |FROM documents GROUP BY 1, 2 ORDER BY value, chunk""".stripMargin,
+    // delete == rebuild-without invariant
+    "ii_index_delete" ->
+      """SELECT source AS value, CAST(doc_id // 100 AS BIGINT) AS chunk, count(*) AS n_docs,
+        | array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+        |FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1, 2 ORDER BY value, chunk""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,

@@ -145,6 +145,33 @@ object InvertedIndex {
         (coalesce(col("b.n_docs"), lit(0L)) + coalesce(col("d.n_docs"), lit(0L))).as("n_docs"))
   }
 
+  /** Index maintenance: DELETE a set of doc ids from a chunked index
+    * (the tombstone-application step of the add → merge → delete
+    * lifecycle). Deleted ids are grouped into per-chunk lists first,
+    * so the join touches ONLY chunks whose id range contains a
+    * deletion — cost is O(deletes + touched chunks), never O(index);
+    * untouched chunks pass through without rewriting their posting
+    * lists. array_except preserves the left list's sorted order, and
+    * emptied chunks drop out of the index entirely.
+    *
+    * Invariant (the driver oracle): delete(index(A), D) ==
+    * index(A \ D). `chunkSize` must match the index's. */
+  def deleteFromChunked(index: DataFrame, deletes: DataFrame,
+                        chunkSize: Long = 1 << 20,
+                        docIdCol: String = "doc_id"): DataFrame = {
+    val dchunks = deletes
+      .select(col(docIdCol).cast("long").as("__del"))
+      .select(col("__del"),
+        expr(s"(__del - pmod(__del, ${chunkSize}L)) DIV ${chunkSize}L").as("chunk"))
+      .groupBy(col("chunk")).agg(collect_list(col("__del")).as("__dels"))
+    index.join(dchunks, Seq("chunk"), "left")
+      .select(col("value"), col("chunk"),
+        when(col("__dels").isNull, col("doc_ids"))
+          .otherwise(array_except(col("doc_ids"), col("__dels"))).as("doc_ids"))
+      .withColumn("n_docs", size(col("doc_ids")).cast("long"))
+      .where(col("n_docs") > 0)
+  }
+
   /** R3: {min, max, avg} of a numeric field over all docs — a single
     * partial-aggregate pass, one-row result. Doubles match the
     * reference's Float64 casts (src/main.rs:562-573). */

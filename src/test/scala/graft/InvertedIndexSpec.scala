@@ -107,4 +107,22 @@ class InvertedIndexSpec extends AnyFunSuite {
     val r = InvertedIndex.numericStatsByDocIds(docs, "n_chars", Seq.empty).collect()(0)
     assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
+
+  test("chunked delete == rebuild without the deleted docs; untouched chunks intact") {
+    import org.apache.spark.sql.functions._
+    val idx = InvertedIndex.fieldValuesChunked(docs, "lang", chunkSize = 50)
+    val dels = docs.where(col("doc_id") % 5 === 0)
+    val afterDelete = InvertedIndex
+      .deleteFromChunked(idx, dels, chunkSize = 50)
+      .select(col("value"), col("chunk"), col("doc_ids"), col("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2), r.getLong(3))).toSet
+    val rebuilt = InvertedIndex
+      .fieldValuesChunked(docs.where(col("doc_id") % 5 =!= 0), "lang", chunkSize = 50)
+      .select(col("value"), col("chunk"), col("doc_ids"), col("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2), r.getLong(3))).toSet
+    assert(afterDelete == rebuilt && afterDelete.nonEmpty)
+    // deleting nothing is the identity
+    val noop = InvertedIndex.deleteFromChunked(idx, docs.where(lit(false)), chunkSize = 50)
+    assert(noop.count() == idx.count())
+  }
 }
