@@ -25,6 +25,19 @@ object EventStream {
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding-window twin of Relational.slidingWindow (C9b): 1-day
+    * windows every 6 hours. Same fixed window/slide fan-out inside the
+    * scan stage; watermark semantics are identical to the tumbling
+    * form — state is dropped per WINDOW once the watermark passes its
+    * end, so the overlap factor (window/slide = 4) multiplies live
+    * state, not its lifetime. */
+  def slidingWindowedCounts(df: DataFrame, watermark: String = "1 hour"): DataFrame =
+    df.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Stream-stream inner join with a time bound: each left event
     * matches right events on `key` whose timestamp falls in
     * [left.ts - lookback, left.ts]. Both sides carry watermarks and

@@ -45,6 +45,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "streaming and batch twins must agree")
   }
 
+  test("L13: streaming SLIDING windows match the batch twin (4x overlap fan-out)") {
+    val path = eventsDir
+    val batchSchema = spark.read.parquet(path).schema
+    var stream = spark.readStream.schema(batchSchema).parquet(path)
+    if (stream.schema("ts").dataType == LongType)
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+    val agg = EventStream.slidingWindowedCounts(stream)
+    val queryName = "graft_stream_sliding"
+    val q = agg.writeStream.format("memory").queryName(queryName)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table(queryName)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = graft.operators.Relational.slidingWindow(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, "sliding streaming and batch twins must agree")
+  }
+
   test("stateless pipeline ops run unchanged on a stream: chunking matches batch") {
     // chunkTokens is a pure per-row projection + bounded explode, so
     // it is append-mode streamable with no extra code — the streaming
