@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.expr.GraftHash
@@ -88,21 +88,13 @@ object ProductQuantization {
         x => x.getField("code")).as("codes"))
   }
 
-  /** ADC top-k: per query, a flattened m·K lookup table of
-    * ⟨q_sub, centroid⟩ dot products; each candidate's score is the
-    * fixed-order fold Σ_j lut[j·K + code_j] — approximating
-    * ⟨q, reconstruction(x)⟩ — evaluated as a per-row expression over
-    * the broadcast LUT. Returns (q_id, rank, c_id, score). */
-  def adcTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              m: Int = 8, numK: Int = 16,
-              vecCol: String = "embedding", idCol: String = "vec_id",
-              dim: Int = 64): DataFrame = {
-    require(dim % m == 0, "m must divide dim")
-    val dsub = dim / m
+  /** (q_id, lut): per-query flattened m·K lookup table,
+    * lut[j*K + code] = dot(q_sub_j, centroid_{j,code}); the dot is a
+    * sequential fold, matching DuckDB's list_dot_product. */
+  private def queryLut(queries: DataFrame, m: Int, numK: Int, dsub: Int,
+                       vecCol: String, idCol: String): DataFrame = {
     val cb = codebookDF(queries.sparkSession, m, numK, dsub)
-    // (q_id, lut): lut[j*K + code] = dot(q_sub_j, centroid_{j,code});
-    // the dot is a sequential fold, matching DuckDB's list_dot_product
-    val lut = subvectors(queries, m, dsub, vecCol, idCol)
+    subvectors(queries, m, dsub, vecCol, idCol)
       .join(broadcast(cb), "j")
       .select(col("id").as("q_id"), (col("j") * numK + col("code")).as("slot"),
         aggregate(zip_with(col("sub"), col("cvec"), (a, b) => a * b),
@@ -110,18 +102,73 @@ object ProductQuantization {
       .groupBy(col("q_id"))
       .agg(transform(array_sort(collect_list(struct(col("slot"), col("w")))),
         x => x.getField("w")).as("lut"))
-    val codes = encode(candidates, m, numK, vecCol, idCol, dim)
-    val score = aggregate(
+  }
+
+  /** The ADC score: fixed-order fold Σ_j lut[j·K + code_j] over the
+    * broadcast LUT — approximating ⟨q, reconstruction(x)⟩ as a per-row
+    * expression. Expects `codes` and `lut` columns in scope. */
+  private def adcScore(m: Int, numK: Int): Column =
+    aggregate(
       zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
         (c, j) => element_at(col("lut"), (j * numK + c + 1).cast("int"))),
       lit(0.0), (acc, x) => acc + x)
-    codes.crossJoin(broadcast(lut))
-      .where(col("q_id") =!= col("id"))
-      .select(col("q_id"), col("id").as("c_id"), score.as("score"))
+
+  /** Bounded-heap top-k + rank explode shared by the ADC variants. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
       .groupBy(col("q_id"))
       .agg(topk(col("c_id"), col("score"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("rank0", "t")))
       .select(col("q_id"), (col("rank0") + 1).as("rank"),
         col("t.id").as("c_id"), col("t.score").as("score"))
+
+  /** ADC top-k over the FULL code store: every candidate's codes are
+    * scored against each query's LUT. Returns (q_id, rank, c_id,
+    * score). */
+  def adcTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              m: Int = 8, numK: Int = 16,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val dsub = dim / m
+    val lut = queryLut(queries, m, numK, dsub, vecCol, idCol)
+    val codes = encode(candidates, m, numK, vecCol, idCol, dim)
+    rankTopK(
+      codes.crossJoin(broadcast(lut))
+        .where(col("q_id") =!= col("id"))
+        .select(col("q_id"), col("id").as("c_id"), adcScore(m, numK).as("score")),
+      k)
+  }
+
+  /** IVF-PQ: the composition a billion-vector index actually ships
+    * (Jégou TPAMI'11 §IV) — IVF cells bound WHICH candidates a query
+    * scores (nProbe/numCells of the corpus instead of all of it), PQ
+    * codes bound the BYTES per scored candidate (m nibbles, 64× vs
+    * float32 here).
+    *
+    * Index build = PQ codes + fixed-centroid cell per id, one id-keyed
+    * join (both sides derive from the same scan; amortized over
+    * queries). Query = broadcast (probe cells ⨝ LUT) per query — at
+    * most nProbe rows × (m·K doubles) each — joined to the code store
+    * ON CELL, so candidates outside probed cells are never read, the
+    * ADC fold stays a per-row expression, and only k rows per
+    * (partition, query) cross the final exchange. A candidate has
+    * exactly one cell and probes are distinct, so no dedup stage is
+    * needed between the cell join and the heap. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                m: Int = 8, numK: Int = 16, numCells: Int = 16, nProbe: Int = 4,
+                vecCol: String = "embedding", idCol: String = "vec_id",
+                dim: Int = 64): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val dsub = dim / m
+    val lut = queryLut(queries, m, numK, dsub, vecCol, idCol)
+    val probes = Similarity.probeFixedCells(queries, vecCol, idCol, numCells, nProbe, dim)
+    val indexed = encode(candidates, m, numK, vecCol, idCol, dim)
+      .join(Similarity.assignFixedCells(candidates, vecCol, idCol, numCells, dim), "id")
+    rankTopK(
+      indexed.join(broadcast(probes.join(lut, "q_id")), "cell")
+        .where(col("q_id") =!= col("id"))
+        .select(col("q_id"), col("id").as("c_id"), adcScore(m, numK).as("score")),
+      k)
   }
 }

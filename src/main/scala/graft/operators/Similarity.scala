@@ -145,6 +145,34 @@ object Similarity {
     ivfQuery(queries, candidates, k, vecCol, idCol,
       fixedCentroids(numCells, dim), nProbe)
 
+  /** (id, cell) fixed-centroid assignment — the cell half of the IVF
+    * index, public so composed indexes (IVF-PQ) can attach a cell to
+    * each candidate's codes without re-deriving the centroid chain. */
+  def assignFixedCells(vecs: DataFrame, vecCol: String = "embedding",
+                       idCol: String = "vec_id",
+                       numCells: Int = 16, dim: Int = 64): DataFrame =
+    assignCells(
+      vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v")),
+      "__v", "id", fixedCentroids(numCells, dim))
+      .select(col("id"), col("cell"))
+
+  /** (q_id, cell): each query's nProbe best fixed cells — the probe
+    * half of the IVF index, same bounded-heap shape as `ivfQuery`'s
+    * probe stage (ties to the LOWEST cell, TopKBuffer order). */
+  def probeFixedCells(queries: DataFrame, vecCol: String = "embedding",
+                      idCol: String = "vec_id", numCells: Int = 16,
+                      nProbe: Int = 4, dim: Int = 64): DataFrame = {
+    require(nProbe <= numCells, "nProbe must be <= numCells")
+    val q = queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+    q.crossJoin(broadcast(centroidDF(queries, fixedCentroids(numCells, dim))))
+      .select(col("q_id"), col("cell").cast("long").as("cell"),
+        cosine(col("q_vec"), col("ctr")).as("s"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cell"), col("s"), nProbe).as("top"))
+      .select(col("q_id"), explode(col("top")).as("p"))
+      .select(col("q_id"), col("p.id").cast("int").as("cell"))
+  }
+
   /** Nearest-centroid assignment: broadcast the centroid table, score
     * every (vector, centroid) with the fused cosine, keep the argmax —
     * ties break to the highest cell id (max over (score, cell)

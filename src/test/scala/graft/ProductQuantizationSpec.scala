@@ -65,6 +65,32 @@ class ProductQuantizationSpec extends AnyFunSuite {
       f"PQ recall $avg%.3f not meaningfully above random ${10 / n}%.4f")
   }
 
+  test("IVF-PQ equals full ADC restricted to each query's probed cells") {
+    val queries = emb.where(col("vec_id") < 8)
+    val n = emb.count().toInt
+    // ground truth: full ADC scores (k = n keeps every scored pair),
+    // filtered to candidates whose cell is among the query's probes
+    val probes = Similarity.probeFixedCells(queries).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val cellOf = Similarity.assignFixedCells(emb).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val full = ProductQuantization.adcTopK(queries, emb, n).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val expect = full.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.filter(t => probes(q).contains(cellOf(t._2)))
+        .sortBy(t => (-t._3, t._2)).take(10)
+        .zipWithIndex.map { case ((_, c, s), i) => (i + 1L, c, s) }.toSeq
+    }
+    val got = ProductQuantization.ivfPqTopK(queries, emb, 10).collect()
+      .map(r => (r.getLong(0), (r.getInt(1) + 0L, r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_._1)).toMap
+    expect.foreach { case (q, exp) =>
+      val g = got.getOrElse(q, Seq.empty)
+      assert(g.map(t => (t._2, t._3)) == exp.map(t => (t._2, t._3)),
+        s"IVF-PQ top-k mismatch for query $q")
+    }
+  }
+
   test("candidate codes never shuffle during scoring (broadcast LUT + heap top-k)") {
     val plan = ProductQuantization.adcTopK(emb.where(col("vec_id") < 8), emb, 10)
       .queryExecution.executedPlan.toString
