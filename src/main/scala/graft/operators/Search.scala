@@ -119,6 +119,36 @@ object Search {
       .agg(count(lit(1)).as("n_occurrences"), min(col("p0")).as("first_pos"))
   }
 
+  /** Phrase search with slop: the words must appear IN ORDER, each
+    * within `1 + slop` positions of its predecessor (up to `slop`
+    * interlopers per gap) — the sloppy-phrase query of a positional
+    * index. Same adjacency-join shape as `phraseSearch`, with each
+    * equality on the aligned position relaxed to a band
+    * `prev < next ≤ prev + 1 + slop`; postings are still restricted to
+    * the phrase's terms inside the scan projection, so the band join's
+    * inputs stay tiny. `n_matches` counts position CHAINS (one anchor
+    * can continue through several in-window successors — the join
+    * cardinality, deterministic and engine-independent); `first_pos`
+    * is the smallest matching anchor, 0-based. */
+  def phraseSearchSlop(docs: DataFrame, phrase: Seq[String], slop: Int,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two words")
+    require(slop >= 0, "slop must be >= 0")
+    val words = phrase.map(_.toLowerCase)
+    val p = positionalPostingsFor(docs, words, textCol, idCol)
+    val anchor = p.where(col("term") === words.head)
+      .select(col("doc_id"), col("pos").as("p0"), col("pos").as("pcur"))
+    val chained = words.tail.foldLeft(anchor) { case (acc, w) =>
+      val nxt = p.where(col("term") === w)
+        .select(col("doc_id").as("__d"), col("pos").as("__pn"))
+      acc.join(nxt, col("doc_id") === col("__d") &&
+          col("__pn") > col("pcur") && col("__pn") <= col("pcur") + 1 + slop)
+        .select(col("doc_id"), col("p0"), col("__pn").as("pcur"))
+    }
+    chained.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("p0")).as("first_pos"))
+  }
+
   /** Per-row phrase occurrence count — the scan-path twin of
     * `phraseSearch` (SearchSpec proves them equal). */
   def phraseOccurrences(text: Column, phrase: Seq[String]): Column = {

@@ -54,6 +54,38 @@ class SearchSpec extends AnyFunSuite {
     assert(viaExpr == found.map { case (id, (n, _)) => id -> n })
   }
 
+  test("phrase with slop: chains match a brute-force ordered-window recomputation") {
+    val phrase = Seq("fast", "table", "scan")
+    val slop = 2
+    val got = Search.phraseSearchSlop(docs, phrase, slop).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // brute force: count all ordered position chains with each gap in
+    // [1, 1 + slop]; record the smallest matching anchor
+    val brute = texts.flatMap { case (id, t) =>
+      val pos = phrase.map(w => t.indices.filter(i => t(i) == w))
+      def chains(prev: Int, level: Int): Seq[Int] =
+        if (level == phrase.size) Seq(prev)
+        else pos(level).filter(p => p > prev && p <= prev + 1 + slop)
+          .flatMap(p => chains(p, level + 1))
+      val anchors = pos.head.flatMap(a => chains(a, 1).map(_ => a))
+      if (anchors.isEmpty) None else Some(id -> (anchors.size.toLong, anchors.min.toLong))
+    }
+    assert(brute.nonEmpty, "sloppy phrase should occur in testdata")
+    assert(brute.values.exists(_._1 > 1L) || brute.size > 1, "want a non-trivial case")
+    assert(got == brute)
+  }
+
+  test("phrase with slop: slop=0 degrades to exact phrase adjacency") {
+    import spark.implicits._
+    val df = Seq((1L, "a x b"), (2L, "a b"), (3L, "b a")).toDF("doc_id", "text")
+    val strict = Search.phraseSearchSlop(df, Seq("a", "b"), 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(strict == Set((2L, 1L, 0L)), "only the adjacent doc matches at slop=0")
+    val sloppy = Search.phraseSearchSlop(df, Seq("a", "b"), 1).collect()
+      .map(_.getLong(0)).toSet
+    assert(sloppy == Set(1L, 2L), "slop=1 admits one interloper, order still required")
+  }
+
   test("phrase search: repeated-word phrases count overlapping occurrences") {
     import spark.implicits._
     val df = Seq((1L, "x table table table y"), (2L, "table x table")).toDF("doc_id", "text")
