@@ -359,6 +359,43 @@ object Relational {
       .orderBy($"source")
   }
 
+  /** C14b: UNPIVOT — wide→long, the inverse of pivot. Spark plans
+    * `unpivot` as an Expand (one branch per melted column) riding the
+    * pivoted aggregate — no extra shuffle, no driver loop. Zero cells
+    * from the pivot surface as explicit n=0 rows, which is the point:
+    * the melt preserves the dense (source × lang) grid. */
+  def unpivotLangCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pivotLangCounts(spark, sfDir)
+      .unpivot(Array($"source"), Array($"de", $"en", $"es", $"fr", $"zh"),
+        "lang", "n")
+      .orderBy($"source", $"lang")
+  }
+
+  /** C8c: time-RANGE framed window — per-user trailing-7-day event
+    * count and value sum, the frame keyed on EVENT TIME (micros epoch,
+    * RANGE BETWEEN 7d PRECEDING AND CURRENT ROW), not row position:
+    * sparse users don't drag ancient events into the frame and
+    * same-timestamp peers share one. Plan shape is one user-keyed
+    * shuffle + one in-partition sort, identical to any analytic
+    * window — the range bound changes frame arithmetic, not the
+    * exchange. `value` goes through DECIMAL so the frame sum is exact
+    * and engine-independent (a double sum's error would depend on each
+    * engine's accumulation order over the frame). */
+  def rangeFrameWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sevenDaysMicros = 7L * 86400L * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-sevenDaysMicros, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("sum_7d",
+        sum($"value".cast("decimal(18,2)")).over(w).cast("double"))
+      .where($"user_id" % 10 === 0)
+      .select($"user_id", $"event_id", $"n_7d", $"sum_7d")
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** C15: exact percentiles per group. `percentile` buffers every
     * value of the group in an ObjectHashAggregate — correct and fine
     * for bounded groups, the documented scale-weak path for huge ones.

@@ -86,6 +86,39 @@ class RelationalSpec extends AnyFunSuite {
     assert(total == Tables.documents(spark, sf).count())
   }
 
+  test("unpivot inverts pivot: every wide cell comes back as one long row") {
+    val wide = operators.Relational.pivotLangCounts(spark, sf).collect()
+    val long = operators.Relational.unpivotLangCounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    assert(long.size == wide.length * langs.size, "melt must preserve the dense grid")
+    wide.foreach { r =>
+      langs.zipWithIndex.foreach { case (l, i) =>
+        assert(long((r.getString(0), l)) == r.getLong(i + 1),
+          s"cell (${r.getString(0)}, $l) changed across the melt")
+      }
+    }
+  }
+
+  test("range frame: trailing-7d window matches a brute-force recomputation") {
+    import spark.implicits._
+    val rows = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS t", "CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val sevenDays = 7L * 86400L * 1000000L
+    val brute = rows.filter(_._1 % 10 == 0).map { case (u, e, t, _) =>
+      val frame = rows.filter(r => r._1 == u && r._3 >= t - sevenDays && r._3 <= t)
+      (u, e) -> (frame.length.toLong, BigDecimal(frame.map(r => BigDecimal(r._4)).sum.toDouble))
+    }.toMap
+    val got = operators.Relational.rangeFrameWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), BigDecimal(r.getDouble(3)))).toMap
+    assert(got.keySet == brute.keySet)
+    got.foreach { case (k, (n, s)) =>
+      assert(n == brute(k)._1, s"frame count mismatch at $k")
+      assert((s - brute(k)._2).abs < BigDecimal("0.000001"), s"frame sum mismatch at $k")
+    }
+  }
+
   test("quantiles: exact percentiles ordered, approx sketch lands within rank tolerance") {
     val exact = operators.Relational.quantiles(spark, sf).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
