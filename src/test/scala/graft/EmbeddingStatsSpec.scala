@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.EmbeddingStats
+
+class EmbeddingStatsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def emb = Tables.embeddings(spark, sf)
+
+  test("graft_vec_sum equals the posexplode formulation exactly") {
+    val viaAgg = emb.groupBy(col("label"))
+      .agg(call_function("graft_vec_sum", col("embedding")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toVector).toMap
+    val viaExplode = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col").cast("double")).as("x"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    viaAgg.foreach { case (l, v) =>
+      v.indices.foreach { i =>
+        // same doubles, possibly different add order: exact for the
+        // float32-valued testdata at any realistic tolerance
+        assert(math.abs(v(i) - viaExplode((l, i))) < 1e-9, s"label $l pos $i")
+      }
+    }
+  }
+
+  test("graft_vec_sum is partitioning-invariant and null-safe") {
+    import spark.implicits._
+    val df = Seq((1, Some(Array(1.0f, 2.0f))), (1, Some(Array(3.0f, 4.0f))),
+        (1, None), (2, Some(Array(0.5f, -0.5f))))
+      .toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(col("g")).agg(call_function("graft_vec_sum", col("v")).as("s"))
+        .collect().map(r => r.getInt(0) -> Option(r.getSeq[Double](1)).map(_.toVector)).toMap
+    val a = run(df.repartition(1))
+    val b = run(df.repartition(5))
+    assert(a == b)
+    assert(a(1).get == Vector(4.0, 6.0), "null vectors are skipped, not zeroed")
+    assert(a(2).get == Vector(0.5, -0.5))
+  }
+
+  test("centroid cosine: own-label mean scores higher than a foreign centroid on average") {
+    val cents = EmbeddingStats.groupCentroids(emb).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(cents.values.forall(_.length == 64))
+    val got = EmbeddingStats.centroidCosine(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.length == emb.count())
+    // brute check a few rows against a driver-side recomputation
+    val vecs = emb.limit(20).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getSeq[Float](1).map(_.toDouble).toArray))).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    got.filter(t => vecs.contains(t._1)).foreach { case (id, l, c) =>
+      val (lbl, v) = vecs(id)
+      assert(lbl == l)
+      assert(math.abs(c - BigDecimal(cos(v, cents(l)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-9, s"vec $id")
+    }
+  }
+}
