@@ -349,6 +349,45 @@ object Dedup {
   /** L5: embedding cosine near-duplicate pairs via signed-random-
     * projection buckets (same banded-LSH shape; bit signs come from
     * the fused-pass cosine expression), verified with exact cosine. */
+  /** Paragraph-granularity exact dedup — the sub-document pass of a
+    * web-corpus pipeline (boilerplate and quoted blocks repeat across
+    * documents that are NOT whole-document duplicates): cut each doc
+    * into fixed `window`-token paragraphs (this synthetic corpus has
+    * no newline structure, so the boundary is a token grid; a real
+    * corpus would split on '\n\n' upstream), keep the corpus-wide
+    * FIRST occurrence of each distinct paragraph ((doc_id, chunk_idx)
+    * order), and reassemble what survives per document.
+    *
+    * Scale shape: chunking rides the scan (Chunking.chunkTokens, zero
+    * shuffle); the keeper table is one map-side-combined aggregation
+    * keyed on the paragraph hash with O(1) state per key (min pair);
+    * the keeper join is hash-co-partitioned with that aggregation; and
+    * reassembly is one doc-keyed shuffle whose payload is only the
+    * SURVIVING paragraphs. Nothing is quadratic and no driver loop.
+    *
+    * Returns (doc_id, n_total, n_kept, h_dedup) where h_dedup hashes
+    * the deduplicated text (kept paragraphs joined in chunk order;
+    * empty string when everything was dropped). */
+  def paragraphDedup(docs: DataFrame, window: Int = 12,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val p = Chunking.chunkTokens(docs, window, window, textCol, idCol)
+      .withColumn("h", md5(col("chunk")))
+    val keeper = p.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keep"))
+      .select(col("h"), col("keep.doc_id").as("kdoc"), col("keep.chunk_idx").as("kidx"))
+    val kept = col("doc_id") === col("kdoc") && col("chunk_idx") === col("kidx")
+    p.join(keeper, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls from the unmatched `when`, so
+        // only surviving paragraphs are gathered; sort restores the
+        // original chunk order before reassembly
+        array_sort(collect_list(when(kept, struct(col("chunk_idx"), col("chunk"))))).as("ks"))
+      .select(col("doc_id"), col("n_total"), col("n_kept"),
+        md5(concat_ws(" ", transform(col("ks"), x => x.getField("chunk")))).as("h_dedup"))
+  }
+
   def embeddingPairs(emb: DataFrame, vecCol: String = "embedding",
                      idCol: String = "vec_id", threshold: Double = 0.35,
                      numPlanes: Int = 16, bands: Int = 4,

@@ -109,6 +109,28 @@ class DedupSpec extends AnyFunSuite {
     assert(found == expected, s"got $found want $expected")
   }
 
+  test("paragraph dedup: first occurrence survives, repeats drop, reassembly preserves order") {
+    import spark.implicits._
+    // window=3 paragraphs: doc 1 = [A][B], doc 2 = [A][C] (A repeats),
+    // doc 3 = [B] exactly (whole doc is a repeated paragraph)
+    val a = "p q r"; val b = "s t u"; val c = "v w x"
+    val df = Seq((1L, s"$a $b"), (2L, s"$a $c"), (3L, b)).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(df, window = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((2L, 2L, h(s"$a $b"))), "doc 1 owns both its paragraphs")
+    assert(got(2L) == ((2L, 1L, h(c))), "doc 2 keeps only its novel paragraph")
+    assert(got(3L) == ((1L, 0L, h(""))), "doc 3 is entirely deduplicated away")
+  }
+
+  test("paragraph dedup: testdata contains cross-document paragraph repeats") {
+    val r = Dedup.paragraphDedup(docs).agg(
+      sum(col("n_total")).as("t"), sum(col("n_kept")).as("k")).collect().head
+    assert(r.getLong(0) > r.getLong(1),
+      "planted duplicate docs should produce dropped paragraphs")
+  }
+
   test("null and empty texts neither crash nor pollute LSH buckets") {
     import spark.implicits._
     val df = Seq(
