@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-order materialization — the last step before a corpus
+  * ships to a trainer: the ROW ORDER of the written dataset is a
+  * model-quality parameter (correlated neighboring examples hurt;
+  * source mixing ratios are a curriculum decision), so it must be
+  * deterministic, seeded, and reproducible across runs and cluster
+  * sizes.
+  *
+  * Both operators reduce to sorting by a derived key and materializing
+  * the global position with the repo's two-phase distributed rank
+  * (range-partition → per-partition row_number → broadcast partition
+  * offsets; `Dedup.globalRank`) — NO single-partition window anywhere,
+  * so a 100 TB corpus orders with two range shuffles and a
+  * numPartitions-row driver exchange.
+  */
+object TrainingOrder {
+
+  /** Deterministic seeded global shuffle: position = rank of
+    * md5(seed:id). Same seed → same permutation on any cluster
+    * layout; different seed → an independent permutation (epoch
+    * reshuffling = calling this once per epoch seed). Returns
+    * (pos, id) — join back to the payload on id and write
+    * range-partitioned by pos. */
+  def shuffled(df: DataFrame, seed: String, idCol: String = "doc_id"): DataFrame =
+    Dedup.globalRank(
+      df.select(col(idCol).cast("long").as("id"))
+        .withColumn("__key", md5(concat(lit(seed), lit(":"), col("id").cast("string")))),
+      Seq("__key", "id"))
+      .select(col("rank").as("pos"), col("id"))
+
+  /** Per-group global rank with the same two-phase shape as
+    * `Dedup.globalRank`: range-partition on (group, order), local
+    * row_number per (partition, group), then per-(partition, group)
+    * counts — a numPartitions×numGroups driver table — prefix-summed
+    * within each group and broadcast back. A plain
+    * Window.partitionBy(group) would funnel each ENTIRE group through
+    * one task; this keeps every stage partition-parallel. */
+  def groupedRank(df: DataFrame, groupCol: String,
+                  orderCols: Seq[String]): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(n, (groupCol +: orderCols).map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(orderCols.map(col): _*)
+    val local = ranged.withColumn("__rn", row_number().over(localW))
+      .localCheckpoint(true)
+    val totals = local.groupBy(col("__pid"), col(groupCol))
+      .agg(count(lit(1)).as("__c")).collect()
+      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+      val byPid = rows.sortBy(_._1)
+      byPid.map(_._1).zip(byPid.map(_._3).scanLeft(0L)(_ + _).init)
+        .map { case (pid, off) => (pid, g.asInstanceOf[String], off) }
+    }
+    val offDF = df.sparkSession.createDataFrame(
+      if (offsets.nonEmpty) offsets else Seq((0, "", 0L)))
+      .toDF("__pid", groupCol, "__off")
+    local.join(broadcast(offDF), Seq("__pid", groupCol))
+      .withColumn("grank", col("__rn") - 1 + col("__off"))
+      .drop("__pid", "__rn", "__off")
+  }
+
+  /** Weighted source interleaving — deterministic curriculum mixing:
+    * within each stratum rows take a seeded-hash order; the r-th row
+    * of a stratum with weight w lands at virtual time (r+1)/w, so a
+    * weight-3 stratum appears three times as densely as a weight-1
+    * stratum and strata exhaust near-uniformly instead of
+    * back-to-back blocks. Global order = (slot, key, id) — doubles
+    * divide identically everywhere, so the order is engine- and
+    * layout-independent. Returns (pos, stratum, id). */
+  def interleaved(df: DataFrame, weights: Map[String, Double], seed: String,
+                  defaultWeight: Double = 1.0,
+                  stratumCol: String = "source",
+                  idCol: String = "doc_id"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ > 0), "weights must be positive")
+    val wExpr = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col("stratum") === k, lit(v)).otherwise(acc)
+    }
+    val keyed = df
+      .select(col(stratumCol).as("stratum"), col(idCol).cast("long").as("id"))
+      .withColumn("__key", md5(concat(lit(seed), lit(":"), col("id").cast("string"))))
+    val ranked = groupedRank(keyed, "stratum", Seq("__key", "id"))
+      .withColumn("slot", (col("grank") + 1).cast("double") / wExpr)
+    Dedup.globalRank(ranked, Seq("slot", "__key", "id"))
+      .select(col("rank").as("pos"), col("stratum"), col("id"))
+  }
+}
