@@ -199,6 +199,10 @@ object SparkEntry {
     "ii_phrase_search" -> ((s, dir) =>
       Search.phraseSearch(Tables.documents(s, dir), Seq("fast", "table"))
         .orderBy(col("doc_id"))),
+    "ii_phrase_slop" -> ((s, dir) =>
+      Search.phraseSearchSlop(Tables.documents(s, dir),
+          Seq("fast", "table", "scan"), slop = 2)
+        .orderBy(col("doc_id"))),
     "search_bm25" -> ((s, dir) =>
       Search.bm25TopK(Tables.documents(s, dir), Seq("spark", "vector", "slow"), 20)
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
@@ -259,6 +263,25 @@ object SparkEntry {
     // §2.3 LLM-data-pipeline operators
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir)).orderBy(col("h"))),
+    // sub-document dedup: corpus-wide first-occurrence keep per
+    // 12-token paragraph, survivors reassembled in chunk order
+    "dedup_paragraph" -> ((s, dir) =>
+      Dedup.paragraphDedup(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+    // deterministic seeded epoch shuffle: two-phase distributed rank
+    // of md5(seed:id) — no single-partition window
+    "order_shuffle" -> ((s, dir) =>
+      TrainingOrder.shuffled(Tables.documents(s, dir), seed = "ep0")
+        .select(col("pos"), col("id").as("doc_id"))
+        .orderBy(col("pos"))),
+    // weighted curriculum interleave: stratum r-th row at virtual
+    // time (r+1)/weight, globally ranked — en 3×, zh 1.5×, fr 0.5×
+    "order_interleave" -> ((s, dir) =>
+      TrainingOrder.interleaved(Tables.documents(s, dir),
+          weights = Map("en" -> 3.0, "zh" -> 1.5, "fr" -> 0.5),
+          seed = "ep0", stratumCol = "lang")
+        .select(col("pos"), col("stratum"), col("id").as("doc_id"))
+        .orderBy(col("pos"))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir))
         .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
@@ -445,6 +468,12 @@ object SparkEntry {
                 round(col("score"), 4).as("score"))
         .orderBy(col("q_id"), col("rank"))
     }),
+    // per-label centroid + each vector's cosine to its own centroid
+    // (semantic outlier score); centroid = ONE O(dim)-state aggregate
+    // (graft_vec_sum), broadcast back — embeddings never shuffle
+    "embed_centroid" -> ((s, dir) =>
+      EmbeddingStats.centroidCosine(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"))),
     // scalar int8 quantization summary: codes pinned via saturation
     // count + code sum, plus the original↔dequantized cosine retention
     "embed_quantize" -> ((s, dir) =>
@@ -467,6 +496,16 @@ object SparkEntry {
     "ann_pq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       ProductQuantization.adcTopK(e.where(col("vec_id") < 8), e, 10)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
+                round(col("score"), 4).as("score"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+    // IVF-PQ: probe-restricted ADC — cells bound WHICH candidates are
+    // scored, codes bound the BYTES per candidate; the composed index
+    // a billion-vector deployment actually runs
+    "ann_ivf_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      ProductQuantization.ivfPqTopK(e.where(col("vec_id") < 8), e, 10)
         .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
                 round(col("score"), 4).as("score"))
         .orderBy(col("q_id"), col("rank"))
@@ -597,6 +636,8 @@ object SparkEntry {
       Relational.groupedTopK(s, dir).orderBy(col("c_mktsegment"), col("rank"))),
     "q_cube"           -> (Relational.cubeAgg _),
     "q_pivot"          -> (Relational.pivotLangCounts _),
+    "q_unpivot"        -> (Relational.unpivotLangCounts _),
+    "q_range_frame"    -> (Relational.rangeFrameWindow _),
     "q_quantiles"      -> (Relational.quantiles _),
     "q_histogram"      -> ((s, dir) => Relational.histogram(s, dir)),
   )
@@ -639,6 +680,58 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    // epoch-shuffle twin: one window over the same md5(seed:id) order
+    "order_shuffle" ->
+      """SELECT CAST(row_number() OVER (
+        |  ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos,
+        | doc_id
+        |FROM documents ORDER BY pos""".stripMargin,
+    // interleave twin: per-stratum rank over the seeded key, virtual
+    // time lr/weight (all-double division so both engines compute the
+    // identical slot), global row_number over (slot, key, id)
+    "order_interleave" ->
+      """WITH k AS (
+        | SELECT lang AS stratum, doc_id,
+        |  md5('ep0:' || CAST(doc_id AS VARCHAR)) AS key
+        | FROM documents),
+        |r AS (
+        | SELECT stratum, doc_id, key,
+        |  row_number() OVER (PARTITION BY stratum ORDER BY key, doc_id) AS lr
+        | FROM k),
+        |s AS (
+        | SELECT stratum, doc_id, key,
+        |  CAST(lr AS DOUBLE) / CAST(CASE stratum WHEN 'en' THEN 3.0
+        |   WHEN 'zh' THEN 1.5 WHEN 'fr' THEN 0.5 ELSE 1.0 END AS DOUBLE) AS slot
+        | FROM r)
+        |SELECT CAST(row_number() OVER (ORDER BY slot, key, doc_id) - 1 AS BIGINT) AS pos,
+        | stratum, doc_id
+        |FROM s ORDER BY pos""".stripMargin,
+    // paragraph twin: same 12-token grid (chunk count mirrors
+    // Chunking.chunkTokens), first occurrence = rn 1 over (doc_id,
+    // chunk_idx); coalesce('') matches concat_ws over an empty array
+    "dedup_paragraph" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |nch AS (
+        | SELECT doc_id, t,
+        |  CASE WHEN len(t) <= 12 THEN 1
+        |   ELSE CAST(ceil((len(t) - 12) / 12.0) AS INT) + 1 END AS nc
+        | FROM toks),
+        |par AS (SELECT doc_id, unnest(range(0, nc)) AS chunk_idx, t FROM nch),
+        |pp AS (
+        | SELECT doc_id, chunk_idx,
+        |  array_to_string(t[chunk_idx*12+1 : chunk_idx*12+12], ' ') AS chunk
+        | FROM par),
+        |rk AS (
+        | SELECT doc_id, chunk_idx, chunk,
+        |  row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        | FROM pp)
+        |SELECT doc_id, count(*) AS n_total,
+        | CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | md5(coalesce(
+        |   string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '')) AS h_dedup
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ii_search_boolean" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
@@ -660,6 +753,23 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_occurrences,
         | CAST(list_min(ps) - 1 AS BIGINT) AS first_pos
         |FROM occ WHERE len(ps) > 0 ORDER BY doc_id""".stripMargin,
+    // sloppy-phrase twin: per-term 1-based position lists, chained with
+    // the same (prev < next <= prev + 1 + slop) band per gap; chain
+    // count = join cardinality in both engines; -1 converts first_pos
+    // to the operator's 0-based convention
+    "ii_phrase_slop" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |a AS (SELECT doc_id, unnest([i for i in range(1, len(t)+1) if t[i] = 'fast']) AS p1 FROM toks),
+        |b AS (SELECT doc_id, unnest([i for i in range(1, len(t)+1) if t[i] = 'table']) AS p2 FROM toks),
+        |c AS (SELECT doc_id, unnest([i for i in range(1, len(t)+1) if t[i] = 'scan']) AS p3 FROM toks),
+        |ch AS (
+        | SELECT a.doc_id, p1 FROM a JOIN b USING (doc_id) JOIN c USING (doc_id)
+        | WHERE p2 > p1 AND p2 <= p1 + 3 AND p3 > p2 AND p3 <= p2 + 3)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        | CAST(min(p1) - 1 AS BIGINT) AS first_pos
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "search_bm25" -> bm25OracleSql(Seq("spark", "vector", "slow"), 20),
     // 1-based positions cancel in the distance; join over unnested
     // per-term position lists = the per-row O(|pa|·|pb|) array min
@@ -1120,6 +1230,16 @@ object SparkEntry {
         | FROM rescored)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(s, 4) AS score
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // centroid twin: per-(label, pos) avg over zipped unnests, rounded
+    // to 6 like the operator's centroid (absorbing double-summation
+    // order), list reassembled in pos order, cosine rounded to 4
+    "embed_centroid" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |u AS (SELECT label, unnest(e) AS x, unnest(range(1, len(e)+1)) AS pos FROM v),
+        |c AS (SELECT label, pos, round(avg(x), 6) AS m FROM u GROUP BY 1, 2),
+        |ctr AS (SELECT label, list(m ORDER BY pos) AS c FROM c GROUP BY label)
+        |SELECT v.vec_id, v.label, round(list_cosine_similarity(v.e, ctr.c), 4) AS c_cos
+        |FROM v JOIN ctr USING (label) ORDER BY vec_id""".stripMargin,
     // int8 twin: same max-abs half-up quantization (identical double
     // op order: x/maxabs*127+0.5, then code·(maxabs/127)), then the
     // exact-top-k pipeline over the dequantized vectors
@@ -1182,6 +1302,54 @@ object SparkEntry {
         | SELECT l.q_id, a.id AS c_id, sum(l.w) AS s
         | FROM assigned a JOIN lutw l ON l.j = a.j AND l.code = a.code
         | WHERE l.q_id <> a.id GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT q_id, c_id, s,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
+        | FROM adc)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(s, 4) AS score
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // IVF-PQ twin: the ann_ivf_fixed cell CTEs (assignment ties s
+    // DESC, cell DESC; probe ties s DESC, cell ASC) composed with the
+    // ann_pq code/LUT CTEs; candidates outside probed cells never
+    // reach the ADC sum
+    "ann_ivf_pq" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |ctr AS (SELECT * FROM (VALUES
+        |   ${ivfCentroidValuesSql(16, 64)}) t(cell, c)),
+        |cellsc AS (
+        | SELECT vec_id AS id, cell, list_cosine_similarity(e, c) AS s FROM v CROSS JOIN ctr),
+        |assigned AS (
+        | SELECT id, cell FROM (
+        |  SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY s DESC, cell DESC) AS rn
+        |  FROM cellsc) WHERE rn = 1),
+        |qprobe AS (
+        | SELECT id AS q_id, cell FROM (
+        |  SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY s DESC, cell ASC) AS rn
+        |  FROM cellsc WHERE id < 8) WHERE rn <= 4),
+        |cb AS (SELECT * FROM (VALUES
+        |   ${pqCodebookValuesSql(8, 16, 8)}) t(j, code, cvec)),
+        |sub AS (
+        | SELECT vec_id AS id, js.j, e[js.j*8+1 : js.j*8+8] AS sub
+        | FROM v CROSS JOIN (SELECT DISTINCT j FROM cb) js),
+        |codesc AS (
+        | SELECT id, j, code, list_cosine_similarity(sub, cvec) AS s
+        | FROM sub JOIN cb USING (j)),
+        |codes AS (
+        | SELECT id, j, code FROM (
+        |  SELECT id, j, code,
+        |   row_number() OVER (PARTITION BY id, j ORDER BY s DESC, code DESC) AS rn
+        |  FROM codesc) WHERE rn = 1),
+        |lutw AS (
+        | SELECT q.id AS q_id, cb.j, cb.code, list_dot_product(q.sub, cb.cvec) AS w
+        | FROM sub q JOIN cb ON cb.j = q.j WHERE q.id < 8),
+        |cand AS (
+        | SELECT q_id, a.id AS c_id
+        | FROM qprobe p JOIN assigned a ON p.cell = a.cell WHERE p.q_id <> a.id),
+        |adc AS (
+        | SELECT l.q_id, c.id AS c_id, sum(l.w) AS s
+        | FROM codes c JOIN lutw l ON l.j = c.j AND l.code = c.code
+        | JOIN cand ON cand.q_id = l.q_id AND cand.c_id = c.id
+        | GROUP BY 1, 2),
         |ranked AS (
         | SELECT q_id, c_id, s,
         |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
@@ -1512,6 +1680,27 @@ object SparkEntry {
         | count(*) FILTER (WHERE lang = 'fr') AS fr,
         | count(*) FILTER (WHERE lang = 'zh') AS zh
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // unpivot twin: the melt preserves the dense grid, so absent
+    // (source, lang) combos come back as explicit n=0 rows via the
+    // source × value-list cross join
+    "q_unpivot" ->
+      """WITH s AS (SELECT DISTINCT source FROM documents),
+        |l AS (SELECT unnest(['de', 'en', 'es', 'fr', 'zh']) AS lang),
+        |c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2)
+        |SELECT s.source, l.lang, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM s CROSS JOIN l LEFT JOIN c USING (source, lang)
+        |ORDER BY source, lang""".stripMargin,
+    // RANGE frame twin: identical micros order key and 7-day bound;
+    // value through DECIMAL so the frame sum is exact in both engines
+    "q_range_frame" ->
+      """SELECT user_id, event_id,
+        | CAST(count(*) OVER w AS BIGINT) AS n_7d,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        | RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |QUALIFY user_id % 10 = 0
+        |ORDER BY user_id, event_id""".stripMargin,
     // quantile_cont = the same (1-f)·lower + f·upper linear
     // interpolation at rank p·(n-1) Spark's exact `percentile` uses
     "q_quantiles" ->
