@@ -90,6 +90,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (args: Seq[Expression]) =>
         TopKByScore(args(0), args(1), intArg(args(2), "graft_topk", 2))),
+    (FunctionIdentifier("graft_entropy"),
+      new ExpressionInfo(classOf[EntropyStatsText].getName, "graft_entropy"),
+      (args: Seq[Expression]) => EntropyStatsText(args(0))),
     (FunctionIdentifier("graft_vec_sum"),
       new ExpressionInfo(classOf[VecSum].getName, "graft_vec_sum"),
       (args: Seq[Expression]) => VecSum(args(0))),

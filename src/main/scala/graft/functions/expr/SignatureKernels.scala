@@ -141,6 +141,31 @@ object SignatureKernels {
       Array[Any](grams.length.toLong, top, dist))
   }
 
+  /** Token unigram entropy stats: (total tokens, distinct tokens,
+    * Shannon entropy in nats = ln n − Σ c·ln c / n). Same fused byte
+    * tokenization as every kernel; multiplicities are run lengths of
+    * the sorted token-hash array, so the pass needs no hash map. */
+  def entropyStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = TextTokenizer.tokenHashes(s)
+    java.util.Arrays.sort(toks)
+    var dist = 0L
+    var sumClnC = 0.0
+    var run = 0L
+    var i = 0
+    while (i < toks.length) {
+      if (i == 0 || toks(i) != toks(i - 1)) {
+        if (run > 0) { dist += 1; sumClnC += run * math.log(run.toDouble) }
+        run = 1L
+      } else run += 1
+      i += 1
+    }
+    if (run > 0) { dist += 1; sumClnC += run * math.log(run.toDouble) }
+    val n = toks.length
+    val ent = if (n == 0) 0.0 else math.log(n.toDouble) - sumClnC / n
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, dist, ent))
+  }
+
   def simhashText(s: UTF8String): Long =
     simhashFromHashes(TextTokenizer.tokenHashes(s))
 

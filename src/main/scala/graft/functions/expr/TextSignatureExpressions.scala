@@ -179,6 +179,32 @@ case class RepetitionStatsText(child: Expression, shingleSize: Int)
     copy(child = newChild)
 }
 
+/** One-pass token unigram entropy straight from text:
+  * `string -> struct<total, dist, ent>` (token count, type count,
+  * Shannon entropy in nats) — the vocabulary-diversity quality signal
+  * (low entropy = template/spam text; with total it also yields the
+  * type-token ratio). */
+case class EntropyStatsText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.string(child, prettyName)
+  override def dataType: DataType = StructType(Seq(
+    StructField("total", LongType, nullable = false),
+    StructField("dist", LongType, nullable = false),
+    StructField("ent", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.entropyStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expr.SignatureKernels.entropyStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SimHash straight from text: `string -> long`; equals
   * SimHash64(split tokens) bit for bit. */
 case class SimHashText(child: Expression) extends UnaryExpression {

@@ -133,4 +133,19 @@ object TextStats {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(-log(col("cnt").cast("double") / col("__t"))), 4).as("avg_nll"))
   }
+
+  /** Per-document token unigram entropy (nats) and type-token ratio —
+    * the vocabulary-diversity quality signal (low entropy or low TTR =
+    * template/spam text). One fused `graft_entropy` pass riding the
+    * scan: tokenize → sort token hashes → run lengths, zero shuffle,
+    * same kernel discipline as `ngramRepetition`. */
+  def tokenEntropy(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        call_function("graft_entropy", col(textCol)).as("e"))
+      .select(col("doc_id"),
+        col("e.total").as("n_toks"), col("e.dist").as("n_types"),
+        round(col("e.ent"), 4).as("entropy"),
+        round(col("e.dist").cast("double") / col("e.total"), 4).as("ttr"))
 }

@@ -112,6 +112,28 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(sims(0) == sims(0), "deterministic")
   }
 
+  test("graft_entropy: entropy and type-token ratio match brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "a a b b"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextStats.tokenEntropy(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    def h(counts: Seq[Int]): Double = {
+      val n = counts.sum.toDouble
+      BigDecimal(math.log(n) - counts.map(c => c * math.log(c)).sum / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(1L) == ((4L, 1L, 0.0, 0.25)), "uniform repeat has zero entropy")
+    assert(got(2L) == ((4L, 4L, h(Seq(1, 1, 1, 1)), 1.0)), "all-distinct = ln n")
+    assert(got(3L) == ((4L, 2L, h(Seq(2, 2)), 0.5)))
+    assert(got(4L) == ((1L, 1L, 0.0, 1.0)))
+    // corpus sanity: every doc has positive entropy and ttr in (0, 1]
+    val corpus = graft.operators.TextStats.tokenEntropy(
+      Tables.documents(spark, sf)).collect()
+    assert(corpus.forall(r => r.getDouble(3) > 0 && r.getDouble(4) > 0 && r.getDouble(4) <= 1))
+  }
+
   test("signature expressions stay inside whole-stage codegen") {
     // parquet-backed scan so the projection is a real executed stage
     // (a local Seq would constant-fold to LocalTableScan)
