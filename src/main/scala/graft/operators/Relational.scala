@@ -396,6 +396,30 @@ object Relational {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** C16: keyed upsert (overwrite-merge, the MERGE INTO / SCD type-1
+    * shape): apply a change batch to a keyed table — matched keys take
+    * the batch row ("updated"), unmatched batch keys append
+    * ("inserted"), unmatched base keys carry over ("kept"). One full
+    * outer join on the key; both sides arrive co-partitioned by the
+    * join exchange, and at scale a small change batch broadcast-joins
+    * the matched/new split instead. The status column makes the merge
+    * auditable (and testable) row by row. Both frames must share the
+    * key + payload schema; payloads ride as single structs so the
+    * "batch wins" rule is one coalesce, not per-column plumbing. */
+  def upsert(base: DataFrame, batch: DataFrame, keyCol: String): DataFrame = {
+    require(base.columns.sorted.sameElements(batch.columns.sorted),
+      "upsert requires identical schemas")
+    val payload = base.columns.filter(_ != keyCol).toSeq
+    def packed(df: DataFrame, as: String) =
+      df.select(col(keyCol).as("__k"), struct(payload.map(col): _*).as(as))
+    packed(base, "__b").join(packed(batch, "__u"), Seq("__k"), "full_outer")
+      .select(col("__k").as(keyCol),
+        coalesce(col("__u"), col("__b")).as("row"),
+        when(col("__u").isNotNull && col("__b").isNotNull, "updated")
+          .when(col("__b").isNull, "inserted")
+          .otherwise("kept").as("status"))
+  }
+
   /** C15: exact percentiles per group. `percentile` buffers every
     * value of the group in an ObjectHashAggregate — correct and fine
     * for bounded groups, the documented scale-weak path for huge ones.

@@ -119,6 +119,21 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert: batch wins on matches, inserts append, base carries over") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val batch = Seq((2L, "b2", 99.0), (9L, "z", 1.0)).toDF("k", "name", "bal")
+    val got = operators.Relational.upsert(base, batch, "k").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getStruct(1).getString(0), r.getStruct(1).getDouble(1), r.getString(2)))).toMap
+    assert(got(1L) == (("a", 10.0, "kept")))
+    assert(got(2L) == (("b2", 99.0, "updated")), "matched key must take the batch row")
+    assert(got(3L) == (("c", 30.0, "kept")))
+    assert(got(9L) == (("z", 1.0, "inserted")))
+    assert(got.size == 4)
+  }
+
   test("quantiles: exact percentiles ordered, approx sketch lands within rank tolerance") {
     val exact = operators.Relational.quantiles(spark, sf).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
