@@ -172,6 +172,33 @@ object InvertedIndex {
       .where(col("n_docs") > 0)
   }
 
+  /** Index maintenance: COMPACT a chunked index onto a coarser doc-id
+    * grid — the final step of the build → merge → delete → compact
+    * lifecycle. After heavy deletion, posting chunks shrink far below
+    * `chunkSize` and per-chunk overhead (row metadata, one seek per
+    * chunk) starts to dominate reads; compaction re-chunks every value
+    * onto spans of `factor` × the original width.
+    *
+    * Because chunk spans NEST (the new width is an exact multiple),
+    * every old chunk maps wholly into floorDiv(chunk, factor): the
+    * whole operation is one (value, new_chunk) aggregation whose
+    * inputs are already-sorted bounded lists — concatenate ≤ factor of
+    * them, re-sort, sum counts. No id is ever re-derived from the
+    * corpus, so compaction cost is O(index), never O(data).
+    *
+    * Invariant (the driver oracle): compact(index(A, s), f) ==
+    * index(A, f·s) — including after deletions, since emptied chunks
+    * were already dropped. */
+  def compactChunked(index: DataFrame, factor: Long = 4): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    // floorDiv on the chunk ordinal (spans nest): integral ops so
+    // negative chunk ids stay floor-consistent
+    val newChunk = expr(s"(chunk - pmod(chunk, ${factor}L)) DIV ${factor}L")
+    index.groupBy(col("value"), newChunk.as("chunk"))
+      .agg(sort_array(flatten(collect_list(col("doc_ids")))).as("doc_ids"),
+        sum(col("n_docs")).as("n_docs"))
+  }
+
   /** R3: {min, max, avg} of a numeric field over all docs — a single
     * partial-aggregate pass, one-row result. Doubles match the
     * reference's Float64 casts (src/main.rs:562-573). */

@@ -125,4 +125,23 @@ class InvertedIndexSpec extends AnyFunSuite {
     val noop = InvertedIndex.deleteFromChunked(idx, docs.where(lit(false)), chunkSize = 50)
     assert(noop.count() == idx.count())
   }
+
+  test("compaction == rebuild at the coarser width, after deletion too") {
+    import org.apache.spark.sql.functions._
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("value"), col("chunk"), col("doc_ids"), col("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2), r.getLong(3))).toSet
+    val idx = InvertedIndex.fieldValuesChunked(docs, "lang", chunkSize = 50)
+    // plain compaction: factor 4 over the full index
+    assert(canon(InvertedIndex.compactChunked(idx, factor = 4)) ==
+      canon(InvertedIndex.fieldValuesChunked(docs, "lang", chunkSize = 200)))
+    // the lifecycle case: delete then compact == rebuild-without at 4×
+    val survivors = docs.where(col("doc_id") % 5 =!= 0)
+    val afterDelete = InvertedIndex.deleteFromChunked(
+      idx, docs.where(col("doc_id") % 5 === 0), chunkSize = 50)
+    assert(canon(InvertedIndex.compactChunked(afterDelete, factor = 4)) ==
+      canon(InvertedIndex.fieldValuesChunked(survivors, "lang", chunkSize = 200)))
+    // factor 1 is the identity
+    assert(canon(InvertedIndex.compactChunked(idx, factor = 1)) == canon(idx))
+  }
 }
