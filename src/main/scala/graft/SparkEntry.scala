@@ -189,6 +189,18 @@ object SparkEntry {
                 array_join(col("doc_ids"), ",").as("doc_ids"))
         .orderBy(col("value"), col("chunk"))
     }),
+    // delete then compact 4×: the lifecycle's final step; oracle is
+    // the index rebuilt at the coarser width over the surviving docs
+    "ii_index_compact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val idx = InvertedIndex.fieldValuesChunked(d, "source", chunkSize = 100)
+      val afterDelete = InvertedIndex.deleteFromChunked(
+        idx, d.where(col("doc_id") % 7 === 0), chunkSize = 100)
+      InvertedIndex.compactChunked(afterDelete, factor = 4)
+        .select(col("value"), col("chunk"), col("n_docs"),
+                array_join(col("doc_ids"), ",").as("doc_ids"))
+        .orderBy(col("value"), col("chunk"))
+    }),
     "ingest_nested_json" -> (NestedIngest.ingestNestedJson _),
     // the search layer over the inverted-index surface: boolean
     // posting-list algebra, positional phrase adjacency, BM25 ranking
@@ -424,6 +436,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "text_repetition" -> ((s, dir) =>
       TextStats.ngramRepetition(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+    // token unigram entropy + type-token ratio, one fused scan pass
+    "text_entropy" -> ((s, dir) =>
+      TextStats.tokenEntropy(Tables.documents(s, dir)).orderBy(col("doc_id"))),
     // TF-IDF top-5 keywords per doc; log-free rational idf so the
     // DuckDB twin reproduces the ranking doubles bit-exactly
     "text_tfidf" -> ((s, dir) =>
@@ -637,6 +652,21 @@ object SparkEntry {
     "q_cube"           -> (Relational.cubeAgg _),
     "q_pivot"          -> (Relational.pivotLangCounts _),
     "q_unpivot"        -> (Relational.unpivotLangCounts _),
+    // keyed upsert: +100 balance on keys %10=3 (updates), re-keyed
+    // copies of keys %50=0 (inserts); everything else carries over
+    "q_upsert" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      val updates = c.where(col("c_custkey") % 10 === 3)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 100.0, 2))
+      val inserts = c.where(col("c_custkey") % 50 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+      Relational.upsert(c, updates.unionByName(inserts), "c_custkey")
+        .select(col("c_custkey"), col("row.c_name").as("c_name"),
+          col("row.c_acctbal").as("c_acctbal"),
+          col("row.c_mktsegment").as("c_mktsegment"), col("status"))
+        .orderBy(col("c_custkey"))
+    }),
     "q_range_frame"    -> (Relational.rangeFrameWindow _),
     "q_quantiles"      -> (Relational.quantiles _),
     "q_histogram"      -> ((s, dir) => Relational.histogram(s, dir)),
@@ -675,6 +705,11 @@ object SparkEntry {
     // delete == rebuild-without invariant
     "ii_index_delete" ->
       """SELECT source AS value, CAST(doc_id // 100 AS BIGINT) AS chunk, count(*) AS n_docs,
+        | array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+        |FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1, 2 ORDER BY value, chunk""".stripMargin,
+    // compact twin: compact(index(A,100) \ D, 4) == index(A \ D, 400)
+    "ii_index_compact" ->
+      """SELECT source AS value, CAST(doc_id // 400 AS BIGINT) AS chunk, count(*) AS n_docs,
         | array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
         |FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1, 2 ORDER BY value, chunk""".stripMargin,
     "dedup_exact" ->
@@ -1089,6 +1124,24 @@ object SparkEntry {
         | round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_frac,
         | round(1 - CAST(count(*) AS DOUBLE) / sum(c), 4) AS dup_frac
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // entropy twin: per-(doc, token) counts, H = ln n − Σ c·ln c / n;
+    // ln and the /n division agree across engines (BM25 precedent),
+    // summation-order wobble dies at round(4)
+    "text_entropy" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, tok, count(*) AS c
+        | FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+        |a AS (
+        | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+        |  count(*) AS n_types, sum(c * ln(c)) AS s
+        | FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_toks, n_types,
+        | round(ln(CAST(n_toks AS DOUBLE)) - s / n_toks, 4) AS entropy,
+        | round(CAST(n_types AS DOUBLE) / n_toks, 4) AS ttr
+        |FROM a ORDER BY doc_id""".stripMargin,
     // TF-IDF twin: lowercased \s+ tokens, per-(doc,term) tf, doc
     // frequency over tf, rational idf (N+1)/(df+1) — identical IEEE
     // double sequence as the Spark side, so row_number ranking agrees
@@ -1690,6 +1743,27 @@ object SparkEntry {
         |SELECT s.source, l.lang, CAST(coalesce(c.n, 0) AS BIGINT) AS n
         |FROM s CROSS JOIN l LEFT JOIN c USING (source, lang)
         |ORDER BY source, lang""".stripMargin,
+    // upsert twin: same derived batch; batch-wins = column coalesce
+    // (batch payloads are never null, so struct coalesce == per-column)
+    "q_upsert" ->
+      """WITH base AS (
+        | SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+        |up AS (
+        | SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+        | FROM base WHERE c_custkey % 10 = 3),
+        |ins AS (
+        | SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal, c_mktsegment
+        | FROM base WHERE c_custkey % 50 = 0),
+        |batch AS (SELECT * FROM up UNION ALL SELECT * FROM ins)
+        |SELECT coalesce(b.c_custkey, t.c_custkey) AS c_custkey,
+        | coalesce(t.c_name, b.c_name) AS c_name,
+        | coalesce(t.c_acctbal, b.c_acctbal) AS c_acctbal,
+        | coalesce(t.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+        | CASE WHEN t.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL THEN 'updated'
+        |      WHEN b.c_custkey IS NULL THEN 'inserted'
+        |      ELSE 'kept' END AS status
+        |FROM base b FULL OUTER JOIN batch t ON b.c_custkey = t.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     // RANGE frame twin: identical micros order key and 7-day bound;
     // value through DECIMAL so the frame sum is exact in both engines
     "q_range_frame" ->

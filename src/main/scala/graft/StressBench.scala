@@ -83,7 +83,19 @@ object StressBench {
       // PMI: replica-prefixed tokens mean ~N× vocabulary — unigram
       // and bigram count exchanges must stay map-side combined
       "text_collocations" -> (() =>
-        operators.TextStats.collocations(docs, minCount = 5, k = 20)))
+        operators.TextStats.collocations(docs, minCount = 5, k = 20)),
+      // paragraph dedup: keeper aggregation + hash join + doc re-agg,
+      // all keyed shuffles — must track the token stream linearly
+      "dedup_paragraph" -> (() =>
+        operators.Dedup.paragraphDedup(docs)),
+      // two chained two-phase ranks (grouped then global): the driver
+      // offset tables grow with partitions × strata, never with rows
+      "order_interleave" -> (() =>
+        operators.TrainingOrder.interleaved(docs,
+          Map("en" -> 3.0, "zh" -> 1.5, "fr" -> 0.5), "ep0", stratumCol = "lang")),
+      // fused scan kernel: pure per-row pass, must scale with the scan
+      "text_entropy" -> (() =>
+        operators.TextStats.tokenEntropy(docs)))
     ops.map { case (name, f) =>
       timeNoop(f) // warm-up
       val secs = timeNoop(f)
