@@ -32,6 +32,12 @@ object GraftExtensions {
       s"$fn argument $pos must be an integer literal, got $other")
   }
 
+  private def doubleArg(e: Expression, fn: String, pos: Int): Double = e match {
+    case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn argument $pos must be a double literal, got $other")
+  }
+
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
@@ -90,6 +96,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (args: Seq[Expression]) =>
         TopKByScore(args(0), args(1), intArg(args(2), "graft_topk", 2))),
+    (FunctionIdentifier("graft_mmr"),
+      new ExpressionInfo(classOf[MmrSelect].getName, "graft_mmr"),
+      (args: Seq[Expression]) =>
+        MmrSelect(args(0), intArg(args(1), "graft_mmr", 1),
+          doubleArg(args(2), "graft_mmr", 2))),
     (FunctionIdentifier("graft_entropy"),
       new ExpressionInfo(classOf[EntropyStatsText].getName, "graft_entropy"),
       (args: Seq[Expression]) => EntropyStatsText(args(0))),

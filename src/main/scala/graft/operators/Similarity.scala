@@ -224,6 +224,38 @@ object Similarity {
         col("t.id").as("c_id"), col("t.score").as("score"))
   }
 
+  /** Diversified retrieval: MMR re-rank of the exact top-m pool
+    * (Carbonell & Goldstein SIGIR'98) — each pick maximizes
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked, so near
+    * duplicate results collapse to one representative instead of
+    * filling the page.
+    *
+    * Scale shape: the expensive stage is the ANN top-m (which already
+    * moves only m rows per query); the pool then gathers to ONE row
+    * per query — m·(dim+2) doubles, bounded by construction — and the
+    * greedy runs as the per-row `graft_mmr` kernel (O(m·k·dim), zero
+    * additional shuffle beyond the m-row gather). Returns
+    * (q_id, rank, c_id, score) in selection order; `score` is the MMR
+    * objective at pick time (rank 1 = λ·rel, the pure-relevance
+    * argmax). */
+  def mmrTopK(queries: DataFrame, candidates: DataFrame, k: Int, m: Int = 20,
+              lambda: Double = 0.7,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(k <= m, "k must be <= the pool size m")
+    val pool = bruteForceTopK(queries, candidates, m)
+    val cvec = candidates.select(col(idCol).cast("long").as("c_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cvec"))
+    pool.join(cvec, "c_id")
+      .groupBy(col("q_id"))
+      .agg(collect_list(struct(col("c_id").as("id"), col("score").as("rel"),
+        col("cvec").as("vec"))).as("cands"))
+      .select(col("q_id"),
+        posexplode(call_function("graft_mmr", col("cands"), lit(k), lit(lambda)))
+          .as(Seq("rank0", "t")))
+      .select(col("q_id"), (col("rank0") + 1).as("rank"),
+        col("t.id").as("c_id"), col("t.score").as("score"))
+  }
+
   /** L7: SRP-bucketed ANN with flip-one-bit multiprobe. Each query
     * probes its exact bucket plus every Hamming-1 neighbor in each
     * band; candidates join on (band, bucket) — the scan of candidate

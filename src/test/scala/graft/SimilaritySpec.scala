@@ -123,6 +123,66 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("MMR: selection matches a driver-side greedy over the same pool") {
+    val queries = emb.where(col("vec_id") < 8)
+    val lambda = 0.7
+    val pool = Similarity.bruteForceTopK(queries, emb, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = pool.map { case (q, cands) =>
+      var remaining = cands
+      var selected = Seq.empty[(Long, Double)]
+      while (selected.size < 8 && remaining.nonEmpty) {
+        val scored = remaining.map { case (id, rel) =>
+          // true max (may be negative); only the EMPTY set contributes 0
+          val sims = selected.map(s => cos(vecs(id), vecs(s._1)))
+          val ms = if (sims.isEmpty) 0.0 else sims.max
+          (id, lambda * rel - (1 - lambda) * ms)
+        }
+        val best = scored.minBy { case (id, s) => (-s, id) }
+        selected :+= best
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      q -> selected
+    }
+    val got = Similarity.mmrTopK(queries, emb, k = 8, m = 20, lambda = lambda).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    expect.foreach { case (q, exp) =>
+      val g = got(q)
+      assert(g.map(_._1) == exp.map(_._1), s"selection order differs for query $q")
+      g.zip(exp).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-9, s"score differs for query $q") }
+    }
+  }
+
+  test("MMR: a near-duplicate of the top hit is deferred, pure top-k keeps it") {
+    import spark.implicits._
+    // query q; candidate 1 ≈ candidate 2 (near-dups, both highly
+    // relevant); candidate 3 distinct but decently relevant
+    val q = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val df = Seq(
+      (100L, q.toSeq, 0),
+      (1L, Seq(0.99f, 0.10f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.99f, 0.11f, 0.0f, 0.0f), 0),
+      (3L, Seq(0.70f, 0.0f, 0.70f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val topk = Similarity.bruteForceTopK(df.where(col("vec_id") === 100), df, 3)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(topk.take(2) == Seq(1L, 2L), "pure relevance keeps the near-dup adjacent")
+    val mmr = Similarity.mmrTopK(df.where(col("vec_id") === 100), df, k = 3, m = 3,
+        lambda = 0.5)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(mmr == Seq(1L, 3L, 2L), "MMR defers the near-duplicate behind the diverse hit")
+  }
+
   test("L7: LSH scores are exact cosines for the candidates it returns") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
