@@ -396,6 +396,32 @@ object Relational {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** C17: column profiling (the ANALYZE-TABLE surface): per column —
+    * row count, null count, min/max, EXACT distinct count. Each
+    * column profiles through two map-side-combined aggregations
+    * (group-by-value, then one summary row) instead of
+    * `count(DISTINCT ...)` inside a shared aggregate, which would plan
+    * an Expand multiplying the scan per distinct column — the
+    * q_distinct scale trap. Each column's pass scans ONLY that column
+    * (pruned scan), so profiling N columns costs N cheap column
+    * scans, embarrassingly parallel across columns. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.groupBy(col(c))
+        .agg(count(lit(1)).as("__n"))
+        .agg(
+          sum(col("__n")).as("n_rows"),
+          coalesce(sum(when(col(c).isNull, col("__n"))), lit(0L)).as("n_nulls"),
+          min(col(c)).as("__min"),
+          max(col(c)).as("__max"),
+          count(when(col(c).isNotNull, lit(1))).as("n_distinct"))
+        // try_cast: non-numeric columns profile with null min_v/max_v
+        // instead of an ANSI cast error
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          expr("try_cast(__min AS DOUBLE)").as("min_v"),
+          expr("try_cast(__max AS DOUBLE)").as("max_v"), col("n_distinct"))
+    }.reduce(_ unionByName _)
+
   /** C16: keyed upsert (overwrite-merge, the MERGE INTO / SCD type-1
     * shape): apply a change batch to a keyed table — matched keys take
     * the batch row ("updated"), unmatched batch keys append

@@ -119,6 +119,24 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("profile: per-column stats match direct queries, plan has no Expand") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val df = operators.Relational.profileColumns(li, Seq("l_quantity", "l_returnflag"))
+    val got = df.collect().map(r => r.getString(0) -> r).toMap
+    val n = li.count()
+    val q = got("l_quantity")
+    assert(q.getLong(1) == n && q.getLong(2) == 0)
+    assert(q.getDouble(3) ==
+      li.agg(min(col("l_quantity")).cast("double")).collect()(0).getDouble(0))
+    assert(q.getLong(5) == li.select("l_quantity").distinct().count())
+    val f = got("l_returnflag")
+    assert(f.getLong(5) == li.select("l_returnflag").distinct().count())
+    assert(f.isNullAt(3) && f.isNullAt(4), "string min/max cast to double as null")
+    assert(!df.queryExecution.executedPlan.toString.contains("Expand"),
+      "exact distincts must not plan an Expand")
+  }
+
   test("upsert: batch wins on matches, inserts append, base carries over") {
     import spark.implicits._
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
