@@ -54,6 +54,58 @@ object SparkEntry {
       cb.zipWithIndex.map { case (c, k) => s"($j, $k, [${c.mkString(", ")}])" }
     }.mkString(",\n   ")
 
+  /** Unrolled MMR greedy for the ann_mmr oracle: k chained CTE steps,
+    * each picking argmax(λ·rel − (1−λ)·max-cos-to-selected) with ties
+    * to the lowest id — the same objective sequence the graft_mmr
+    * kernel walks. λ routes through CAST(str AS DOUBLE) and (1−λ) is
+    * computed IN double (literal 0.3 ≠ 1.0−0.7 in IEEE), so every
+    * score is bit-identical. selu CTEs are MATERIALIZED: each is
+    * referenced twice per step, and inlining would double the plan per
+    * step. */
+  private def mmrOracleSql(k: Int, m: Int, lambda: Double): String = {
+    val lam = s"CAST('$lambda' AS DOUBLE)"
+    val oneMinus = s"(CAST(1 AS DOUBLE) - $lam)"
+    val steps = new StringBuilder
+    steps.append(
+      s"""sel1 AS (
+         | SELECT q_id, c_id AS id, $lam * rel AS score, 1 AS step FROM (
+         |  SELECT q_id, c_id, rel,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY $lam * rel DESC, c_id) AS rn
+         |  FROM topm) WHERE rn = 1),
+         |selu1 AS MATERIALIZED (SELECT * FROM sel1)""")
+    for (i <- 2 to k) steps.append(
+      s""",
+         |cand$i AS (
+         | SELECT t.q_id, t.c_id, t.rel, max(list_cosine_similarity(a.e, b.e)) AS ms
+         | FROM topm t
+         | JOIN v a ON a.vec_id = t.c_id
+         | JOIN selu${i - 1} s ON s.q_id = t.q_id
+         | JOIN v b ON b.vec_id = s.id
+         | WHERE NOT EXISTS (
+         |  SELECT 1 FROM selu${i - 1} x WHERE x.q_id = t.q_id AND x.id = t.c_id)
+         | GROUP BY 1, 2, 3),
+         |sel$i AS (
+         | SELECT q_id, c_id AS id, sc AS score, $i AS step FROM (
+         |  SELECT q_id, c_id, $lam * rel - $oneMinus * ms AS sc,
+         |   row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ($lam * rel - $oneMinus * ms) DESC, c_id) AS rn
+         |  FROM cand$i) WHERE rn = 1),
+         |selu$i AS MATERIALIZED (SELECT * FROM selu${i - 1} UNION ALL SELECT * FROM sel$i)""")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 8),
+       |scored AS (
+       | SELECT q_id, vec_id AS c_id, list_cosine_similarity(qv, e) AS s
+       | FROM q CROSS JOIN v WHERE q_id <> vec_id),
+       |topm AS (
+       | SELECT q_id, c_id, s AS rel FROM (
+       |  SELECT q_id, c_id, s,
+       |   row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rn
+       |  FROM scored) WHERE rn <= $m),
+       |${steps.toString}
+       |SELECT q_id, CAST(step AS BIGINT) AS rank, id AS c_id, round(score, 4) AS score
+       |FROM selu$k ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Fixed IVF centroid literals for the ann_ivf_fixed oracle — the
     * same ±1 matrix Similarity.fixedCentroids derives from the
     * splitmix64 chain, embedded as DuckDB VALUES rows. */
@@ -515,6 +567,16 @@ object SparkEntry {
                 round(col("score"), 4).as("score"))
         .orderBy(col("q_id"), col("rank"))
     }),
+    // MMR-diversified retrieval: top-20 pool re-ranked so each pick
+    // trades relevance against redundancy; greedy runs as the per-row
+    // graft_mmr kernel — zero shuffle beyond the m-row pool gather
+    "ann_mmr" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.mmrTopK(e.where(col("vec_id") < 8), e, k = 8, m = 20, lambda = 0.7)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
+                round(col("score"), 4).as("score"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
     // IVF-PQ: probe-restricted ADC — cells bound WHICH candidates are
     // scored, codes bound the BYTES per candidate; the composed index
     // a billion-vector deployment actually runs
@@ -669,6 +731,12 @@ object SparkEntry {
     }),
     "q_range_frame"    -> (Relational.rangeFrameWindow _),
     "q_quantiles"      -> (Relational.quantiles _),
+    // ANALYZE-style per-column profile; exact distincts WITHOUT the
+    // count(DISTINCT) Expand — two chained aggregations per column
+    "stats_profile" -> ((s, dir) =>
+      Relational.profileColumns(Tables.lineitem(s, dir),
+          Seq("l_discount", "l_extendedprice", "l_quantity", "l_returnflag"))
+        .orderBy(col("col_name"))),
     "q_histogram"      -> ((s, dir) => Relational.histogram(s, dir)),
   )
 
@@ -1361,6 +1429,7 @@ object SparkEntry {
         | FROM adc)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(s, 4) AS score
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "ann_mmr" -> mmrOracleSql(k = 8, m = 20, lambda = 0.7),
     // IVF-PQ twin: the ann_ivf_fixed cell CTEs (assignment ties s
     // DESC, cell DESC; probe ties s DESC, cell ASC) composed with the
     // ann_pq code/LUT CTEs; candidates outside probed cells never
@@ -1775,6 +1844,17 @@ object SparkEntry {
         | RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
         |QUALIFY user_id % 10 = 0
         |ORDER BY user_id, event_id""".stripMargin,
+    // profile twin: TRY_CAST mirrors Spark's null-on-failure string→
+    // double cast for the non-numeric column's min/max
+    "stats_profile" ->
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_returnflag").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           | CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           | TRY_CAST(min($c) AS DOUBLE) AS min_v,
+           | TRY_CAST(max($c) AS DOUBLE) AS max_v,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     // quantile_cont = the same (1-f)·lower + f·upper linear
     // interpolation at rank p·(n-1) Spark's exact `percentile` uses
     "q_quantiles" ->
