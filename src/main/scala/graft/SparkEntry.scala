@@ -1430,6 +1430,54 @@ object SparkEntry {
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(s, 4) AS score
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "ann_mmr" -> mmrOracleSql(k = 8, m = 20, lambda = 0.7),
+    // data-adapted IVF twin — expressible because the entry's k-means
+    // is ONE deterministic Lloyd pass: seeds = 16 lowest-id vectors,
+    // assignment ties to the HIGHEST cell (max-struct), per-(cell,pos)
+    // means rounded to 6 (the operator's own run-to-run stabilizer),
+    // memberless cells keep their seed, probe ties to the LOWEST cell
+    "ann_ivf" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |seeds AS (
+        | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
+        | FROM v ORDER BY vec_id LIMIT 16),
+        |a0 AS (
+        | SELECT vec_id, cell FROM (
+        |  SELECT v.vec_id, s.cell,
+        |   row_number() OVER (PARTITION BY v.vec_id
+        |    ORDER BY list_cosine_similarity(v.e, s.c) DESC, s.cell DESC) AS rn
+        |  FROM v CROSS JOIN seeds s) WHERE rn = 1),
+        |mm AS (
+        | SELECT cell, unnest(e) AS x, unnest(range(1, len(e)+1)) AS pos
+        | FROM a0 JOIN v USING (vec_id)),
+        |m AS (SELECT cell, pos, round(avg(x), 6) AS mu FROM mm GROUP BY 1, 2),
+        |refined AS (SELECT cell, list(mu ORDER BY pos) AS c FROM m GROUP BY cell),
+        |ctr AS (
+        | SELECT s.cell, coalesce(r.c, s.c) AS c
+        | FROM seeds s LEFT JOIN refined r USING (cell)),
+        |assigned AS (
+        | SELECT vec_id AS id, cell FROM (
+        |  SELECT v.vec_id, t.cell,
+        |   row_number() OVER (PARTITION BY v.vec_id
+        |    ORDER BY list_cosine_similarity(v.e, t.c) DESC, t.cell DESC) AS rn
+        |  FROM v CROSS JOIN ctr t) WHERE rn = 1),
+        |qprobe AS (
+        | SELECT vec_id AS q_id, cell FROM (
+        |  SELECT v.vec_id, t.cell,
+        |   row_number() OVER (PARTITION BY v.vec_id
+        |    ORDER BY list_cosine_similarity(v.e, t.c) DESC, t.cell ASC) AS rn
+        |  FROM v CROSS JOIN ctr t WHERE v.vec_id < 8) WHERE rn <= 4),
+        |cand AS (
+        | SELECT DISTINCT q_id, a.id AS c_id
+        | FROM qprobe p JOIN assigned a ON p.cell = a.cell WHERE p.q_id <> a.id),
+        |rescored AS (
+        | SELECT q_id, c_id, list_cosine_similarity(v1.e, v2.e) AS s
+        | FROM cand JOIN v v1 ON v1.vec_id = q_id JOIN v v2 ON v2.vec_id = c_id),
+        |ranked AS (
+        | SELECT q_id, c_id, s,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
+        | FROM rescored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(s, 4) AS score
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // IVF-PQ twin: the ann_ivf_fixed cell CTEs (assignment ties s
     // DESC, cell DESC; probe ties s DESC, cell ASC) composed with the
     // ann_pq code/LUT CTEs; candidates outside probed cells never
