@@ -267,6 +267,11 @@ object SparkEntry {
       Search.phraseSearchSlop(Tables.documents(s, dir),
           Seq("fast", "table", "scan"), slop = 2)
         .orderBy(col("doc_id"))),
+    // materialized positional index: term -> chunked sorted (doc:pos)
+    // postings; the build-side counterpart of the phrase query path
+    "ii_positional_index" -> ((s, dir) =>
+      Search.positionalIndexChunked(Tables.documents(s, dir))
+        .orderBy(col("term"), col("chunk"))),
     "search_bm25" -> ((s, dir) =>
       Search.bm25TopK(Tables.documents(s, dir), Seq("spark", "vector", "slow"), 20)
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
@@ -873,6 +878,18 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
         | CAST(min(p1) - 1 AS BIGINT) AS first_pos
         |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // positional-index twin: zipped unnest gives 0-based positions;
+    // string_agg ORDER BY (doc_id, pos) = array_sort on the struct
+    "ii_positional_index" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id, unnest(t) AS term, unnest(range(0, len(t))) AS pos FROM toks)
+        |SELECT term, CAST(doc_id // 100 AS BIGINT) AS chunk, count(*) AS n_occ,
+        | string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR),
+        |  ',' ORDER BY doc_id, pos) AS postings
+        |FROM p GROUP BY 1, 2 ORDER BY term, chunk""".stripMargin,
     "search_bm25" -> bm25OracleSql(Seq("spark", "vector", "slow"), 20),
     // 1-based positions cancel in the distance; join over unnested
     // per-term position lists = the per-row O(|pa|·|pb|) array min

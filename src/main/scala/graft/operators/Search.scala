@@ -163,6 +163,33 @@ object Search {
       .otherwise(0)
   }
 
+  /** Positional inverted index BUILD — the materialized counterpart
+    * of the on-the-fly positional postings the phrase/proximity QUERY
+    * path derives per query: every term mapped to its sorted
+    * (doc, pos) postings. Unlike the query path, an index build must
+    * explode the full token stream (that IS the job — the output is
+    * the token stream re-keyed by term); the scale disciplines are the
+    * ones the value index already uses: one term-keyed shuffle with
+    * map-side partial aggregation, and posting lists CHUNKED by doc-id
+    * range so a hot term ("the") can never build an unbounded
+    * aggregation buffer. Postings serialize as "doc:pos" in (doc, pos)
+    * order. SearchSpec proves phrase queries answered FROM the index
+    * equal the scan-path phraseSearch. */
+  def positionalIndexChunked(docs: DataFrame, chunkSize: Long = 100,
+                             textCol: String = "text",
+                             idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(searchTokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy(col("term"),
+        expr(s"(doc_id - pmod(doc_id, ${chunkSize}L)) DIV ${chunkSize}L").as("chunk"))
+      .agg(count(lit(1)).as("n_occ"),
+        array_sort(collect_list(struct(col("doc_id"),
+          col("pos").cast("long").as("pos")))).as("ps"))
+      .select(col("term"), col("chunk"), col("n_occ"),
+        array_join(transform(col("ps"), x =>
+          concat(x.getField("doc_id").cast("string"), lit(":"),
+            x.getField("pos").cast("string"))), ",").as("postings"))
+
   /** Term dictionary with document frequencies — the vocabulary side
     * of the inverted index. `array_distinct` runs inside the scan
     * projection so each (doc, term) contributes once; the single

@@ -86,6 +86,34 @@ class SearchSpec extends AnyFunSuite {
     assert(sloppy == Set(1L, 2L), "slop=1 admits one interloper, order still required")
   }
 
+  test("positional index: postings reproduce the token stream; phrase answered FROM the index matches the scan path") {
+    import spark.implicits._
+    val idx = Search.positionalIndexChunked(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // total occurrences = total tokens
+    assert(idx.map(_._3).sum == texts.values.map(_.length.toLong).sum)
+    // decode the index back to (term, doc, pos) and answer the phrase
+    // "fast table" by the classic adjacency join over postings
+    val postings = idx.flatMap { case (term, _, _, ps) =>
+      ps.split(",").map { dp =>
+        val Array(d, p) = dp.split(":"); (term, d.toLong, p.toLong)
+      }
+    }
+    val fast = postings.filter(_._1 == "fast").map(t => (t._2, t._3)).toSet
+    val table = postings.filter(_._1 == "table").map(t => (t._2, t._3 - 1)).toSet
+    val viaIndex = fast.intersect(table).groupBy(_._1).view
+      .mapValues(ps => (ps.size.toLong, ps.map(_._2).min)).toMap
+    val viaScan = Search.phraseSearch(docs, Seq("fast", "table")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(viaIndex == viaScan, "index-answered phrase must equal the scan path")
+    // chunking invariant: every posting's doc lands in its row's chunk
+    idx.foreach { case (_, chunk, _, ps) =>
+      ps.split(",").foreach { dp =>
+        assert(dp.split(":")(0).toLong / 100 == chunk, s"posting $dp outside chunk $chunk")
+      }
+    }
+  }
+
   test("phrase search: repeated-word phrases count overlapping occurrences") {
     import spark.implicits._
     val df = Seq((1L, "x table table table y"), (2L, "table x table")).toDF("doc_id", "text")
