@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -124,10 +123,10 @@ object StreamingDedup {
       val cutoff = new java.sql.Timestamp(maxTs.getTime - horizonMinutes * 60000L)
       // strictly-below-batchId: a replayed batch must re-read the same
       // prior state, not the version its crashed first attempt wrote
-      val priorVersion = stateVersions(spark, stateDir).filter(_ < batchId)
-        .sorted.lastOption
+      val priorVersion = VersionedStore.latestBelow(spark, stateDir, batchId)
       val prior = priorVersion
-        .map(v => spark.read.parquet(s"$stateDir/v$v").where(col("ts") >= cutoff))
+        .map(v => spark.read.parquet(VersionedStore.path(stateDir, v))
+          .where(col("ts") >= cutoff))
 
       // duplicates of previously emitted docs: band-key join against
       // the store, verified with the signature-estimated Jaccard
@@ -167,49 +166,12 @@ object StreamingDedup {
             .unionByName(survivors.select("id", "ts", "sig"))
           case None => survivors.select("id", "ts", "sig")
         }
-        commitStateVersion(spark, newState, stateDir, batchId)
+        VersionedStore.commit(spark, newState, stateDir, batchId)
         // keep the version this batch read (a replay of this batch
         // still needs it); prune everything older
-        pruneStateVersions(spark, stateDir, keepFrom = priorVersion.getOrElse(batchId))
+        VersionedStore.prune(spark, stateDir, keepFrom = priorVersion.getOrElse(batchId))
       } finally survivors.unpersist()
     } finally sigs.unpersist()
   }
 
-  /** Write-temp-then-rename commit: a crash mid-write leaves only a
-    * `.tmp-v<id>` directory that no reader ever picks up; the rename
-    * is the atomic commit point. A stale `v<batchId>` from a crashed
-    * earlier attempt of the SAME batch is safe to delete — this batch
-    * read its prior state from a strictly older version, never from
-    * its own output. */
-  private def commitStateVersion(spark: SparkSession, state: DataFrame,
-                                 stateDir: String, batchId: Long): Unit = {
-    val fs = FileSystem.get(new Path(stateDir).toUri,
-      spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(s"$stateDir/.tmp-v$batchId")
-    val dst = new Path(s"$stateDir/v$batchId")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    state.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    if (!fs.rename(tmp, dst))
-      sys.error(s"failed to commit state version $dst")
-  }
-
-  private def stateVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
-    val fs = FileSystem.get(new Path(stateDir).toUri,
-      spark.sparkContext.hadoopConfiguration)
-    val root = new Path(stateDir)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
-      .map(_.getPath.getName.drop(1).toLong)
-  }
-
-  private def pruneStateVersions(spark: SparkSession, stateDir: String,
-                                 keepFrom: Long): Unit = {
-    val fs = FileSystem.get(new Path(stateDir).toUri,
-      spark.sparkContext.hadoopConfiguration)
-    stateVersions(spark, stateDir).filter(_ < keepFrom).foreach { v =>
-      fs.delete(new Path(s"$stateDir/v$v"), true)
-    }
-  }
 }
