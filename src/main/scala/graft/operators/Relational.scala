@@ -396,6 +396,36 @@ object Relational {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** C18: EQUI-DEPTH histogram — the optimizer-statistics histogram
+    * (equal row mass per bucket, data-dependent boundaries), the
+    * complement of the fixed-width `histogram`. Two passes: exact
+    * percentile boundaries at i/B fractions (ONE array-percentile
+    * buffer — same single-buffer discipline as `quantiles`, same
+    * documented scale note: the 100 TB path swaps in
+    * `approx_percentile` boundaries), then a scan pass bucketing each
+    * row by how many boundaries it exceeds, with the one-row bounds
+    * broadcast. Boundaries are ROUNDED to 4 before bucketing — the
+    * reported precision — so bucket membership never hinges on a
+    * last-ulp interpolation difference between engines. */
+  def equiDepthHistogram(spark: SparkSession, sfDir: String,
+                         buckets: Int = 8): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = li.agg(expr(
+      s"percentile(l_extendedprice, array(${fracs.mkString(", ")}))").as("bs"))
+      .select(transform(col("bs"), x => round(x, 4)).as("bs"))
+    val bucket = aggregate(col("bs"), lit(0L),
+      (acc, b) => acc + when(col("l_extendedprice") > b, 1L).otherwise(0L))
+    li.crossJoin(broadcast(bounds))
+      .select(bucket.as("bucket"), col("l_extendedprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   /** C17: column profiling (the ANALYZE-TABLE surface): per column —
     * row count, null count, min/max, EXACT distinct count. Each
     * column profiles through two map-side-combined aggregations

@@ -119,6 +119,24 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("equi-depth: buckets cover every row with near-equal mass, ordered ranges") {
+    val rows = operators.Relational.equiDepthHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_._2).sum == total, "buckets must partition all rows")
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong), "buckets dense 0..B-1")
+    // equal depth up to boundary ties: each bucket within 2x of ideal
+    val ideal = total.toDouble / rows.length
+    rows.foreach { case (b, n, lo, hi) =>
+      assert(n > ideal / 2 && n < ideal * 2, s"bucket $b mass $n far from ideal $ideal")
+      assert(lo <= hi)
+    }
+    // ranges ascend across buckets
+    rows.sliding(2).foreach { case Array((_, _, _, hi1), (_, _, lo2, _)) =>
+      assert(hi1 <= lo2, "bucket ranges must not overlap")
+    }
+  }
+
   test("profile: per-column stats match direct queries, plan has no Expand") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)
