@@ -253,6 +253,62 @@ object Search {
       .where(col("best_dist") <= maxDist)
   }
 
+  /** BM25 with pseudo-relevance feedback (Rocchio-style query
+    * expansion): stage 1 ranks with the literal query and takes the
+    * top-`r` docs as the feedback set; the expansion terms are the
+    * feedback set's terms ranked by (feedback-df DESC, corpus-df ASC,
+    * term ASC) — shared by the relevant docs, rare in the corpus —
+    * minus the original query; stage 2 re-ranks with the expanded
+    * set, retrieving docs the literal query could never match.
+    *
+    * Stage 2's terms are DATA-DEPENDENT, so its tf stage is an
+    * explode + broadcast term join instead of the literal in-array
+    * intersect (which needs plan-time terms): still a scan-stage
+    * generate + filter with zero shuffle before the doc aggregation —
+    * the inherent cost of a dynamic vocabulary. Corpus statistics and
+    * term tables stay broadcast-sized exactly as in `bm25TopK`. */
+  def bm25PrfTopK(docs: DataFrame, query: Seq[String], k: Int,
+                  r: Int = 5, e: Int = 3,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(query.nonEmpty && k > 0 && r > 0 && e >= 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q0 = query.distinct.map(_.toLowerCase)
+    val feedback = bm25TopK(docs, q0, r, k1, b, textCol, idCol).select(col("doc_id"))
+    val docTerms = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(array_distinct(searchTokens(col(textCol)))).as("term"))
+    val fdf = docTerms.join(broadcast(feedback), "doc_id")
+      .where(!col("term").isin(q0: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("fdf"))
+    val expansion = fdf.join(vocabulary(docs, textCol), "term")
+      .orderBy(col("fdf").desc, col("df").asc, col("term"))
+      .limit(e)
+      .select(col("term"))
+    val terms = q0.toDF("term").unionByName(expansion).distinct()
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        searchTokens(col(textCol)).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .join(broadcast(terms), "term")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * k1p1) /
+          (col("tf") + lit(k1) * (lit(oneMinusB) + lit(b) * col("dl") / col("avgdl")))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** BM25 top-k relevance ranking for a bag-of-words query.
     *
     * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the standard

@@ -196,6 +196,35 @@ class SearchSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("bm25 PRF: expansion retrieves a doc the literal query cannot match") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple orchard harvest"),
+      (2L, "apple orchard press"),
+      (3L, "orchard cider barrels"),
+      (4L, "unrelated words entirely"),
+      (5L, "more filler text here")).toDF("doc_id", "text")
+    val plain = Search.bm25TopK(df, Seq("apple"), 5).collect().map(_.getLong(0)).toSet
+    assert(plain == Set(1L, 2L), "literal query only reaches docs containing it")
+    val prf = Search.bm25PrfTopK(df, Seq("apple"), 5, r = 2, e = 1)
+      .collect().map(_.getLong(0)).toSet
+    // feedback = {1, 2}; their shared rare term is 'orchard' -> doc 3
+    // becomes retrievable through the expansion
+    assert(prf.contains(3L), s"expansion should retrieve doc 3, got $prf")
+    assert(prf.intersect(Set(1L, 2L)) == Set(1L, 2L), "original hits survive re-ranking")
+  }
+
+  test("bm25 PRF on testdata: deterministic, bounded, descending") {
+    val a = Search.bm25PrfTopK(docs, Seq("spark", "vector"), 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val b = Search.bm25PrfTopK(docs, Seq("spark", "vector"), 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq, "PRF must be deterministic run to run")
+    assert(a.length <= 20 && a.nonEmpty)
+    val scores = a.map(_._2)
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
   test("bm25 on testdata: k bounds output, scores descend, ties break by doc_id") {
     val r = Search.bm25TopK(docs, Seq("spark", "vector", "slow"), 20)
       .collect().map(x => (x.getLong(0), x.getDouble(1)))
