@@ -192,6 +192,59 @@ object SparkEntry {
        |FROM scored ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** PRF twin: the bm25 formula applied twice — stage 1 over the
+    * literal query terms, feedback = top-r (raw-score order), the
+    * expansion CTE reproduces the (feedback-df DESC, corpus-df ASC,
+    * term ASC) ranking, stage 2 re-scores FROM the terms CTE (UNION
+    * dedups, matching the operator's distinct). */
+  private def bm25PrfOracleSql(terms0: Seq[String], k: Int, r: Int, e: Int,
+                               k1: Double = 1.2, b: Double = 0.75): String = {
+    val termValues = terms0.map(t => s"('$t')").mkString(", ")
+    val termList = terms0.map(t => s"'$t'").mkString(", ")
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    def score(tfRel: String, dftRel: String) =
+      s"""sum(ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+         |      (CAST(tf AS DOUBLE) * CAST('$k1p1' AS DOUBLE)) /
+         |      (CAST(tf AS DOUBLE) + CAST('$k1' AS DOUBLE) *
+         |       (CAST('$oneMinusB' AS DOUBLE) + CAST('$b' AS DOUBLE) * dl / avgdl))) AS score
+         | FROM $tfRel JOIN $dftRel USING (term) CROSS JOIN stats
+         | GROUP BY doc_id""".stripMargin
+    s"""WITH toks AS (
+       | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS t
+       | FROM documents),
+       |base AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+       |tf1 AS (
+       | SELECT doc_id, dl, term, len(list_filter(t, x -> x = term)) AS tf
+       | FROM base CROSS JOIN (VALUES $termValues) q(term)
+       | WHERE len(list_filter(t, x -> x = term)) > 0),
+       |dft1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
+       |s1 AS (
+       | SELECT doc_id,
+       |  ${score("tf1", "dft1")}),
+       |fb AS (SELECT doc_id FROM s1 ORDER BY score DESC, doc_id LIMIT $r),
+       |dterm AS (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks),
+       |cdf AS (SELECT term, count(*) AS df FROM dterm GROUP BY 1),
+       |fdf AS (
+       | SELECT term, count(*) AS fdf FROM dterm JOIN fb USING (doc_id)
+       | WHERE NOT list_contains([$termList], term) GROUP BY 1),
+       |expn AS (
+       | SELECT term FROM fdf JOIN cdf USING (term)
+       | ORDER BY fdf DESC, df ASC, term LIMIT $e),
+       |terms AS (SELECT term FROM expn UNION SELECT unnest([$termList]) AS term),
+       |tf2 AS (
+       | SELECT doc_id, dl, term, len(list_filter(t, x -> x = term)) AS tf
+       | FROM base CROSS JOIN terms
+       | WHERE len(list_filter(t, x -> x = term)) > 0),
+       |dft2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+       |scored AS (
+       | SELECT doc_id,
+       |  ${score("tf2", "dft2")})
+       |SELECT doc_id, round(score, 4) AS score
+       |FROM scored ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 reference surface: inverted-index log engine
@@ -274,6 +327,11 @@ object SparkEntry {
         .orderBy(col("term"), col("chunk"))),
     "search_bm25" -> ((s, dir) =>
       Search.bm25TopK(Tables.documents(s, dir), Seq("spark", "vector", "slow"), 20)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
+    // pseudo-relevance feedback: top-5 feedback docs expand the query
+    // by 3 terms (feedback-df DESC, corpus-df ASC), then re-rank
+    "search_bm25_prf" -> ((s, dir) =>
+      Search.bm25PrfTopK(Tables.documents(s, dir), Seq("spark", "vector"), 20)
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
     "search_proximity" -> ((s, dir) =>
       Search.proximitySearch(Tables.documents(s, dir), "spark", "slow", maxDist = 5)
@@ -743,6 +801,7 @@ object SparkEntry {
           Seq("l_discount", "l_extendedprice", "l_quantity", "l_returnflag"))
         .orderBy(col("col_name"))),
     "q_histogram"      -> ((s, dir) => Relational.histogram(s, dir)),
+    "q_equidepth"      -> ((s, dir) => Relational.equiDepthHistogram(s, dir)),
   )
 
   /** DuckDB-dialect twins of `queries`, identical column names and
@@ -891,6 +950,7 @@ object SparkEntry {
         |  ',' ORDER BY doc_id, pos) AS postings
         |FROM p GROUP BY 1, 2 ORDER BY term, chunk""".stripMargin,
     "search_bm25" -> bm25OracleSql(Seq("spark", "vector", "slow"), 20),
+    "search_bm25_prf" -> bm25PrfOracleSql(Seq("spark", "vector"), 20, r = 5, e = 3),
     // 1-based positions cancel in the distance; join over unnested
     // per-term position lists = the per-row O(|pa|·|pb|) array min
     "search_proximity" ->
@@ -1934,5 +1994,17 @@ object SparkEntry {
       """SELECT CAST(floor(l_extendedprice / 5000.0) * 5000.0 AS BIGINT) AS bin,
         | count(*) AS n, round(avg(l_discount), 4) AS avg_disc
         |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin,
+    // equi-depth twin: same rounded quantile_cont boundaries, bucket =
+    // count of boundaries strictly below the value
+    "q_equidepth" ->
+      s"""WITH bs AS (
+        | SELECT [${(1 until 8).map(i => s"round(quantile_cont(l_extendedprice, ${i}.0/8), 4)").mkString(",\n   ")}] AS b
+        | FROM lineitem),
+        |bucketed AS (
+        | SELECT len(list_filter(bs.b, x -> l_extendedprice > x)) AS bucket, l_extendedprice
+        | FROM lineitem CROSS JOIN bs)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+        | round(min(l_extendedprice), 2) AS lo, round(max(l_extendedprice), 2) AS hi
+        |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }
