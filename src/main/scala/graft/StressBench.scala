@@ -95,7 +95,11 @@ object StressBench {
           Map("en" -> 3.0, "zh" -> 1.5, "fr" -> 0.5), "ep0", stratumCol = "lang")),
       // fused scan kernel: pure per-row pass, must scale with the scan
       "text_entropy" -> (() =>
-        operators.TextStats.tokenEntropy(docs)))
+        operators.TextStats.tokenEntropy(docs)),
+      // two chained BM25 passes + expansion selection; stage 2's
+      // dynamic-term explode must stay a scan-stage generate+filter
+      "search_bm25_prf" -> (() =>
+        operators.Search.bm25PrfTopK(docs, Seq("spark", "vector"), 20)))
     ops.map { case (name, f) =>
       timeNoop(f) // warm-up
       val secs = timeNoop(f)
