@@ -802,6 +802,7 @@ object SparkEntry {
         .orderBy(col("col_name"))),
     "q_histogram"      -> ((s, dir) => Relational.histogram(s, dir)),
     "q_equidepth"      -> ((s, dir) => Relational.equiDepthHistogram(s, dir)),
+    "q_streaks"        -> (Relational.activityStreaks _),
   )
 
   /** DuckDB-dialect twins of `queries`, identical column names and
@@ -1994,6 +1995,21 @@ object SparkEntry {
       """SELECT CAST(floor(l_extendedprice / 5000.0) * 5000.0 AS BIGINT) AS bin,
         | count(*) AS n, round(avg(l_discount), 4) AS avg_disc
         |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin,
+    // gaps-and-islands twin: same day − row_number anchor construction
+    "q_streaks" ->
+      """WITH days AS (
+        | SELECT DISTINCT user_id, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+        | FROM events),
+        |anch AS (
+        | SELECT user_id, day,
+        |  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+        | FROM days),
+        |streaks AS (
+        | SELECT user_id, min(day) AS start_day, max(day) AS end_day, count(*) AS len
+        | FROM anch GROUP BY user_id, anchor)
+        |SELECT user_id, CAST(start_day AS BIGINT) AS start_day,
+        | CAST(end_day AS BIGINT) AS end_day, len
+        |FROM streaks WHERE len >= 3 ORDER BY user_id, start_day""".stripMargin,
     // equi-depth twin: same rounded quantile_cont boundaries, bucket =
     // count of boundaries strictly below the value
     "q_equidepth" ->

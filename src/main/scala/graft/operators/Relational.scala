@@ -396,6 +396,31 @@ object Relational {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** C19: gaps-and-islands — per-user streaks of CONSECUTIVE active
+    * days (the engagement-metrics staple). The classic construction:
+    * distinct (user, day), then day_index − row_number() is constant
+    * exactly within a consecutive run, so grouping on that anchor
+    * yields one row per streak. One user-keyed shuffle for the window
+    * + one aggregation on (user, anchor) that reuses the same
+    * partitioning — no self-joins, no driver iteration, and state per
+    * group is O(1). */
+  def activityStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, sfDir)
+      .select($"user_id", datediff(to_date($"ts"), lit("2024-01-01")).as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    days
+      .withColumn("anchor", $"day" - row_number().over(w))
+      .groupBy($"user_id", $"anchor")
+      .agg(min($"day").as("start_day"), max($"day").as("end_day"),
+        count(lit(1)).as("len"))
+      .where($"len" >= 3)
+      .select($"user_id", $"start_day".cast("long").as("start_day"),
+        $"end_day".cast("long").as("end_day"), $"len")
+      .orderBy($"user_id", $"start_day")
+  }
+
   /** C18: EQUI-DEPTH histogram — the optimizer-statistics histogram
     * (equal row mass per bucket, data-dependent boundaries), the
     * complement of the fixed-width `histogram`.

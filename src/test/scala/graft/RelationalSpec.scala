@@ -119,6 +119,26 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("streaks: consecutive-day islands match a brute-force scan") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("user_id", "datediff(to_date(ts), '2024-01-01') AS day")
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1)))
+    val brute = rows.groupBy(_._1).toSeq.flatMap { case (u, ds) =>
+      val days = ds.map(_._2).distinct.sorted
+      // split into consecutive runs
+      val runs = days.foldLeft(List.empty[List[Int]]) {
+        case (acc, d) if acc.nonEmpty && acc.head.head == d - 1 => (d :: acc.head) :: acc.tail
+        case (acc, d) => List(d) :: acc
+      }.map(_.reverse).reverse
+      runs.filter(_.size >= 3).map(r => (u, r.head.toLong, r.last.toLong, r.size.toLong))
+    }.toSet
+    val got = operators.Relational.activityStreaks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "testdata should contain at least one 3-day streak")
+    got.foreach { case (_, s, e, l) => assert(e - s + 1 == l, "streak length consistent") }
+  }
+
   test("equi-depth: buckets cover every row with near-equal mass, ordered ranges") {
     val rows = operators.Relational.equiDepthHistogram(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
