@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // the inverted-index optimization for SQL-shaped doc-id lookups
     ext.injectOptimizerRule(_ => graft.plans.LargeInListToJoin)
+    // the posting-list-intersection physical operator (index-backed
+    // boolean search as a custom whole-operator plan node)
+    ext.injectPlannerStrategy(_ => graft.plans.PostingListStrategy)
   }
 }
 

@@ -306,12 +306,43 @@ object SparkEntry {
                 array_join(col("doc_ids"), ",").as("doc_ids"))
         .orderBy(col("value"), col("chunk"))
     }),
+    // X75 driver-gated: the streaming index-maintenance loop replayed
+    // as 4 deterministic micro-batches (disjoint doc_id mod classes)
+    // through the SAME processBatch the foreachBatch query runs —
+    // delta build → versioned-store merge → commit per batch. The
+    // committed index must equal the one-shot chunked build over the
+    // union (the merge invariant), which is exactly what the DuckDB
+    // oracle rebuilds.
+    "ii_index_streaming" -> ((s, dir) => {
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft-ii-stream").toString
+      val docs = Tables.documents(s, dir)
+      (0 until 4).foreach { b =>
+        graft.streaming.StreamingIndex.processBatch(
+          docs.where(pmod(col("doc_id"), lit(4)) === b), b.toLong,
+          stateDir, "lang", chunkSize = 100, docIdCol = "doc_id", _ => ())
+      }
+      graft.streaming.StreamingIndex.currentIndex(s, stateDir)
+        .select(col("value"), col("chunk"), col("n_docs"),
+                array_join(col("doc_ids"), ",").as("doc_ids"))
+        .orderBy(col("value"), col("chunk"))
+    }),
     "ingest_nested_json" -> (NestedIngest.ingestNestedJson _),
     // the search layer over the inverted-index surface: boolean
     // posting-list algebra, positional phrase adjacency, BM25 ranking
     "ii_search_boolean" -> ((s, dir) =>
       Search.booleanSearch(Tables.documents(s, dir),
           must = Seq("spark", "vector"), mustNot = Seq("slow"))
+        .orderBy(col("doc_id"))),
+    // the same boolean query answered FROM the materialized index by
+    // the custom PostingListIntersectExec physical node (planner
+    // strategy injected via GraftExtensions) — same result set as
+    // ii_search_boolean by construction, different terms so the two
+    // entries can't mask each other
+    "ii_posting_intersect" -> ((s, dir) =>
+      graft.plans.PostingListIntersect.search(
+          Search.positionalIndexChunked(Tables.documents(s, dir)),
+          must = Seq("spark", "fast"), mustNot = Seq("batch"))
         .orderBy(col("doc_id"))),
     "ii_phrase_search" -> ((s, dir) =>
       Search.phraseSearch(Tables.documents(s, dir), Seq("fast", "table"))
@@ -808,6 +839,12 @@ object SparkEntry {
   /** DuckDB-dialect twins of `queries`, identical column names and
     * ORDER BY so the driver's hash compare is deterministic. */
   def oracleSql: Map[String, String] = Map(
+    // signature-family twins: the full FNV-1a/splitmix64 chains
+    // reproduced in HUGEINT-mod-2^64 arithmetic (OracleHashSql), so
+    // the LSH pipelines hash-compare end to end, not rows-only
+    "dedup_minhash_lsh" -> OracleHashSql.minhashSql(),
+    "dedup_simhash" -> OracleHashSql.simhashSql(),
+    "text_fingerprint" -> OracleHashSql.fingerprintSql(),
     "ii_field_values" ->
       """SELECT lang AS value, count(*) AS n_docs,
         | array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
@@ -827,6 +864,12 @@ object SparkEntry {
         |FROM documents WHERE doc_id IN ($iiDocIdsSql)""".stripMargin,
     "ii_field_values_chunked" ->
       """SELECT source AS value, CAST(doc_id // 100 AS BIGINT) AS chunk, count(*) AS n_docs,
+        | array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+        |FROM documents GROUP BY 1, 2 ORDER BY value, chunk""".stripMargin,
+    // streaming maintenance invariant: N replayed micro-batch merges
+    // must equal the one-shot rebuild over the union
+    "ii_index_streaming" ->
+      """SELECT lang AS value, CAST(doc_id // 100 AS BIGINT) AS chunk, count(*) AS n_docs,
         | array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
         |FROM documents GROUP BY 1, 2 ORDER BY value, chunk""".stripMargin,
     // merge invariant: compacting base+delta must equal rebuilding the
@@ -907,6 +950,16 @@ object SparkEntry {
         |SELECT doc_id FROM toks
         |WHERE list_contains(t, 'spark') AND list_contains(t, 'vector')
         | AND NOT list_contains(t, 'slow')
+        |ORDER BY doc_id""".stripMargin,
+    // semantic twin of the custom-exec-node entry: boolean AND/NOT
+    // membership over the tokenized corpus
+    "ii_posting_intersect" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents)
+        |SELECT doc_id FROM toks
+        |WHERE list_contains(t, 'spark') AND list_contains(t, 'fast')
+        | AND NOT list_contains(t, 'batch')
         |ORDER BY doc_id""".stripMargin,
     // 1-based list positions: occurrence at comprehension index i means
     // 0-based token position i-1, hence the -1 on first_pos

@@ -40,6 +40,27 @@ object StressBench {
         col("lang"), col("source"), col("n_chars"))
   }
 
+  /** VERBATIM amplification for the search family: same id remap, text
+    * unchanged — every term's posting list (and df) must grow with the
+    * factor, which is exactly the hot-term scaling the prefixed
+    * variant hides (prefixed replicas never match the query terms, so
+    * only the scan would grow). */
+  def amplifyVerbatim(docs: DataFrame, factor: Int): DataFrame =
+    docs.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("doc_id") * factor + col("rep")).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+
+  /** Embedding amplification: replica r's vector is the original
+    * ROTATED by r components — a genuinely different direction (so
+    * SRP/IVF cells stay diverse instead of one cell going N× hot)
+    * at constant norm, with replica 0 verbatim. */
+  def amplifyEmbeddings(emb: DataFrame, factor: Int): DataFrame =
+    emb.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("vec_id") * factor + col("rep")).as("vec_id"),
+        when(col("rep") === 0, col("embedding")).otherwise(
+          concat(slice(col("embedding"), col("rep") + 1, lit(1 << 20)),
+            slice(col("embedding"), lit(1), col("rep")))).as("embedding"))
+
   /** Times CONSTRUCTION + execution: operators with an eager driver
     * loop (connected components) do their work while the DataFrame is
     * being built, so the thunk must run inside the timer. */
@@ -49,9 +70,44 @@ object StressBench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  private def run(spark: SparkSession, path: String, label: String): Map[String, Double] = {
+  private def run(spark: SparkSession, path: String, verbatimPath: String,
+                  embPath: String, label: String): Map[String, Double] = {
     val docs = spark.read.parquet(path)
+    val v = spark.read.parquet(verbatimPath)
+    val emb = spark.read.parquet(embPath)
     val ops: Seq[(String, () => DataFrame)] = Seq(
+      // ---- search family (verbatim amplification: postings and df
+      // grow with the factor; must stay scan/shuffle-linear) ----
+      "ii_search_boolean" -> (() =>
+        operators.Search.booleanSearch(v, Seq("spark", "vector"), Seq("slow"))),
+      "ii_phrase_search" -> (() =>
+        operators.Search.phraseSearch(v, Seq("fast", "table"))),
+      "search_fuzzy" -> (() =>
+        operators.Search.fuzzySearch(v, Seq("spak", "strem", "jion"), maxDist = 2)),
+      "search_prefix" -> (() =>
+        operators.Search.prefixSearch(v, "s")),
+      // index BUILD: full token explode re-keyed by term — the one
+      // legitimately token-linear op; chunking must bound hot terms
+      "ii_positional_index" -> (() =>
+        operators.Search.positionalIndexChunked(v, chunkSize = 100)),
+      // boolean search FROM the index through the custom exec node:
+      // build + one chunk-keyed exchange of term-pruned postings
+      "ii_posting_intersect" -> (() =>
+        plans.PostingListIntersect.search(
+          operators.Search.positionalIndexChunked(v, chunkSize = 100),
+          Seq("spark", "fast"), Seq("batch"))),
+      // ---- quantization / ANN family (rotated-replica embeddings;
+      // fixed 8-query probe set, so growth must track the corpus) ----
+      "embed_quantize" -> (() =>
+        operators.Quantization.quantizeSummary(emb)),
+      "ann_int8" -> (() =>
+        operators.Similarity.bruteForceTopK(
+          operators.Quantization.dequantized(emb.where(col("vec_id") < 8)),
+          operators.Quantization.dequantized(emb), 10)),
+      "ann_pq" -> (() =>
+        operators.ProductQuantization.adcTopK(emb.where(col("vec_id") < 8), emb, 10)),
+      "ann_ivf_pq" -> (() =>
+        operators.ProductQuantization.ivfPqTopK(emb.where(col("vec_id") < 8), emb, 10)),
       "ii_field_values_chunked" -> (() =>
         operators.InvertedIndex.fieldValuesChunked(docs, "source", chunkSize = 1000)),
       "dedup_minhash_lsh" -> (() =>
@@ -115,13 +171,18 @@ object StressBench {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stress"
 
     val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
     val base = docs.count()
     docs.write.mode("overwrite").parquet(s"$tmp/x1")
+    docs.write.mode("overwrite").parquet(s"$tmp/x1t")
+    emb.write.mode("overwrite").parquet(s"$tmp/e1")
     amplify(docs, factor).write.mode("overwrite").parquet(s"$tmp/x$factor")
+    amplifyVerbatim(docs, factor).write.mode("overwrite").parquet(s"$tmp/x${factor}t")
+    amplifyEmbeddings(emb, factor).write.mode("overwrite").parquet(s"$tmp/e$factor")
     println(s"[stress] rows: ${base} -> ${base * factor} (${factor}x)")
 
-    val t1 = run(spark, s"$tmp/x1", "1x ")
-    val tN = run(spark, s"$tmp/x$factor", s"${factor}x")
+    val t1 = run(spark, s"$tmp/x1", s"$tmp/x1t", s"$tmp/e1", "1x ")
+    val tN = run(spark, s"$tmp/x$factor", s"$tmp/x${factor}t", s"$tmp/e$factor", s"${factor}x")
     t1.keys.foreach { k =>
       val ratio = tN(k) / t1(k)
       println(f"[stress] ratio $k%-24s ${ratio}%5.2fx time for ${factor}x data " +

@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   * ever materialized, so a hub node with millions of neighbors costs
   * map-side-combined min aggregation, not an in-memory list. The
   * driver sees one boolean-sized aggregate per round (the converged
-  * check) and `localCheckpoint` truncates lineage so round r's plan
-  * does not replay rounds 1..r-1. Dedup clusters in practice have
+  * check) and the checkpoint fence (Checkpoints.fence — executor-local
+  * by default, reliable FS under `spark.graft.reliableCheckpoints`)
+  * truncates lineage so round r's plan does not replay rounds 1..r-1. Dedup clusters in practice have
   * tiny diameter (near-dups of near-dups), so rounds ≈ 2-3.
   */
 object ConnectedComponents {
@@ -35,15 +36,15 @@ object ConnectedComponents {
                  jumpsPerRound: Int = 1): DataFrame = {
     val e = edges.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
     // symmetric, self-loop-free edge list
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
+    val sym = Checkpoints.fence(
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+        .where(col("a") =!= col("b"))
+        .distinct())
 
     // label(id) starts at min(id, min neighbor) — one round for free
-    var assign = sym.groupBy(col("a").as("id"))
-      .agg(least(min(col("b")), col("a")).as("comp"))
-      .localCheckpoint(true)
+    var assign = Checkpoints.fence(
+      sym.groupBy(col("a").as("id"))
+        .agg(least(min(col("b")), col("a")).as("comp")))
 
     var round = 0
     var converged = false
@@ -81,7 +82,7 @@ object ConnectedComponents {
       // overhead, dominates.
       var j = 1
       while (j < jumpsPerRound) {
-        val m = lab.localCheckpoint(true)
+        val m = Checkpoints.fence(lab)
         lab = m
           .join(m.select(col("id").as("__l_id"), col("comp").as("__l_comp")),
             col("comp") === col("__l_id"), "left")
@@ -92,10 +93,9 @@ object ConnectedComponents {
       // the convergence count rides the last jump's materialization as
       // an observed metric — no separate changed-rows job
       val obs = org.apache.spark.sql.Observation()
-      val jumped = lab
+      val jumped = Checkpoints.fence(lab
         .observe(obs, coalesce(sum(when(col("comp") =!= col("__old"), 1L).otherwise(0L)),
-          lit(0L)).as("changed"))
-        .localCheckpoint(true)
+          lit(0L)).as("changed")))
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       assign = jumped.select(col("id"), col("comp"))
       round += 1

@@ -146,8 +146,8 @@ object Dedup {
       .withColumn("__pid", spark_partition_id())
     val localW = Window.partitionBy(col("__pid"))
       .orderBy(orderCols.map(col): _*)
-    val local = ranged.withColumn("__rn", row_number().over(localW))
-      .localCheckpoint(true)
+    val local = Checkpoints.fence(
+      ranged.withColumn("__rn", row_number().over(localW)))
     val totals = local.groupBy(col("__pid")).agg(count(lit(1)).as("__total"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
     val offsets = totals.map(_._1).zip(

@@ -56,8 +56,8 @@ object Packing {
     // (observed at sf0.1: 6 sequences off). One materialization pins
     // one boundary set for both consumers; at cluster scale this is
     // the op's single full pass, persisted like any shuffle output.
-    val local = ranged.withColumn("__cum", sum(col("n_tokens")).over(localW))
-      .localCheckpoint(true)
+    val local = Checkpoints.fence(
+      ranged.withColumn("__cum", sum(col("n_tokens")).over(localW)))
     // one row per partition: (pid, total). Collected to the driver —
     // partition-count-sized, not data-sized.
     val totals = local.groupBy(col("__pid")).agg(max(col("__cum")).as("__total"))

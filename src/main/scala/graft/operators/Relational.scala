@@ -104,27 +104,38 @@ object Relational {
       .orderBy($"kind", $"c_mktsegment")
   }
 
-  /** C6: distinct / count-distinct. Exact countDistincts expand the
-    * input N× (one Expand branch per distinct key) and shuffle full
-    * distinct key sets — fine at test scale, the scale-weak path at
-    * 100 TB. The HLL `approx_count_distinct` legs are the scale path:
-    * one pass, no Expand, constant-size sketch per group. The output
-    * asserts each approx lands within 10% of exact — 2σ for the
-    * default 5% rsd sketch (a tighter rsd costs a 16× bigger buffer
-    * through the Expand; not worth it for a sanity gate). The booleans
-    * are deterministic, so the DuckDB hash compare stays
+  /** C6: distinct / count-distinct, the per-column two-phase form.
+    * A single multi-column exact `countDistinct` plans an Expand that
+    * multiplies every scanned row N× (one branch per distinct key)
+    * before the partial aggregate — measured as the slowest relational
+    * entry and the first thing to fall over at 100 TB. Instead each
+    * exact leg is its own two-phase aggregation: a column-pruned scan
+    * of JUST that key (so the three legs together read the same bytes
+    * the fused form reads once), map-side dedup, an exchange carrying
+    * only distinct keys, then a partial-merged count. The one-row legs
+    * recombine with broadcast joins — no Expand anywhere in the plan
+    * (PlanLintSpec gates this).
+    *
+    * The HLL `approx_count_distinct` legs ride the n_rows scan and
+    * remain the preferred 100 TB path (constant-size sketch, one scan
+    * — see approxDistinctCounts); the output asserts each approx lands
+    * within 10% of exact — 2σ for the default 5% rsd sketch. The
+    * booleans are deterministic, so the DuckDB hash compare stays
     * engine-agnostic while still gating the approx path. */
   def distinctCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, sfDir)
-      .agg(
-        countDistinct($"l_partkey").as("n_parts"),
-        countDistinct($"l_suppkey").as("n_supps"),
-        countDistinct($"l_orderkey").as("n_orders"),
-        count(lit(1)).as("n_rows"),
-        approx_count_distinct($"l_partkey").as("apx_parts"),
-        approx_count_distinct($"l_suppkey").as("apx_supps"),
-        approx_count_distinct($"l_orderkey").as("apx_orders"))
+    val li = Tables.lineitem(spark, sfDir)
+    def exactLeg(c: String, out: String) =
+      li.select(col(c)).distinct().agg(count(lit(1)).as(out))
+    val base = li.agg(
+      count(lit(1)).as("n_rows"),
+      approx_count_distinct($"l_partkey").as("apx_parts"),
+      approx_count_distinct($"l_suppkey").as("apx_supps"),
+      approx_count_distinct($"l_orderkey").as("apx_orders"))
+    exactLeg("l_partkey", "n_parts")
+      .crossJoin(exactLeg("l_suppkey", "n_supps"))
+      .crossJoin(exactLeg("l_orderkey", "n_orders"))
+      .crossJoin(base)
       .select(
         $"n_parts", $"n_supps", $"n_orders", $"n_rows",
         (abs($"apx_parts" - $"n_parts") <= $"n_parts" * 0.10).as("apx_parts_ok"),
@@ -523,21 +534,34 @@ object Relational {
           .otherwise("kept").as("status"))
   }
 
-  /** C15: exact percentiles per group. `percentile` buffers every
-    * value of the group in an ObjectHashAggregate — correct and fine
-    * for bounded groups, the documented scale-weak path for huge ones.
-    * The 100 TB API is `approxQuantiles` below (constant-size sketch);
-    * RelationalSpec gates the sketch against these exact values. */
+  /** C15: percentiles per group, conf-routed between the exact and
+    * sketch forms. Exact `percentile` buffers every value of the group
+    * in one ObjectHashAggregate task — correct for bounded groups, a
+    * per-task OOM when one group holds a 100 TB corpus's rows. Set
+    * `spark.graft.quantiles.approx=true` (the 100 TB default; accuracy
+    * via `spark.graft.quantiles.accuracy`, rank error ≤ 1/accuracy) to
+    * route the SAME query shape through the mergeable
+    * `approx_percentile` sketch — constant memory per group, identical
+    * output schema, so callers flip one conf instead of rewriting.
+    * RelationalSpec proves the two routes agree within the sketch's
+    * rank-error bound; the driver entry runs the exact route (DuckDB
+    * oracle is exact). */
   def quantiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val approx = spark.conf.getOption("spark.graft.quantiles.approx").exists(_.toBoolean)
+    val accuracy = spark.conf.getOption("spark.graft.quantiles.accuracy")
+      .map(_.toInt).getOrElse(10000)
     // ONE array-percentile aggregate, not four scalar ones — each
     // scalar `percentile` buffers the whole group independently (4×
     // memory, 4× sort), the array form buffers once (4.96s → ~1s at
     // sf0.1)
+    val qs =
+      if (approx) expr(
+        s"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), $accuracy)")
+      else expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))")
     Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").as("qs"),
-        count(lit(1)).as("n"))
+      .agg(qs.cast("array<double>").as("qs"), count(lit(1)).as("n"))
       .select($"l_returnflag",
         round(element_at($"qs", 1), 4).as("p25"),
         round(element_at($"qs", 2), 4).as("p50"),

@@ -36,8 +36,11 @@ object TrainingOrder {
   /** Per-group global rank with the same two-phase shape as
     * `Dedup.globalRank`: range-partition on (group, order), local
     * row_number per (partition, group), then per-(partition, group)
-    * counts — a numPartitions×numGroups driver table — prefix-summed
-    * within each group and broadcast back. A plain
+    * counts — a numPartitions×numGroups-row frame — prefix-summed
+    * within each group by an exclusive-scan window and broadcast back.
+    * The offset table never visits the driver and the group key stays
+    * whatever type the caller's column has (string, numeric, struct —
+    * TrainingOrderSpec covers a bigint stratum). A plain
     * Window.partitionBy(group) would funnel each ENTIRE group through
     * one task; this keeps every stage partition-parallel. */
   def groupedRank(df: DataFrame, groupCol: String,
@@ -48,19 +51,17 @@ object TrainingOrder {
       .withColumn("__pid", spark_partition_id())
     val localW = Window.partitionBy(col("__pid"), col(groupCol))
       .orderBy(orderCols.map(col): _*)
-    val local = ranged.withColumn("__rn", row_number().over(localW))
-      .localCheckpoint(true)
-    val totals = local.groupBy(col("__pid"), col(groupCol))
-      .agg(count(lit(1)).as("__c")).collect()
-      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
-    val offsets = totals.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
-      val byPid = rows.sortBy(_._1)
-      byPid.map(_._1).zip(byPid.map(_._3).scanLeft(0L)(_ + _).init)
-        .map { case (pid, off) => (pid, g.asInstanceOf[String], off) }
-    }
-    val offDF = df.sparkSession.createDataFrame(
-      if (offsets.nonEmpty) offsets else Seq((0, "", 0L)))
-      .toDF("__pid", groupCol, "__off")
+    val local = Checkpoints.fence(
+      ranged.withColumn("__rn", row_number().over(localW)))
+    // exclusive per-group prefix sum over the tiny totals frame — the
+    // window partitions on the GROUP (numPartitions rows each), not on
+    // the data, so no single-task funnel
+    val scanW = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDF = local.groupBy(col("__pid"), col(groupCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(scanW), lit(0L)))
+      .drop("__c")
     local.join(broadcast(offDF), Seq("__pid", groupCol))
       .withColumn("grank", col("__rn") - 1 + col("__off"))
       .drop("__pid", "__rn", "__off")

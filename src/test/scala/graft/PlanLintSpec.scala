@@ -28,9 +28,10 @@ class PlanLintSpec extends AnyFunSuite {
     }
   }
 
-  test("approx distinct-count variant plans no Expand (the scale path)") {
-    // exact multi-column countDistinct Expands the input 4x before the
-    // shuffle; the approx variant must not — that's its entire point
+  test("distinct-count paths plan no Expand (the scale gate)") {
+    // a fused multi-column countDistinct Expands the input 4x before
+    // the shuffle; both the approx variant and the per-column
+    // two-phase exact form must avoid that
     val approx = operators.Relational.approxDistinctCounts(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!approx.contains("Expand"),
@@ -38,9 +39,10 @@ class PlanLintSpec extends AnyFunSuite {
     assert(approx.contains("partial"), "sketches must merge map-side first")
     val exact = SparkEntry.queries("q_distinct")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(exact.contains("Expand"),
-      "q_distinct (oracle entry) is the documented Expand path — if this " +
-        "stops holding, update the distinctCounts scale note")
+    assert(!exact.contains("Expand"),
+      s"q_distinct's per-column two-phase legs must not plan an Expand:\n$exact")
+    assert(!exact.contains("CartesianProduct"),
+      "one-row leg recombination must broadcast, not shuffle")
   }
 
   test("scans are column-pruned: no query reads every documents column needlessly") {

@@ -207,6 +207,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("quantiles: spark.graft.quantiles.approx reroutes the entry through the sketch") {
+    val exact = operators.Relational.quantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    spark.conf.set("spark.graft.quantiles.approx", "true")
+    try {
+      val plan = operators.Relational.quantiles(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("approx_percentile") &&
+        !plan.replace("approx_percentile", "").contains("percentile("),
+        s"approx route must plan the sketch, not the exact buffer:\n$plan")
+      val routed = operators.Relational.quantiles(spark, sf).collect()
+        .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+      // same schema, same groups, each sketch value within the adjacent
+      // exact bracket (accuracy=10000 → rank error ≤ n/10000)
+      assert(routed.keySet == exact.keySet)
+      routed.foreach { case (flag, qs) =>
+        val e = exact(flag)
+        assert(qs(1) >= e(0) && qs(1) <= e(2), s"$flag routed p50 ${qs(1)} outside [p25,p75] $e")
+        assert(qs(3) >= e(2), s"$flag routed p95 ${qs(3)} below exact p75")
+      }
+    } finally spark.conf.unset("spark.graft.quantiles.approx")
+  }
+
   test("grouped top-k: heap aggregate matches a window row_number, no per-group sort of all rows") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -28,6 +28,39 @@ class SearchSpec extends AnyFunSuite {
     assert(viaScan == brute)
   }
 
+  test("posting-list exec node: plans PostingListIntersectExec and matches the scan path") {
+    val must = Seq("spark", "vector")
+    val mustNot = Seq("slow")
+    val index = Search.positionalIndexChunked(docs)
+    val viaNode = graft.plans.PostingListIntersect.search(index, must, mustNot)
+    val plan = viaNode.queryExecution.executedPlan.toString
+    // nodeName strips the Exec suffix in plan strings
+    assert(plan.contains("PostingListIntersect ["),
+      s"custom strategy must plan the exec node:\n$plan")
+    // the term IN (...) prune must sit BELOW the node, pushed toward the scan
+    assert(plan.contains("term") && plan.contains("Filter"),
+      s"term pruning filter expected under the node:\n$plan")
+    val got = viaNode.collect().map(_.getLong(0)).toSet
+    val viaScan = Search.booleanSearchScan(docs, must, mustNot)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == viaScan)
+    assert(got.nonEmpty, "query should match some docs in testdata")
+  }
+
+  test("posting-list exec node: NOT semantics and multi-chunk grouping") {
+    import spark.implicits._
+    // ids straddle two doc-id chunks (chunkSize=3) and repeat terms at
+    // several positions within one doc
+    val df = Seq(
+      (0L, "alpha beta alpha"), (1L, "alpha"), (2L, "beta alpha gamma"),
+      (3L, "alpha beta"), (4L, "beta"), (5L, "gamma alpha beta"))
+      .toDF("doc_id", "text")
+    val index = Search.positionalIndexChunked(df, chunkSize = 3)
+    val got = graft.plans.PostingListIntersect.search(index, Seq("alpha", "beta"), Seq("gamma"))
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(0L, 3L))
+  }
+
   test("boolean search: AND across terms, not OR") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta"), (2L, "alpha"), (3L, "beta"), (4L, "alpha beta gamma"))

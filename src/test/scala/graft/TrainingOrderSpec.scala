@@ -42,6 +42,18 @@ class TrainingOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedRank takes a numeric (non-string) group column") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => ((i % 3).toLong, i.toLong)).toDF("stratum", "id")
+      .repartition(7)
+    val got = TrainingOrder.groupedRank(df, "stratum", Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0 until 300).foreach { i =>
+      val g = (i % 3).toLong
+      assert(got((g, i.toLong)) == i / 3, s"rank of $i in stratum $g")
+    }
+  }
+
   test("interleave: weighted strata appear proportionally in every prefix") {
     val weights = Map("en" -> 3.0, "zh" -> 1.5, "fr" -> 0.5)
     val rows = TrainingOrder.interleaved(docs, weights, "ep0", stratumCol = "lang")
