@@ -114,6 +114,55 @@ object SparkEntry {
       s"($i, [${c.mkString(", ")}])"
     }.mkString(",\n   ")
 
+  /** Shared WITH-clause prefix of the ann_ivf_pq / ann_rerank oracles:
+    * fixed-centroid cell CTEs composed with the ann_pq code/LUT CTEs,
+    * ending at `ranked` = the full ADC ranking per query (ties
+    * (s DESC, c_id) like the TopKBuffer total order). Callers append
+    * either the top-k projection (ann_ivf_pq) or further CTEs that
+    * re-score the top-poolSize pool exactly (ann_rerank). */
+  private def ivfPqAdcRankedSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |ctr AS (SELECT * FROM (VALUES
+      |   ${ivfCentroidValuesSql(16, 64)}) t(cell, c)),
+      |cellsc AS (
+      | SELECT vec_id AS id, cell, list_cosine_similarity(e, c) AS s FROM v CROSS JOIN ctr),
+      |assigned AS (
+      | SELECT id, cell FROM (
+      |  SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY s DESC, cell DESC) AS rn
+      |  FROM cellsc) WHERE rn = 1),
+      |qprobe AS (
+      | SELECT id AS q_id, cell FROM (
+      |  SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY s DESC, cell ASC) AS rn
+      |  FROM cellsc WHERE id < 8) WHERE rn <= 4),
+      |cb AS (SELECT * FROM (VALUES
+      |   ${pqCodebookValuesSql(8, 16, 8)}) t(j, code, cvec)),
+      |sub AS (
+      | SELECT vec_id AS id, js.j, e[js.j*8+1 : js.j*8+8] AS sub
+      | FROM v CROSS JOIN (SELECT DISTINCT j FROM cb) js),
+      |codesc AS (
+      | SELECT id, j, code, list_cosine_similarity(sub, cvec) AS s
+      | FROM sub JOIN cb USING (j)),
+      |codes AS (
+      | SELECT id, j, code FROM (
+      |  SELECT id, j, code,
+      |   row_number() OVER (PARTITION BY id, j ORDER BY s DESC, code DESC) AS rn
+      |  FROM codesc) WHERE rn = 1),
+      |lutw AS (
+      | SELECT q.id AS q_id, cb.j, cb.code, list_dot_product(q.sub, cb.cvec) AS w
+      | FROM sub q JOIN cb ON cb.j = q.j WHERE q.id < 8),
+      |cand AS (
+      | SELECT q_id, a.id AS c_id
+      | FROM qprobe p JOIN assigned a ON p.cell = a.cell WHERE p.q_id <> a.id),
+      |adc AS (
+      | SELECT l.q_id, c.id AS c_id, sum(l.w) AS s
+      | FROM codes c JOIN lutw l ON l.j = c.j AND l.code = c.code
+      | JOIN cand ON cand.q_id = l.q_id AND cand.c_id = c.id
+      | GROUP BY 1, 2),
+      |ranked AS (
+      | SELECT q_id, c_id, s,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
+      | FROM adc)""".stripMargin
+
   /** Word-shingle CTE body shared by the decontamination oracles: same
     * semantics as TextFunctions.wordShingles (docs shorter than n
     * collapse to one whole-doc shingle), distinct per doc. `src` is
@@ -334,6 +383,12 @@ object SparkEntry {
       Search.booleanSearch(Tables.documents(s, dir),
           must = Seq("spark", "vector"), mustNot = Seq("slow"))
         .orderBy(col("doc_id"))),
+    // disjunctive (OR) search with minimum-should-match 2-of-3 and the
+    // coordination match count
+    "ii_search_or" -> ((s, dir) =>
+      Search.orSearch(Tables.documents(s, dir),
+          should = Seq("spark", "vector", "slow"), minMatch = 2)
+        .orderBy(col("doc_id"))),
     // the same boolean query answered FROM the materialized index by
     // the custom PostingListIntersectExec physical node (planner
     // strategy injected via GraftExtensions) — same result set as
@@ -425,6 +480,11 @@ object SparkEntry {
     // 12-token paragraph, survivors reassembled in chunk order
     "dedup_paragraph" -> ((s, dir) =>
       Dedup.paragraphDedup(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+    // exact-substring duplication signal: spans duplicated anywhere in
+    // the corpus, per-doc coverage by interval union
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringDedup(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
     // deterministic seeded epoch shuffle: two-phase distributed rank
     // of md5(seed:id) — no single-partition window
@@ -594,6 +654,10 @@ object SparkEntry {
     "text_lm_score" -> ((s, dir) =>
       TextStats.unigramLogLoss(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
+    // bigram conditional LM: order-sensitive NLL under MLE p(w2|w1)
+    "text_lm_bigram" -> ((s, dir) =>
+      TextStats.bigramLogLoss(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
     // top-20 bigram collocations by PMI; ranking on the rational lift
     // so the top-k SET is engine-exact, ln only on the reported value
     "text_collocations" -> ((s, dir) =>
@@ -622,6 +686,11 @@ object SparkEntry {
         .select(col("id1"), col("id2"),
           round(col("c1"), 4).as("c1"), round(col("c2"), 4).as("c2"))
         .orderBy(col("id1"), col("id2"))),
+    // SemDeDup-shape semantic dedup: fixed-centroid clustering, then
+    // keep-lowest-id within-cell cosine dedup
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"))),
     "ann_ivf_fixed" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfFixedTopK(e.where(col("vec_id") < 8), e, 10)
@@ -677,6 +746,15 @@ object SparkEntry {
     "ann_ivf_pq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       ProductQuantization.ivfPqTopK(e.where(col("vec_id") < 8), e, 10)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
+                round(col("score"), 4).as("score"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+    // two-stage retrieval: IVF-PQ nominates a top-30 pool per query,
+    // the pool alone re-scores exactly against the full vectors
+    "ann_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      ProductQuantization.rerankTopK(e.where(col("vec_id") < 8), e, 10, poolSize = 30)
         .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
                 round(col("score"), 4).as("score"))
         .orderBy(col("q_id"), col("rank"))
@@ -740,6 +818,11 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long").as("n_ws"),
           TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
         .orderBy(col("doc_id"))),
+    // the composed Gopher-style quality GATE as a per-(lang, source)
+    // funnel: per-rule reject counts + survivors
+    "quality_filter" -> ((s, dir) =>
+      graft.operators.TextStats.qualityFunnel(Tables.documents(s, dir))
+        .orderBy(col("lang"), col("source"))),
     "text_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
@@ -783,6 +866,20 @@ object SparkEntry {
       Skew.saltedSumCount(Tables.lineitem(s, dir), "l_returnflag", "l_quantity")
         .select(col("l_returnflag"), round(col("sum_value"), 2).as("sum_value"), col("n"))
         .orderBy(col("l_returnflag"))),
+    // salted shuffle join on a 3-value (maximally hot) key; the
+    // above-average predicate is the rational q*n > sum form so the
+    // threshold is FP-exact in both engines
+    "q_skew_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_returnflag", "l_quantity")
+      val flagTotals = li.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_q"), count(lit(1)).as("n_q"))
+      Skew.saltedJoin(li, flagTotals, "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") * col("n_q") > col("sum_q"), 1L)
+            .otherwise(0L)).as("n_above"))
+        .orderBy(col("l_returnflag"))
+    }),
     // §2.2 relational core
     "q_scan_filter"    -> (Relational.scanFilter _),
     "q1_agg"           -> (Relational.q1Agg _),
@@ -943,6 +1040,34 @@ object SparkEntry {
         | md5(coalesce(
         |   string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '')) AS h_dedup
         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // substring twin: string 6-grams stand in for the engine's
+    // xxhash64 span keys (same location multiplicities barring 64-bit
+    // collisions); coverage is the identical sorted-starts lead
+    // formula, so the interval union is engine-exact
+    "dedup_substring" ->
+      """WITH t AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents WHERE text IS NOT NULL),
+        |spans AS (
+        | SELECT doc_id, st, array_to_string(tk[st:st+5], ' ') AS g
+        | FROM t, unnest(range(1, len(tk) - 6 + 2)) AS r(st)
+        | WHERE len(tk) >= 6),
+        |dup AS (SELECT g FROM spans GROUP BY g HAVING count(*) > 1),
+        |covd AS (
+        | SELECT doc_id, st,
+        |  least(6, coalesce(lead(st) OVER (PARTITION BY doc_id ORDER BY st) - st, 6)) AS c
+        | FROM spans JOIN dup USING (g)),
+        |agg AS (
+        | SELECT doc_id, count(*) AS n_dup_spans, sum(c) AS dup_tokens
+        | FROM covd GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        | CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        | CASE WHEN len(tk) > 0
+        |  THEN round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / len(tk), 4)
+        |  ELSE 0.0 END AS dup_frac
+        |FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "ii_search_boolean" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
@@ -950,6 +1075,20 @@ object SparkEntry {
         |SELECT doc_id FROM toks
         |WHERE list_contains(t, 'spark') AND list_contains(t, 'vector')
         | AND NOT list_contains(t, 'slow')
+        |ORDER BY doc_id""".stripMargin,
+    // OR twin: distinct-term match count, minimum-should-match 2
+    "ii_search_or" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(t, 'vector') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(t, 'slow') THEN 1 ELSE 0 END AS BIGINT) AS n_matched
+        |FROM toks
+        |WHERE (CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(t, 'vector') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(t, 'slow') THEN 1 ELSE 0 END) >= 2
         |ORDER BY doc_id""".stripMargin,
     // semantic twin of the custom-exec-node entry: boolean AND/NOT
     // membership over the tokenized corpus
@@ -1371,6 +1510,27 @@ object SparkEntry {
         | round(avg(-ln(CAST(cnt AS DOUBLE) / t.t)), 4) AS avg_nll
         |FROM toks JOIN vocab USING (term) CROSS JOIN t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bigram-LM twin: MLE p(w2|w1) = bigram count / left-context
+    // count, -ln averaged per doc; docs without bigrams report 0/0.0
+    "text_lm_bigram" ->
+      """WITH t AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents),
+        |bg AS (
+        | SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        | FROM t, unnest(range(1, len(tk))) AS r(i)
+        | WHERE len(tk) >= 2),
+        |bcnt AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, count(*) AS cctx FROM bg GROUP BY 1),
+        |scored AS (
+        | SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(-ln(CAST(cb AS DOUBLE) / cctx)), 4) AS avg_nll
+        | FROM bg JOIN bcnt USING (w1, w2) JOIN ctx USING (w1)
+        | GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        | coalesce(s.avg_nll, 0.0) AS avg_nll
+        |FROM t LEFT JOIN scored s ON s.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // PMI twin: bigram strings via the text_repetition comprehension,
     // components re-split on the space, identical lift double sequence
     "text_collocations" ->
@@ -1452,6 +1612,29 @@ object SparkEntry {
         | FROM pairs p JOIN sh x ON x.doc_id = p.id1 JOIN sh y ON y.doc_id = p.id2)
         |SELECT id1, id2, round(c1, 4) AS c1, round(c2, 4) AS c2
         |FROM scored WHERE greatest(c1, c2) >= 0.5 ORDER BY id1, id2""".stripMargin,
+    // semantic-dedup twin: the same fixed-centroid assignment as the
+    // ann_ivf_fixed oracle (ties to the HIGHEST cell), then a vector is
+    // dropped iff some lower-id vector in its cell clears the cosine
+    // threshold
+    "dedup_semantic" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |ctr AS (SELECT * FROM (VALUES
+        |   ${ivfCentroidValuesSql(16, 64)}) t(cell, c)),
+        |scored AS (
+        | SELECT id, cell, list_cosine_similarity(e, c) AS s FROM v CROSS JOIN ctr),
+        |assigned AS (
+        | SELECT id, cell FROM (
+        |  SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY s DESC, cell DESC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |dropped AS (
+        | SELECT DISTINCT a.id
+        | FROM assigned a JOIN assigned b ON a.cell = b.cell AND b.id < a.id
+        | JOIN v v1 ON v1.id = a.id JOIN v v2 ON v2.id = b.id
+        | WHERE list_cosine_similarity(v1.e, v2.e) >= 0.35)
+        |SELECT a.id AS vec_id, CAST(a.cell AS BIGINT) AS cell,
+        | (d.id IS NOT NULL) AS dropped
+        |FROM assigned a LEFT JOIN dropped d ON d.id = a.id
+        |ORDER BY vec_id""".stripMargin,
     // fixed-centroid IVF twin: the ±1 centroid literals come from the
     // same splitmix64 chain as Similarity.fixedCentroids; assignment
     // ties break to the HIGHEST cell (max struct order), probe ties to
@@ -1614,49 +1797,24 @@ object SparkEntry {
     // ann_pq code/LUT CTEs; candidates outside probed cells never
     // reach the ADC sum
     "ann_ivf_pq" ->
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |ctr AS (SELECT * FROM (VALUES
-        |   ${ivfCentroidValuesSql(16, 64)}) t(cell, c)),
-        |cellsc AS (
-        | SELECT vec_id AS id, cell, list_cosine_similarity(e, c) AS s FROM v CROSS JOIN ctr),
-        |assigned AS (
-        | SELECT id, cell FROM (
-        |  SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY s DESC, cell DESC) AS rn
-        |  FROM cellsc) WHERE rn = 1),
-        |qprobe AS (
-        | SELECT id AS q_id, cell FROM (
-        |  SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY s DESC, cell ASC) AS rn
-        |  FROM cellsc WHERE id < 8) WHERE rn <= 4),
-        |cb AS (SELECT * FROM (VALUES
-        |   ${pqCodebookValuesSql(8, 16, 8)}) t(j, code, cvec)),
-        |sub AS (
-        | SELECT vec_id AS id, js.j, e[js.j*8+1 : js.j*8+8] AS sub
-        | FROM v CROSS JOIN (SELECT DISTINCT j FROM cb) js),
-        |codesc AS (
-        | SELECT id, j, code, list_cosine_similarity(sub, cvec) AS s
-        | FROM sub JOIN cb USING (j)),
-        |codes AS (
-        | SELECT id, j, code FROM (
-        |  SELECT id, j, code,
-        |   row_number() OVER (PARTITION BY id, j ORDER BY s DESC, code DESC) AS rn
-        |  FROM codesc) WHERE rn = 1),
-        |lutw AS (
-        | SELECT q.id AS q_id, cb.j, cb.code, list_dot_product(q.sub, cb.cvec) AS w
-        | FROM sub q JOIN cb ON cb.j = q.j WHERE q.id < 8),
-        |cand AS (
-        | SELECT q_id, a.id AS c_id
-        | FROM qprobe p JOIN assigned a ON p.cell = a.cell WHERE p.q_id <> a.id),
-        |adc AS (
-        | SELECT l.q_id, c.id AS c_id, sum(l.w) AS s
-        | FROM codes c JOIN lutw l ON l.j = c.j AND l.code = c.code
-        | JOIN cand ON cand.q_id = l.q_id AND cand.c_id = c.id
-        | GROUP BY 1, 2),
-        |ranked AS (
-        | SELECT q_id, c_id, s,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
-        | FROM adc)
+      s"""$ivfPqAdcRankedSql
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(s, 4) AS score
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // two-stage twin: the ADC ranking above nominates the top-30 pool,
+    // the pool re-scores against the full vectors exactly
+    "ann_rerank" ->
+      s"""$ivfPqAdcRankedSql,
+        |pool AS (SELECT q_id, c_id FROM ranked WHERE rank <= 30),
+        |ex AS (
+        | SELECT p.q_id, p.c_id, list_cosine_similarity(vq.e, vc.e) AS s
+        | FROM pool p JOIN v vq ON vq.vec_id = p.q_id
+        | JOIN v vc ON vc.vec_id = p.c_id),
+        |rr AS (
+        | SELECT q_id, c_id, s,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
+        | FROM ex)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, round(s, 4) AS score
+        |FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // exact twin: all-pairs cosine + top-10 per query, ties broken
     // (score DESC, c_id ASC) like the TopKBuffer total order
     "ann_bruteforce" ->
@@ -1737,6 +1895,35 @@ object SparkEntry {
         | round(avg(CASE WHEN len(toks) > 0 THEN 1 - CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks) ELSE 0 END), 4) AS avg_rep,
         | round(avg(len(toks)), 4) AS avg_tokens
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    // quality-funnel twin: string 2-grams stand in for the kernel's
+    // hashed grams (identical multiplicities barring 64-bit collisions)
+    "quality_filter" ->
+      """WITH t AS (
+        | SELECT lang, source, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk
+        | FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        | SELECT lang, source, text, tk,
+        |  CASE WHEN len(tk) >= 2 THEN (
+        |   SELECT max(c) FROM (
+        |    SELECT count(*) AS c
+        |    FROM unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS u(gr)
+        |    GROUP BY gr)) ELSE 1 END AS topg,
+        |  CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 1 END AS totg
+        | FROM t),
+        |s AS (
+        | SELECT lang, source, len(tk) AS tc,
+        |  CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, tok -> list_contains(['the','a','an','and','of','to','in','is','that','it','for','was'], lower(tok)))) AS DOUBLE)/len(tk) ELSE 0 END AS sr,
+        |  CASE WHEN len(text) > 0 THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)/len(text) ELSE 0 END AS pr,
+        |  CAST(topg AS DOUBLE)/totg AS tg
+        | FROM g)
+        |SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN NOT(tc < 30 OR tc > 10000) AND tg <= 0.10 AND sr >= 0.03 AND pr <= 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        | CAST(sum(CASE WHEN tc < 30 OR tc > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+        | CAST(sum(CASE WHEN tg > 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+        | CAST(sum(CASE WHEN sr < 0.03 THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+        | CAST(sum(CASE WHEN pr > 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS n_punct
+        |FROM s GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_ws,
@@ -1780,6 +1967,16 @@ object SparkEntry {
     "q_skew_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_value, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // skew-join twin: the salt is invisible to the result, so the
+    // oracle is the plain join + rational above-average count
+    "q_skew_join" ->
+      """WITH ft AS (
+        | SELECT l_returnflag, sum(l_quantity) AS sum_q, count(*) AS n_q
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, count(*) AS n,
+        | CAST(sum(CASE WHEN l.l_quantity * ft.n_q > ft.sum_q THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |FROM lineitem l JOIN ft USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
     "q_sessionize" ->
       """WITH f AS (
         | SELECT user_id, ts, value, epoch_us(ts) AS us,

@@ -86,6 +86,8 @@ object StressBench {
         operators.Search.fuzzySearch(v, Seq("spak", "strem", "jion"), maxDist = 2)),
       "search_prefix" -> (() =>
         operators.Search.prefixSearch(v, "s")),
+      "ii_search_or" -> (() =>
+        operators.Search.orSearch(v, Seq("spark", "vector", "slow"), minMatch = 2)),
       // index BUILD: full token explode re-keyed by term — the one
       // legitimately token-linear op; chunking must bound hot terms
       "ii_positional_index" -> (() =>
@@ -108,6 +110,10 @@ object StressBench {
         operators.ProductQuantization.adcTopK(emb.where(col("vec_id") < 8), emb, 10)),
       "ann_ivf_pq" -> (() =>
         operators.ProductQuantization.ivfPqTopK(emb.where(col("vec_id") < 8), emb, 10)),
+      // two-stage rerank: stage 2 cost is pool-bounded, so the curve
+      // must track stage 1 (the IVF-PQ candidate generation) alone
+      "ann_rerank" -> (() =>
+        operators.ProductQuantization.rerankTopK(emb.where(col("vec_id") < 8), emb, 10)),
       "ii_field_values_chunked" -> (() =>
         operators.InvertedIndex.fieldValuesChunked(docs, "source", chunkSize = 1000)),
       "dedup_minhash_lsh" -> (() =>
@@ -144,6 +150,11 @@ object StressBench {
       // all keyed shuffles — must track the token stream linearly
       "dedup_paragraph" -> (() =>
         operators.Dedup.paragraphDedup(docs)),
+      // substring dedup: span-hash inventory is token-linear (the one
+      // honest cost of ExactSubstr); dup join-back co-partitioned, so
+      // growth must track the token stream, never spans²
+      "dedup_substring" -> (() =>
+        operators.Dedup.substringDedup(docs)),
       // two chained two-phase ranks (grouped then global): the driver
       // offset tables grow with partitions × strata, never with rows
       "order_interleave" -> (() =>

@@ -388,6 +388,85 @@ object Dedup {
         md5(concat_ws(" ", transform(col("ks"), x => x.getField("chunk")))).as("h_dedup"))
   }
 
+  /** Semantic dedup over EMBEDDINGS, the SemDeDup shape (Abbas et al.
+    * 2023, arXiv:2303.09540 — cluster, then dedup within clusters):
+    * assign every vector to its nearest fixed centroid (the
+    * data-independent ±1 cells of the IVF index — no Lloyd pass, no
+    * driver collect), compare pairs ONLY within a cell, and drop every
+    * vector that has a LOWER-id neighbor at cosine ≥ threshold — one
+    * canonical survivor per near-dup neighborhood without a
+    * connected-components pass (the keep-one-per-cluster rule the
+    * paper uses). Returns (vec_id, cell, dropped) for every vector.
+    *
+    * Scale shape: assignment is a broadcast-centroid argmax inside the
+    * scan; the only shuffle keys on cell; the within-cell self-join is
+    * SemDeDup's standard cost trade — pick numCells ≈ n / target cell
+    * size so (cell size)² stays bounded, the same hot-bucket guard as
+    * LSH's maxBucket. */
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.35, numCells: Int = 16,
+                    dim: Int = 64, vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val cells = Similarity.assignFixedCells(emb, vecCol, idCol, numCells, dim)
+    val v = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+      .join(cells, "id")
+    val dropped = v.select(col("cell"), col("id"), col("__v"))
+      .join(v.select(col("cell"), col("id").as("__id2"), col("__v").as("__v2")), Seq("cell"))
+      .where(col("__id2") < col("id") && cosine(col("__v"), col("__v2")) >= threshold)
+      .select(col("id")).distinct()
+    v.join(dropped.withColumn("__d", lit(true)), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cell").cast("long").as("cell"),
+        coalesce(col("__d"), lit(false)).as("dropped"))
+  }
+
+  /** Exact-substring duplication signal (Lee et al. 2022,
+    * arXiv:2107.06499 — "Deduplicating Training Data Makes Language
+    * Models Better", the ExactSubstr pass): a token span of `spanLen`
+    * tokens is DUPLICATED when the identical span occurs at more than
+    * one (doc, position) location corpus-wide — the sub-sentence
+    * boilerplate whole-doc and paragraph dedup both miss. The paper
+    * builds a corpus suffix array; the distributed equivalent is an
+    * inventory of every overlapping spanLen-gram: same duplicated-span
+    * verdicts, expressed as one gram-keyed exchange instead of a
+    * single-machine suffix sort. Reports, per document, how many of
+    * its spans are duplicated and what fraction of its tokens any
+    * duplicated span covers (exact interval union — overlapping spans
+    * don't double-count), the removal-decision signal.
+    *
+    * Scale shape: span hashes ride the scan (posexplode of a per-row
+    * transform; the shuffle key is the 8-byte xxhash64 of the gram,
+    * never the gram text); the location count is one map-side-combined
+    * aggregation on that hash, and the duplicated-hash join back to the
+    * span table is hash-co-partitioned with it; coverage is a
+    * doc-keyed lead window whose partitioning the following per-doc
+    * aggregation reuses — state per doc is O(1), not O(spans). Docs
+    * shorter than spanLen have no spans and report zero coverage. */
+  def substringDedup(docs: DataFrame, spanLen: Int = 6,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), col("__t"), size(col("__t")).cast("long").as("n_tokens"))
+    val spans = t.where(col("n_tokens") >= spanLen)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("__t")) - (spanLen - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("__t"), i, lit(spanLen)))))))
+      .select(col("doc_id"), col("pos").as("st"), col("col").as("h"))
+    val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("locs"))
+      .where(col("locs") > 1).select("h")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+    val cov = spans.join(dup, "h")
+      .select(col("doc_id"), least(lit(spanLen.toLong),
+        coalesce(lead(col("st"), 1).over(w) - col("st"), lit(spanLen.toLong))).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("c")).cast("long").as("dup_tokens"))
+    t.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 4))
+          .otherwise(0.0).as("dup_frac"))
+  }
+
   def embeddingPairs(emb: DataFrame, vecCol: String = "embedding",
                      idCol: String = "vec_id", threshold: Double = 0.35,
                      numPlanes: Int = 16, bands: Int = 4,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.expr.GraftHash
-import graft.functions.TextFunctions.topk
+import graft.functions.TextFunctions.{cosine, topk}
 
 /** Product quantization (PQ) for vector search at corpus scale
   * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
@@ -169,6 +169,36 @@ object ProductQuantization {
       indexed.join(broadcast(probes.join(lut, "q_id")), "cell")
         .where(col("q_id") =!= col("id"))
         .select(col("q_id"), col("id").as("c_id"), adcScore(m, numK).as("score")),
+      k)
+  }
+
+  /** Two-stage retrieval — the production serving shape: a cheap
+    * approximate stage (IVF-PQ: probed cells bound WHICH candidates,
+    * codes bound BYTES per candidate) nominates a pool of `poolSize`
+    * ids per query, then ONLY that pool is re-scored against the full
+    * float vectors for an exact final ranking. Recovers most of the
+    * accuracy ADC quantization gives up while still never exact-scoring
+    * more than |queries|·poolSize candidates.
+    *
+    * Scale shape: stage 1 is ivfPqTopK unchanged; the pool
+    * (|queries|·poolSize id pairs — query-side-sized, never
+    * corpus-sized) broadcasts to the candidate store, so the full
+    * vectors are read WHERE THEY SIT: no corpus shuffle, the exact
+    * cosine rides the candidate scan, and the bounded-heap top-k again
+    * moves only k rows per (partition, query). */
+  def rerankTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                 poolSize: Int = 30,
+                 m: Int = 8, numK: Int = 16, numCells: Int = 16, nProbe: Int = 4,
+                 vecCol: String = "embedding", idCol: String = "vec_id",
+                 dim: Int = 64): DataFrame = {
+    val pool = ivfPqTopK(queries, candidates, poolSize, m, numK, numCells,
+        nProbe, vecCol, idCol, dim)
+      .select(col("q_id"), col("c_id"))
+    val cv = candidates.select(col(idCol).cast("long").as("c_id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("__qv"))
+    rankTopK(
+      cv.join(broadcast(pool), "c_id").join(broadcast(qv), "q_id")
+        .select(col("q_id"), col("c_id"), cosine(col("__qv"), col("__cv")).as("score")),
       k)
   }
 }

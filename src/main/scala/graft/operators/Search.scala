@@ -69,6 +69,24 @@ object Search {
       .select(col("doc_id"))
   }
 
+  /** Disjunctive boolean search with minimum-should-match: docs
+    * matching at least `minMatch` DISTINCT terms of `should`, with the
+    * match count (the coordination factor rankers use). Same
+    * one-shuffle query-restricted posting shape as `booleanSearch` —
+    * postingsFor emits one row per (doc, distinct matched term), so
+    * the count is a plain count(1) and non-matching docs never leave
+    * the scan. */
+  def orSearch(docs: DataFrame, should: Seq[String], minMatch: Int = 1,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(should.nonEmpty, "at least one should-term")
+    require(minMatch >= 1 && minMatch <= should.distinct.size,
+      "minMatch must be within [1, |should|]")
+    postingsFor(docs, should.map(_.toLowerCase), textCol, idCol)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .where(col("n_matched") >= minMatch)
+  }
+
   /** Boolean search, scan path: the same predicate as a pushed-down
     * per-row filter — zero shuffle, for corpora with no prebuilt
     * index. Result-identical to `booleanSearch`. */

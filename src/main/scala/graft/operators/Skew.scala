@@ -37,8 +37,12 @@ object Skew {
                  factor: Int = 8): DataFrame = {
     require(factor > 1, "factor must be > 1")
     val saltedBig = big.withColumn("__salt", rowSalt(big, factor))
+    // shuffle_hash hint: this operator exists precisely for the
+    // small-but-not-broadcastable regime, so pin the join to the
+    // salted shuffle distribution it is designed to spread — a
+    // broadcast plan would make the salt dead weight
     val replicatedSmall = small.withColumn("__salt",
-      explode(sequence(lit(0L), lit(factor - 1L))))
+      explode(sequence(lit(0L), lit(factor - 1L)))).hint("shuffle_hash")
     saltedBig.join(replicatedSmall,
       saltedBig(key) === replicatedSmall(key) &&
         saltedBig("__salt") === replicatedSmall("__salt"))

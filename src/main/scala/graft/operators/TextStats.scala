@@ -134,6 +134,43 @@ object TextStats {
         round(avg(-log(col("cnt").cast("double") / col("__t"))), 4).as("avg_nll"))
   }
 
+  /** Bigram conditional language-model score — mean negative
+    * log-likelihood of each document's bigrams under the corpus MLE
+    * conditional p(w2 | w1) = c(w1 w2) / c_ctx(w1), where c_ctx counts
+    * w1's occurrences as a bigram left context. The
+    * order-sensitive upgrade of `unigramLogLoss`: token-salad that
+    * fools the unigram filter (right words, wrong order) scores high
+    * here. Scored on the same corpus the counts come from, every
+    * bigram has count ≥ 1, so MLE needs no smoothing and the oracle
+    * stays parameter-free. Docs with fewer than 2 tokens have no
+    * bigrams and score 0 over 0 bigrams.
+    *
+    * Scale shape: the bigram stream is scan-resident (slice+zip, no
+    * position explode); bigram and context counts are two map-side-
+    * combined exchanges over corpus-bounded vocabularies that join
+    * back broadcastable (AQE decides); the per-doc mean is one
+    * doc-keyed exchange. */
+  def bigramLogLoss(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val t = docs.select(col(idCol).cast("long").as("doc_id"),
+      graft.functions.TextFunctions.tokens(lower(col(textCol))).as("__t"))
+    val bg = t.where(size(col("__t")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1))).as("p"))
+      .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+    val bcnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("cctx"))
+    val scored = bg.join(bcnt, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("cb").cast("double") / col("cctx"))), 4).as("avg_nll"))
+    t.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"))
+  }
+
   /** Per-document token unigram entropy (nats) and type-token ratio —
     * the vocabulary-diversity quality signal (low entropy or low TTR =
     * template/spam text). One fused `graft_entropy` pass riding the
@@ -148,4 +185,55 @@ object TextStats {
         col("e.total").as("n_toks"), col("e.dist").as("n_types"),
         round(col("e.ent"), 4).as("entropy"),
         round(col("e.dist").cast("double") / col("e.total"), 4).as("ttr"))
+
+  /** The composed quality GATE of a pre-training pipeline — the
+    * Gopher-style rule set applied as one operator, reported as a
+    * per-(lang, source) funnel: how many documents each rule rejects
+    * and how many survive every rule. This is the decision layer the
+    * individual signals (tokenEntropy, ngramRepetition, text_quality)
+    * feed; pipelines tune the thresholds per corpus, so they're
+    * parameters, not constants.
+    *
+    * Rules (each an independent reject reason):
+    *  - length: token count outside [minTokens, maxTokens];
+    *  - repetition: the single most frequent 2-gram accounts for more
+    *    than maxTopGramFrac of the doc's 2-gram occurrences
+    *    (boilerplate/template signal, fused graft_repetition kernel);
+    *  - stopwords: stopword ratio below minStopRatio (word-salad
+    *    signal — natural language has function words);
+    *  - punctuation: punctuation-to-character ratio above
+    *    maxPunctRatio (markup/code signal).
+    *
+    * Scale shape: every signal is per-row inside the scan (fused
+    * kernel or array expression over the shared token projection);
+    * the only shuffle is the map-side-combined (lang, source) rollup
+    * whose cardinality is languages × sources. */
+  def qualityFunnel(docs: DataFrame,
+                    minTokens: Long = 30, maxTokens: Long = 10000,
+                    maxTopGramFrac: Double = 0.10,
+                    minStopRatio: Double = 0.03,
+                    maxPunctRatio: Double = 0.10,
+                    textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions
+    val sig = docs.where(col(textCol).isNotNull)
+      .select(col("lang"), col("source"),
+        TextFunctions.tokens(col(textCol)).as("__t"),
+        TextFunctions.punctRatio(col(textCol)).as("__pr"),
+        call_function("graft_repetition", col(textCol), lit(2)).as("__rep"))
+      .select(col("lang"), col("source"), col("__pr"),
+        size(col("__t")).cast("long").as("__tc"),
+        TextFunctions.stopwordRatioFromTokens(col("__t"), TextFunctions.Stopwords.en).as("__sr"),
+        (col("__rep.top").cast("double") / greatest(col("__rep.total"), lit(1L))).as("__tg"))
+    val fLen = col("__tc") < minTokens || col("__tc") > maxTokens
+    val fRep = col("__tg") > maxTopGramFrac
+    val fStop = col("__sr") < minStopRatio
+    val fPunct = col("__pr") > maxPunctRatio
+    sig.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!fLen && !fRep && !fStop && !fPunct, 1L).otherwise(0L)).as("n_pass"),
+        sum(when(fLen, 1L).otherwise(0L)).as("n_len"),
+        sum(when(fRep, 1L).otherwise(0L)).as("n_rep"),
+        sum(when(fStop, 1L).otherwise(0L)).as("n_stop"),
+        sum(when(fPunct, 1L).otherwise(0L)).as("n_punct"))
+  }
 }

@@ -21,6 +21,67 @@ class DedupSpec extends AnyFunSuite {
     docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
+  test("substring dedup matches the brute-force span inventory + interval union") {
+    val L = 6
+    val got = Dedup.substringDedup(docs, spanLen = L).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+
+    val toks: Map[Long, Array[String]] =
+      texts.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty) }
+    // corpus-wide inventory of every overlapping L-gram location
+    val locs = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    toks.values.foreach(t => t.sliding(L).withFilter(_.length == L)
+      .foreach(g => locs(g.mkString(" ")) += 1))
+    val expect = toks.map { case (id, t) =>
+      val starts = t.sliding(L).zipWithIndex
+        .collect { case (g, i) if g.length == L && locs(g.mkString(" ")) > 1 => i }
+        .toArray
+      // exact interval union of [s, s+L-1]
+      val covered = starts.flatMap(s => s until (s + L)).distinct.length.toLong
+      val frac = if (t.isEmpty) 0.0
+        else BigDecimal(covered.toDouble / t.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> ((t.length.toLong, starts.length.toLong, covered, frac))
+    }
+    assert(got == expect)
+    assert(expect.values.exists(_._2 > 0), "planted near-dups should share spans")
+    assert(expect.values.exists(v => v._2 == 0),
+      "some docs should be span-clean at L=6")
+  }
+
+  test("semantic dedup matches the brute-force cluster-then-dedup rule") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Dedup.semanticDedup(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    val vecs: Map[Long, Array[Double]] = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = operators.Similarity.fixedCentroids(16, 64)
+    // assignment ties break to the HIGHEST cell, like assignCells
+    val cell: Map[Long, Long] = vecs.map { case (id, v) =>
+      id -> cents.zipWithIndex.map { case (c, i) => (cos(v, c), i) }.max._2.toLong
+    }
+    val expect = vecs.keys.map { id =>
+      val dropped = vecs.keys.exists(o =>
+        o < id && cell(o) == cell(id) && cos(vecs(o), vecs(id)) >= 0.35)
+      (id, cell(id), dropped)
+    }.toSet
+    assert(got == expect)
+    assert(got.exists(_._3), "testdata's planted near-dups should drop something")
+    // the lowest id of every cell can never be dropped
+    got.groupBy(_._2).values.foreach { rows =>
+      assert(!rows.minBy(_._1)._3, "cell minimum must survive")
+    }
+  }
+
   private lazy val bruteForcePairs: Set[(Long, Long, Double)] = {
     val ids = texts.keys.toArray.sorted
     val sets = texts.map { case (id, t) => id -> shingleSet(t) }

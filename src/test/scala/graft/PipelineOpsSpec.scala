@@ -243,6 +243,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byId(1L)._1 == 4L && byId(2L)._1 == 4L)
   }
 
+  test("bigramLogLoss matches the hand-computed MLE conditional NLL") {
+    import spark.implicits._
+    // corpus bigrams: doc1 "x y x y x z" -> xy, yx, xy, yx, xz;
+    // doc2 "x y" -> xy; doc3 has no bigrams.
+    // counts: c(xy)=3, c(yx)=2, c(xz)=1; contexts: x=4, y=2
+    // -> p(y|x)=3/4, p(z|x)=1/4, p(x|y)=1
+    val docs = Seq(
+      (1L, "x y x y x z"),
+      (2L, "x y"),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val got = TextStats.bigramLogLoss(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = -(2 * math.log(3.0 / 4) + 2 * math.log(1.0) + math.log(1.0 / 4)) / 5
+    val d2 = -math.log(3.0 / 4)
+    assert(got(1L)._1 == 5L && got(2L)._1 == 1L)
+    assert(math.abs(got(1L)._2 - r4(d1)) < 1e-9, s"${got(1L)} vs $d1")
+    assert(math.abs(got(2L)._2 - r4(d2)) < 1e-9, s"${got(2L)} vs $d2")
+    // no-bigram docs report the 0/0.0 sentinel, not a dropped row
+    assert(got(3L) == ((0L, 0.0)))
+    // the doc with the rare continuation (xz) scores strictly higher
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
   test("collocations: a bound phrase outranks a frequent-but-independent pair") {
     import spark.implicits._
     // 'new york' always together; 'the'+'cat' frequent but independent

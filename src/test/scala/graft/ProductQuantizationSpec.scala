@@ -91,6 +91,36 @@ class ProductQuantizationSpec extends AnyFunSuite {
     }
   }
 
+  test("rerank = exact cosine ranking of the IVF-PQ pool; recall never below stage 1") {
+    val queries = emb.where(col("vec_id") < 8)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val pool = ProductQuantization.ivfPqTopK(queries, emb, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val got = ProductQuantization.rerankTopK(queries, emb, 10, poolSize = 30).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_._1)).toMap
+    // stage 2 is EXACTLY the pool re-ranked by true cosine
+    pool.foreach { case (q, ids) =>
+      val expect = ids.toSeq.map(c => (c, cosine(vecs(q), vecs(c))))
+        .sortBy(t => (-t._2, t._1)).take(10)
+      val g = got(q).map(t => (t._2, t._3))
+      assert(g.map(_._1) == expect.map(_._1), s"rerank order mismatch for query $q")
+      g.zip(expect).foreach { case ((_, s), (_, e)) =>
+        assert(math.abs(s - e) < 1e-9) }
+    }
+    // reranking the same pool by exact score can only improve recall
+    val exact = Similarity.bruteForceTopK(queries, emb, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val stage1 = ProductQuantization.ivfPqTopK(queries, emb, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    exact.foreach { case (q, ids) =>
+      val rr = got(q).map(_._2).toSet
+      assert(rr.intersect(ids).size >= stage1(q).intersect(ids).size,
+        s"rerank recall fell below stage 1 for query $q")
+    }
+  }
+
   test("candidate codes never shuffle during scoring (broadcast LUT + heap top-k)") {
     val plan = ProductQuantization.adcTopK(emb.where(col("vec_id") < 8), emb, 10)
       .queryExecution.executedPlan.toString

@@ -28,6 +28,23 @@ class SearchSpec extends AnyFunSuite {
     assert(viaScan == brute)
   }
 
+  test("OR search: minimum-should-match counting matches brute force") {
+    val should = Seq("spark", "vector", "slow")
+    val got = Search.orSearch(docs, should, minMatch = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = texts.flatMap { case (id, t) =>
+      val n = should.count(t.contains).toLong
+      if (n >= 2) Some(id -> n) else None
+    }
+    assert(brute.nonEmpty, "2-of-3 should match some docs in testdata")
+    assert(got == brute)
+    // 1-of-N degrades to the union of single-term matches
+    val any = Search.orSearch(docs, should, minMatch = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(any == texts.collect {
+      case (id, t) if should.exists(t.contains) => id }.toSet)
+  }
+
   test("posting-list exec node: plans PostingListIntersectExec and matches the scan path") {
     val must = Seq("spark", "vector")
     val mustNot = Seq("slow")

@@ -33,6 +33,19 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("salted join plans the salted shuffle, not a broadcast") {
+    import spark.implicits._
+    val big = spark.range(0, 2000).select(lit(0L).as("k"), col("id").as("v"))
+    val small = Seq((0L, "hot"), (1L, "a")).toDF("k", "name")
+    val plan = Skew.saltedJoin(big, small, "k")
+      .queryExecution.executedPlan.toString
+    // a broadcast plan would make the salt dead weight: every replica
+    // of the small side would reach every task anyway
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(2000))
+  }
+
   test("salted join spreads a hot key across salt buckets") {
     import spark.implicits._
     val big = spark.range(0, 1000).select(lit(0L).as("k"), col("id").as("v"))
