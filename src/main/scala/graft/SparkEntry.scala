@@ -30,6 +30,13 @@ object SparkEntry {
     * as ±1 literals (numPlanes × the testdata embeddings' dim 64) so
     * DuckDB reproduces the banding bit-for-bit — the whole LSH pipeline
     * becomes hash-comparable, not just its verification stage. */
+  /** Deterministic 1200-key probe set for q_large_in — longer than
+    * LargeInListToJoin.Threshold (1000), so the SQL-surface IN list
+    * rewrites to the pushed range + broadcast semi-join plan
+    * (gcd(17, 4000) = 1 keeps the 1200 keys distinct). */
+  private[graft] def largeInKeys: Seq[Long] =
+    (0 until 1200).map(i => (i.toLong * 17) % 4000)
+
   private def srpBitsSql(numPlanes: Int, dim: Int): String =
     Similarity.hyperplanes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
       s"CASE WHEN list_dot_product(e, [${p.mkString(", ")}]) > 0 THEN 1 ELSE 0 END AS b$i"
@@ -830,6 +837,11 @@ object SparkEntry {
           array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
         .orderBy(col("doc_id"))),
     "mm_decode_stats" -> (graft.multimodal.Multimodal.decodeStats _),
+    // audio modality path: per-clip amplitude stats from the stub PCM
+    // decode (bytes as unsigned 8-bit samples)
+    "mm_audio_stats" -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioStats(s, dir)
+        .orderBy(col("media_id"))),
     // frame-sample plumbing: every-2nd-frame fan-out per video inside
     // mapPartitions batches; summarized per media row (the stub frame
     // digest is 64-bit-hash-valued, so the oracle checks the fan-out
@@ -879,6 +891,31 @@ object SparkEntry {
           sum(when(col("l_quantity") * col("n_q") > col("sum_q"), 1L)
             .otherwise(0L)).as("n_above"))
         .orderBy(col("l_returnflag"))
+    }),
+    // the X10 optimizer rule driver-gated: a 1200-literal IN list
+    // (above the rewrite threshold) becomes range-prune + semi-join
+    "q_large_in" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_partkey").isin(largeInKeys: _*))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag"))),
+    // the X11 bucketed layout driver-gated: both sides persisted
+    // bucketBy(8, k) + sortBy, joined with zero exchange (asserted in
+    // BucketedTablesSpec), then rolled up per customer
+    "q_bucketed_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("k"), col("l_quantity"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_custkey"))
+      graft.sources.BucketedTables.write(li, "graft_q_bli", "k", 8)
+      graft.sources.BucketedTables.write(ord, "graft_q_bord", "k", 8)
+      graft.sources.BucketedTables.join(s, "graft_q_bli", "graft_q_bord", "k")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("o_custkey"))
     }),
     // §2.2 relational core
     "q_scan_filter"    -> (Relational.scanFilter _),
@@ -1941,6 +1978,21 @@ object SparkEntry {
         | CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 + (strlen(text) % 5) ELSE 1 END) AS BIGINT) AS sum_frames,
         | CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    // audio twin: payloads are the ASCII text bytes, so the stub PCM
+    // stats recompute from ascii() codes; exact-integer sums divide to
+    // the identical double before rounding
+    "mm_audio_stats" ->
+      """WITH a AS (
+        | SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1),
+        |b AS (
+        | SELECT media_id, strlen(text) AS n,
+        |  [ascii(text[i]) for i in range(1, strlen(text) + 1)] AS bs
+        | FROM a)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+        | CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+        | round(CASE WHEN n > 0 THEN list_sum(bs) * 1.0 / n ELSE 0.0 END, 4) AS mean_amp,
+        | round(CASE WHEN n > 0 THEN len(list_filter(bs, x -> x >= 120)) * 1.0 / n ELSE 0.0 END, 4) AS clip_frac
+        |FROM b ORDER BY media_id""".stripMargin,
     // frame-sample twin: stub frame count (videos: 1 + bytes%5, else
     // 1), every-2nd-frame sampling → ceil(n/2) frames, last idx is the
     // greatest even index below n
@@ -1967,6 +2019,19 @@ object SparkEntry {
     "q_skew_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_value, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // large-IN twin: the literal list verbatim — the rewrite must be
+    // semantically invisible
+    "q_large_in" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_partkey IN (${largeInKeys.mkString(", ")})
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // bucketed-join twin: bucketing is a layout property, invisible to
+    // the result of the join + rollup
+    "q_bucketed_join" ->
+      """SELECT o_custkey, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // skew-join twin: the salt is invisible to the result, so the
     // oracle is the plain join + rational above-average count
     "q_skew_join" ->

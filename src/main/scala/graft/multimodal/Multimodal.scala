@@ -112,6 +112,49 @@ object Multimodal {
     }
   }
 
+  /** Per-payload audio amplitude summary (stub PCM decode). */
+  final case class AudioFeatures(
+      media_id: Long,
+      n_samples: Long,
+      duration_ms: Long,
+      mean_amp: Double,
+      clip_frac: Double)
+
+  /** Audio-path feature extraction: treat each payload byte as an
+    * unsigned 8-bit PCM sample (the stub stand-in for a real PCM/FLAC
+    * frame decoder) and reduce to duration at `sampleRate`, mean
+    * amplitude, and clipping fraction (samples ≥ `clipAt`) — the
+    * signals an audio-corpus quality filter gates on. One sequential
+    * pass per payload inside the batched mapPartitions; the payload
+    * dies at the decode boundary like every media path, and the
+    * output row is 5 narrow columns regardless of clip length. */
+  def audioFeatures(media: Dataset[MediaRecord], clipAt: Int = 120,
+                    sampleRate: Int = 16000, batchSize: Int = 64): Dataset[AudioFeatures] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[AudioFeatures]
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val b = r.payload
+        var sum = 0L; var clip = 0L; var i = 0
+        while (i < b.length) {
+          val v = b(i) & 0xff
+          sum += v; if (v >= clipAt) clip += 1; i += 1
+        }
+        val n = b.length.toLong
+        AudioFeatures(r.media_id, n, n * 1000L / sampleRate,
+          if (n > 0) sum.toDouble / n else 0.0,
+          if (n > 0) clip.toDouble / n else 0.0)
+      })
+    }
+  }
+
+  /** The `mm_audio_stats` queries entry: per-clip amplitude summary,
+    * rounded for the cross-engine compare. */
+  def audioStats(spark: SparkSession, sfDir: String): DataFrame =
+    audioFeatures(mediaFromDocuments(spark, sfDir)).toDF()
+      .select(col("media_id"), col("n_samples"), col("duration_ms"),
+        round(col("mean_amp"), 4).as("mean_amp"),
+        round(col("clip_frac"), 4).as("clip_frac"))
+
   /** Deterministic media table derived from the documents testdata:
     * the text bytes act as the payload, the kind cycles through the
     * three modalities. */

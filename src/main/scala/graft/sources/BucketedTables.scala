@@ -16,13 +16,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketedTables {
 
-  /** Persist `df` as a bucketed, in-bucket-sorted parquet table. */
-  def write(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  /** Persist `df` as a bucketed, in-bucket-sorted parquet table.
+    * Idempotent across sessions: an in-memory catalog forgets the
+    * table between JVMs while its warehouse directory survives, and
+    * CREATE refuses a managed-table location that already exists — so
+    * drop the catalog entry AND clear any orphaned location first. */
+  def write(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
     df.write.format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")
       .saveAsTable(table)
+  }
 
   /** Join two tables bucketed on `key`; with matching bucket counts
     * the plan contains no shuffle exchange. */

@@ -35,6 +35,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("L12: audio amplitude stats match a byte-level recompute; only audio rows") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val got = Multimodal.audioFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    val audio = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .filter(_.getLong(0) % 3 == 1)
+    assert(got.size == audio.length, "exactly the audio-kind rows")
+    audio.foreach { r =>
+      val bytes = r.getString(1).getBytes("UTF-8").map(_ & 0xff)
+      val f = got(r.getLong(0))
+      assert(f.n_samples == bytes.length.toLong)
+      assert(f.duration_ms == bytes.length.toLong * 1000 / 16000)
+      assert(math.abs(f.mean_amp - bytes.sum.toDouble / bytes.length) < 1e-12)
+      assert(math.abs(f.clip_frac - bytes.count(_ >= 120).toDouble / bytes.length) < 1e-12)
+    }
+    // batch size must not change results
+    val rebatched = Multimodal.audioFeatures(media, batchSize = 7).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(rebatched == got)
+  }
+
   test("L12: frame sampling fans out videos deterministically with resized dims") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val frames = Multimodal.sampleFrames(media, everyN = 2).collect()
