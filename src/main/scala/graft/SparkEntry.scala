@@ -384,6 +384,19 @@ object SparkEntry {
         .orderBy(col("value"), col("chunk"))
     }),
     "ingest_nested_json" -> (NestedIngest.ingestNestedJson _),
+    // schema-on-read JSONL round trip with permissive corrupt capture:
+    // clean rows roll up per type, 3 injected malformed lines are
+    // quarantined and counted under the __corrupt sentinel
+    "ingest_jsonl" -> (graft.sources.JsonlIngest.ingestEntry _),
+    // profiling complement of stats_profile: per-group Pearson
+    // correlation between two measures
+    "stats_corr" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))),
     // the search layer over the inverted-index surface: boolean
     // posting-list algebra, positional phrase adjacency, BM25 ranking
     "ii_search_boolean" -> ((s, dir) =>
@@ -2061,6 +2074,22 @@ object SparkEntry {
         | count(*) AS n_docs,
         | array_to_string(list_sort(list(event_id)), ',') AS doc_ids
         |FROM events GROUP BY 1 ORDER BY value""".stripMargin,
+    // jsonl twin: the round trip is lossless for these columns (2-dp
+    // doubles print shortest-repr and parse back exact), so clean rows
+    // aggregate straight off the parquet; the 3 injected malformed
+    // lines appear as the __corrupt sentinel row
+    "ingest_jsonl" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT '__corrupt', CAST(3 AS BIGINT), 0.0
+        |ORDER BY event_type""".stripMargin,
+    // corr twin: both engines' one-pass co-moment formulas agree to
+    // well past the reported 4 decimals
+    "stats_corr" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "ingest_nested_json" ->
       """SELECT event_type AS level,
         | CASE WHEN user_id % 3 = 0 THEN 'us-east'

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThanOrEqual, In, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThanOrEqual, In, InSet, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -46,26 +46,39 @@ object LargeInListToJoin extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  private def isBigLiteralIn(e: Expression): Boolean = e match {
-    case In(a: Attribute, vs) =>
-      rangeable(a) && vs.length > Threshold &&
-        vs.forall { case Literal(v, _) => v != null; case _ => false }
-    case _ => false
+  /** The attribute and internal values of a qualifying membership
+    * test. Matches BOTH surface forms of the same predicate: `In` with
+    * all-literal lists (SQL text whose literals still wear their
+    * type-coercion Casts when this rule first sees them fold one
+    * built-in iteration later), and `InSet` (what OptimizeIn turns a
+    * >10-element all-literal In into — the form every DataFrame
+    * `isin(...)` reaches the batch tail as, since its literals carry
+    * no Casts to delay the conversion). */
+  private def bigInValues(e: Expression): Option[(Attribute, Seq[Any])] = e match {
+    case In(a: Attribute, vs)
+        if rangeable(a) && vs.length > Threshold &&
+          vs.forall { case Literal(v, _) => v != null; case _ => false } =>
+      Some((a, vs.map { case Literal(v, _) => v }))
+    case InSet(a: Attribute, hset)
+        if rangeable(a) && hset.size > Threshold && !hset.contains(null) =>
+      Some((a, hset.toSeq))
+    case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, child) if splitConj(cond).exists(isBigLiteralIn) =>
-      val (bigIns, rest) = splitConj(cond).partition(isBigLiteralIn)
+    case Filter(cond, child) if splitConj(cond).exists(bigInValues(_).isDefined) =>
+      val (bigIns, rest) = splitConj(cond).partition(bigInValues(_).isDefined)
       var joined: LogicalPlan = child
-      val rangePreds = bigIns.map { case In(attr: Attribute, vs) =>
+      val rangePreds = bigIns.map { e =>
+        val (attr, values) = bigInValues(e).get
         val idAttr = AttributeReference("__graft_in_id", attr.dataType, nullable = false)()
-        val rows = vs.map { case Literal(v, _) => InternalRow(v) }
-        joined = Join(joined, LocalRelation(Seq(idAttr), rows), LeftSemi,
-          Some(EqualTo(attr, idAttr)), JoinHint.NONE)
-        // reuse the original min/max literals so internal value types
+        joined = Join(joined, LocalRelation(Seq(idAttr), values.map(InternalRow(_))),
+          LeftSemi, Some(EqualTo(attr, idAttr)), JoinHint.NONE)
+        // literals built from the original internal values, so types
         // stay consistent with the attribute's data type
-        val sorted = vs.sortBy { case Literal(v, _) => v.asInstanceOf[Number].longValue() }
-        And(GreaterThanOrEqual(attr, sorted.head), LessThanOrEqual(attr, sorted.last))
+        val sorted = values.sortBy(_.asInstanceOf[Number].longValue())
+        And(GreaterThanOrEqual(attr, Literal(sorted.head, attr.dataType)),
+          LessThanOrEqual(attr, Literal(sorted.last, attr.dataType)))
       }
       val remaining = (rangePreds ++ rest).reduceOption(And)
       remaining.map(Filter(_, joined)).getOrElse(joined)

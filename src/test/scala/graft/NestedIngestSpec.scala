@@ -33,6 +33,35 @@ class NestedIngestSpec extends AnyFunSuite {
            flat.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("jsonl ingest: clean lines parse against the explicit schema, malformed quarantine") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl-spec").toString
+    Seq(
+      """{"id": 1, "kind": "a", "v": 1.5}""",
+      """{"id": 2, "kind": "b", "v": 2.25}""",
+      """{"id": 3, "kind": "a"}"""
+    ).toDS().write.mode("overwrite").text(tmp)
+    Seq("""{"id": broken""", "garbage").toDS().write.mode("append").text(tmp)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("kind", StringType),
+      StructField("v", DoubleType)))
+    val read = graft.sources.JsonlIngest.readWithCorruptCapture(spark, tmp, schema)
+    val clean = read.where(col(graft.sources.JsonlIngest.CorruptCol).isNull)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // missing fields are null, not corrupt; malformed lines are corrupt
+    assert(clean == Set((1L, "a"), (2L, "b"), (3L, "a")))
+    assert(read.where(col(graft.sources.JsonlIngest.CorruptCol).isNotNull).count() == 2)
+    // the driver entry shape: per-kind rollup + sentinel corrupt row
+    val entry = graft.sources.JsonlIngest.ingestEntry(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(entry("__corrupt") == ((3L, 0.0)))
+    val expected = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(entry.filterNot(_._1 == "__corrupt") == expected)
+  }
+
   test("R5+R6: flatten handles arbitrary depth and InvertedIndex can query the result") {
     val flat = NestedIngest.ingestJson(NestedIngest.eventsAsJson(spark, sf), "json")
     // dotted path from the reference's DSL resolves to the flattened column

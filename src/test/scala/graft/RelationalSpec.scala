@@ -175,6 +175,31 @@ class RelationalSpec extends AnyFunSuite {
       "exact distincts must not plan an Expand")
   }
 
+  test("per-group corr matches the hand-computed Pearson formula") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 4.5), ("a", 3.0, 5.5), ("a", 4.0, 8.0),
+      ("b", 1.0, 9.0), ("b", 2.0, 7.0), ("b", 3.0, 2.0)
+    ).toDF("g", "x", "y")
+    val got = df.groupBy(col("g"))
+      .agg(round(corr(col("x"), col("y")), 4).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def pearson(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val n = xs.length
+      val mx = xs.sum / n; val my = ys.sum / n
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val sx = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum)
+      val sy = math.sqrt(ys.map(y => (y - my) * (y - my)).sum)
+      cov / (sx * sy)
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got("a") - r4(pearson(Seq(1, 2, 3, 4), Seq(2, 4.5, 5.5, 8)))) < 1e-9)
+    assert(math.abs(got("b") - r4(pearson(Seq(1, 2, 3), Seq(9, 7, 2)))) < 1e-9)
+    assert(got("a") > 0 && got("b") < 0)
+  }
+
   test("upsert: batch wins on matches, inserts append, base carries over") {
     import spark.implicits._
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
