@@ -981,6 +981,35 @@ object SparkEntry {
     "q_histogram"      -> ((s, dir) => Relational.histogram(s, dir)),
     "q_equidepth"      -> ((s, dir) => Relational.equiDepthHistogram(s, dir)),
     "q_streaks"        -> (Relational.activityStreaks _),
+    // X93: exact Jaccard-threshold pairs via prefix filtering (PPJoin)
+    // — no LSH false negatives, no SNM sort-key assumption
+    "dedup_ppjoin" -> ((s, dir) =>
+      Dedup.ppjoinPairs(Tables.documents(s, dir), threshold = 0.5)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id1"), col("id2"))),
+    // X94: per-group OLS regression from DECIMAL-exact co-moments
+    "stats_regression" -> (Relational.regressionByType _),
+    // X95: daily calendar resample with forward fill
+    "q_resample" -> (TimeSeries.resampleDaily _),
+    // X96: rolling z-score anomaly flags over a 20-row trailing frame
+    "q_rolling_anomaly" -> ((s, dir) => TimeSeries.rollingAnomalies(s, dir)),
+    // X97: first-touch ordered funnel view -> click -> purchase
+    "q_event_funnel" -> ((s, dir) => TimeSeries.funnel(s, dir)),
+    // X98: explicit GROUPING SETS ((lang, source), (lang), ())
+    "q_grouping_sets" -> (Relational.groupingSetsAgg _),
+    // X99: threshold (range) vector search — the ε-neighborhood query
+    "ann_range" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.Similarity.rangeSearch(e.where(col("vec_id") < 8), e, 0.3)
+        .select(col("q_id"), col("c_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("q_id"), col("c_id"))
+    }),
+    // X100: L13 driver-gated — the events stream replayed through the
+    // real Structured Streaming engine (4 file-per-trigger
+    // micro-batches, complete-mode memory sink) must equal the batch
+    // aggregation the oracle computes
+    "q_stream_window" -> ((s, dir) =>
+      graft.streaming.EventStream.replayWindowedCounts(s, dir, batches = 4)),
   )
 
   /** DuckDB-dialect twins of `queries`, identical column names and
@@ -2366,5 +2395,146 @@ object SparkEntry {
         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
         | round(min(l_extendedprice), 2) AS lo, round(max(l_extendedprice), 2) AS hi
         |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // PPJoin twin: same shingle universe as the snm twin, global
+    // df-ascending prefix (|S| - ceil(t|S|) + 1), prefix-token
+    // candidates, exact-Jaccard verify — prefix principle makes the
+    // candidate set a superset of every j >= t pair, so the verified
+    // output is the EXACT threshold join
+    "dedup_ppjoin" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(t) >= 3
+        |   THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+        |   ELSE [array_to_string(t, ' ')] END AS s
+        | FROM toks),
+        |tok AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+        |freq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+        |ranked AS (
+        | SELECT t.doc_id, t.tok,
+        |  row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tok) AS r,
+        |  count(*) OVER (PARTITION BY t.doc_id) AS sz
+        | FROM tok t JOIN freq f USING (tok)),
+        |pref AS (SELECT doc_id, tok FROM ranked
+        |         WHERE r <= sz - CAST(ceil(0.5 * sz) AS BIGINT) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |         FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |scored AS (
+        | SELECT c.id1, c.id2,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+        |   (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
+        | FROM cand c JOIN sh x ON x.doc_id = c.id1 JOIN sh y ON y.doc_id = c.id2)
+        |SELECT id1, id2, round(j, 4) AS jaccard
+        |FROM scored WHERE j >= 0.5 ORDER BY id1, id2""".stripMargin,
+    // OLS twin: identical DECIMAL-exact co-moment sums cast to double,
+    // identical closed-form arithmetic — bit-equal before rounding
+    "stats_regression" ->
+      """WITH b AS (
+        | SELECT event_type,
+        |  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        |  CAST(value AS DECIMAL(18,2)) AS y
+        | FROM events),
+        |s AS (
+        | SELECT event_type, count(*) AS n,
+        |  CAST(count(*) AS DOUBLE) AS nd, CAST(sum(x) AS DOUBLE) AS sxd,
+        |  CAST(sum(y) AS DOUBLE) AS syd, CAST(sum(y * x) AS DOUBLE) AS sxyd,
+        |  CAST(sum(x * x) AS DOUBLE) AS sxxd, CAST(sum(y * y) AS DOUBLE) AS syyd
+        | FROM b GROUP BY event_type),
+        |d AS (
+        | SELECT event_type, n,
+        |  nd * sxyd - sxd * syd AS cov_n,
+        |  nd * sxxd - sxd * sxd AS var_x,
+        |  nd * syyd - syd * syd AS var_y,
+        |  syd, sxd, nd
+        | FROM s)
+        |SELECT event_type, n,
+        | round(cov_n / var_x, 6) AS slope,
+        | round((syd - (cov_n / var_x) * sxd) / nd, 6) AS intercept,
+        | round(cov_n * cov_n / (var_x * var_y), 6) AS r2
+        |FROM d ORDER BY event_type""".stripMargin,
+    // resample twin: per-type generate_series calendar, DECIMAL-exact
+    // daily means, IGNORE NULLS last_value forward fill
+    "q_resample" ->
+      """WITH daily AS (
+        | SELECT event_type, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_v
+        | FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM span),
+        |j AS (
+        | SELECT g.event_type, g.day, coalesce(d.n, 0) AS n, d.avg_v
+        | FROM grid g LEFT JOIN daily d ON d.event_type = g.event_type AND d.day = g.day)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+        | last_value(avg_v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_filled
+        |FROM j ORDER BY event_type, day""".stripMargin,
+    // rolling twin: identical 20-row frame on (epoch micros, event_id),
+    // DECIMAL frame sums, identical double mean/variance arithmetic
+    "q_rolling_anomaly" ->
+      """WITH b AS (
+        | SELECT event_type, event_id, CAST(value AS DECIMAL(18,2)) AS y, epoch_us(ts) AS tus
+        | FROM events),
+        |w AS (
+        | SELECT event_type, event_id, y,
+        |  count(*) OVER fr AS c,
+        |  CAST(sum(y) OVER fr AS DOUBLE) AS s,
+        |  CAST(sum(y * y) OVER fr AS DOUBLE) AS q
+        | FROM b
+        | WINDOW fr AS (PARTITION BY event_type ORDER BY tus, event_id
+        |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |z AS (
+        | SELECT event_type, event_id, y,
+        |  (CAST(y AS DOUBLE) - s / c) / sqrt(q / c - (s / c) * (s / c)) AS z
+        | FROM w WHERE c >= 15)
+        |SELECT event_type, event_id, round(CAST(y AS DOUBLE), 2) AS value, round(z, 4) AS z
+        |FROM z WHERE abs(z) > 2.5 ORDER BY event_type, event_id""".stripMargin,
+    // funnel twin: per-user first-touch timestamps, ordered-stage counts
+    "q_event_funnel" ->
+      """WITH pu AS (
+        | SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+        |  min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+        | FROM events GROUP BY user_id),
+        |c AS (
+        | SELECT count(t1) AS u1,
+        |  count(CASE WHEN t1 <= t2 THEN 1 END) AS u2,
+        |  count(CASE WHEN t1 <= t2 AND t2 <= t3 THEN 1 END) AS u3
+        | FROM pu)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, u1 AS users FROM c
+        | UNION ALL SELECT 2, 'click', u2 FROM c
+        | UNION ALL SELECT 3, 'purchase', u3 FROM c)
+        |ORDER BY step""".stripMargin,
+    // grouping-sets twin: same three sets, same 'ALL' labels
+    "q_grouping_sets" ->
+      """SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+        | CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+        | count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang, source), (lang), ())
+        |ORDER BY lang, source""".stripMargin,
+    // range-search twin: threshold on the UNROUNDED cosine, rounded
+    // score only in the projection
+    "ann_range" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (
+        | SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS s
+        | FROM q CROSS JOIN c WHERE q_id <> c_id)
+        |SELECT q_id, c_id, round(s, 4) AS score
+        |FROM scored WHERE s >= 0.3 ORDER BY q_id, c_id""".stripMargin,
+    // streaming-replay twin: the BATCH aggregation — the entry's
+    // micro-batched incremental execution must converge to exactly
+    // this (DECIMAL sums make the state merges split-invariant)
+    "q_stream_window" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        | count(*) AS n,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
   )
 }

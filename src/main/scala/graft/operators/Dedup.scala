@@ -188,6 +188,47 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Prefix-filtering set-similarity join (the PPJoin family, Xiao et
+    * al. WWW'08 §3 prefix principle): EXACT Jaccard-threshold pairs
+    * without LSH's false negatives and without SNM's sort-key
+    * locality assumption. Each document's shingle set is ordered by
+    * GLOBAL ascending document frequency (rarest first; ties on the
+    * shingle itself), and only the first |S| − ⌈t·|S|⌉ + 1 shingles —
+    * the prefix — are indexed: two sets with J ≥ t MUST share a
+    * prefix element under a common global order, so joining on prefix
+    * shingles alone loses nothing. Candidates then verify with exact
+    * Jaccard.
+    *
+    * Scale shape: one df aggregation (map-side combined) + one
+    * shingle-keyed join to rank + one prefix-keyed self-join. The
+    * prefix inverted index is what bounds the work: rare shingles
+    * head every prefix, so posting lists on the join key are short —
+    * the frequency order IS the hot-key defense (a hot shingle sorts
+    * to the suffix and never gets indexed). Candidate pairs, not n²,
+    * reach verification. */
+  def ppjoinPairs(docs: DataFrame, threshold: Double = 0.5,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol).cast("long").as("id"),
+      distinctWordShingles(col(textCol), shingleSize).as("s"))
+    val tok = sh.select(col("id"), explode(col("s")).as("tok"))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val byId = Window.partitionBy(col("id"))
+    val ranked = tok.join(freq, "tok")
+      .withColumn("r", row_number().over(byId.orderBy(col("df"), col("tok"))))
+      .withColumn("sz", count(lit(1)).over(byId))
+    val prefix = ranked
+      .where(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("tok"), col("id"))
+    val cand = prefix.join(prefix.select(col("tok"), col("id").as("id2")), "tok")
+      .where(col("id") < col("id2"))
+      .select(col("id").as("id1"), col("id2"))
+      .distinct()
+    verifyJaccard(cand, docs, textCol, idCol, shingleSize)
+      .where(col("jaccard") >= threshold)
+  }
+
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id", shingleSize: Int = 3): DataFrame = {
     // Shingle once per DOCUMENT, below the join — a doc in k candidate

@@ -629,4 +629,59 @@ object Relational {
       .groupBy($"src", $"bucket").agg(count(lit(1)).as("n"))
       .orderBy($"src", $"bucket")
   }
+
+  /** C20: explicit GROUPING SETS — the general form rollup/cube are
+    * sugar for: here (lang, source), (lang), () — per-cell, per-lang,
+    * and grand totals WITHOUT the per-source slice a cube would add.
+    * Same Expand(×sets)-into-one-partial-agg plan shape as C13: bytes
+    * crossing the exchange are O(sets × groups), not O(rows).
+    * `grouping()` flags become 'ALL' labels (no NULL markers). */
+  def groupingSetsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .groupingSets(Seq(Seq($"lang", $"source"), Seq($"lang"), Seq()),
+        $"lang", $"source")
+      .agg(grouping($"lang").as("g_l"), grouping($"source").as("g_s"),
+        count(lit(1)).as("n"), sum($"n_chars").as("sum_chars"))
+      .select(
+        when($"g_l" === 1, "ALL").otherwise($"lang").as("lang"),
+        when($"g_s" === 1, "ALL").otherwise($"source").as("source"),
+        $"n", $"sum_chars")
+      .orderBy($"lang", $"source")
+  }
+
+  /** C21: per-group OLS regression (value vs day index) from exact
+    * co-moments — the profiling complement of `stats_corr`. One
+    * map-side-combined aggregation accumulates n, Σx, Σy, Σxy, Σx²,
+    * Σy² with y routed through DECIMAL (exact, order-independent —
+    * a double Σ would depend on each engine's accumulation order);
+    * slope/intercept/R² are closed-form double arithmetic over those
+    * six exact sums, so the result is partition-count-invariant and
+    * reproducible cross-engine. O(1) state per group, no second pass —
+    * the textbook two-pass mean-centered form would scan twice. */
+  def regressionByType(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sums = Tables.events(spark, sfDir)
+      .select($"event_type",
+        datediff(to_date($"ts"), lit("2024-01-01")).cast("long").as("x"),
+        $"value".cast("decimal(18,2)").as("y"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"y" * $"x").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      .select($"event_type", $"n",
+        $"n".cast("double").as("nd"), $"sx".cast("double").as("sxd"),
+        $"sy".cast("double").as("syd"), $"sxy".cast("double").as("sxyd"),
+        $"sxx".cast("double").as("sxxd"), $"syy".cast("double").as("syyd"))
+    sums
+      .withColumn("cov_n", $"nd" * $"sxyd" - $"sxd" * $"syd")
+      .withColumn("var_x", $"nd" * $"sxxd" - $"sxd" * $"sxd")
+      .withColumn("var_y", $"nd" * $"syyd" - $"syd" * $"syd")
+      .withColumn("slope", $"cov_n" / $"var_x")
+      .select($"event_type", $"n",
+        round($"slope", 6).as("slope"),
+        round(($"syd" - $"slope" * $"sxd") / $"nd", 6).as("intercept"),
+        round($"cov_n" * $"cov_n" / ($"var_x" * $"var_y"), 6).as("r2"))
+      .orderBy($"event_type")
+  }
 }

@@ -69,6 +69,24 @@ object Similarity {
         col("t.id").as("c_id"), col("t.score").as("score"))
   }
 
+  /** L6b: range (threshold) search — ALL candidates with cosine ≥ tau
+    * per query, the ε-neighborhood query a top-k can't answer (k
+    * either truncates a dense neighborhood or pads a sparse one).
+    * Same scale shape as bruteForceTopK: queries broadcast, the
+    * threshold predicate runs inside the candidate scan stage, and
+    * only matches survive — no heap needed because the OUTPUT is the
+    * neighborhood, so result size is data-bounded, not k-bounded.
+    * Returns (q_id, c_id, score ≥ tau). */
+  def rangeSearch(queries: DataFrame, candidates: DataFrame, tau: Double,
+                  vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+    val c = candidates.select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec"))
+    c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("q_vec"), col("c_vec")).as("score"))
+      .where(col("score") >= tau)
+  }
+
   /** L7 alternative scale path: IVF (inverted-file) ANN.
     *
     * Index build: deterministic k-means-lite — seeds are the

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Time-series operators over the events log: grid resampling with
+  * forward fill, rolling-statistics anomaly detection, and funnel
+  * analysis — the log-analytics staples the reference's event-style
+  * data model (src/main.rs:18-58 timestamp/level records) implies but
+  * its four-query DSL stops short of.
+  *
+  * Scale shape shared by all three: one keyed shuffle (the group/
+  * window key), O(1)-or-O(frame) state per key, no self-joins, no
+  * driver-side iteration. Every double the user sees is derived from
+  * DECIMAL-exact sums so results are independent of partition count
+  * and accumulation order — the property that makes the DuckDB twins
+  * hash-identical.
+  */
+object TimeSeries {
+
+  private def dayCol = datediff(to_date(col("ts")), lit("2024-01-01"))
+
+  /** Daily resample per event type with forward fill: the per-type
+    * calendar grid is densified from min..max day (`sequence` +
+    * `explode` over ONE row per type — the fan-out is days, never
+    * rows), daily averages ride a DECIMAL-exact sum, and gaps carry
+    * the last observed value via `last(ignoreNulls)` over a per-type
+    * window. Plan: one (type, day) aggregation shuffle + one tiny
+    * span aggregation + one per-type window — the grid join is
+    * broadcastable (|types| × |days| rows). At 100 TB the dense grid
+    * is still only types × days rows, so the fill window's partitions
+    * are bounded by the calendar, not the data. */
+  def resampleDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .select($"event_type", dayCol.as("day"),
+        $"value".cast("decimal(18,2)").as("y"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"), sum($"y").as("sv"))
+      .withColumn("avg_v", round($"sv".cast("double") / $"n", 4))
+    val grid = daily.groupBy($"event_type")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"event_type", explode(sequence($"d0", $"d1")).as("day"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily.select($"event_type", $"day", $"n", $"avg_v"),
+        Seq("event_type", "day"), "left")
+      .select($"event_type", $"day".cast("long").as("day"),
+        coalesce($"n", lit(0L)).as("n"),
+        last($"avg_v", ignoreNulls = true).over(w).as("avg_filled"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** Rolling z-score anomaly detection: per event type, each event is
+    * scored against the mean/std of the trailing `frame`-row window
+    * (ordered by event time, event_id tiebreak), and |z| > `zMax`
+    * rows surface. Frame sums go through DECIMAL so mean/variance are
+    * exact-arithmetic-derived and engine-independent; the first
+    * `minWarm`-1 rows of each type are unscored (no stable baseline).
+    * Plan: one type-keyed window (sort + O(frame) running state) —
+    * the same single-exchange shape as any analytic window; no
+    * self-join against shifted copies. */
+  def rollingAnomalies(spark: SparkSession, sfDir: String,
+                       frame: Int = 20, minWarm: Int = 15,
+                       zMax: Double = 2.5): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy(unix_micros($"ts"), $"event_id")
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select($"event_type", $"event_id", $"ts",
+        $"value".cast("decimal(18,2)").as("y"))
+      .withColumn("c", count(lit(1)).over(w))
+      .withColumn("m", sum($"y").over(w).cast("double") / $"c")
+      .withColumn("q", sum($"y" * $"y").over(w).cast("double") / $"c")
+      .withColumn("z", ($"y".cast("double") - $"m") / sqrt($"q" - $"m" * $"m"))
+      .where($"c" >= minWarm && abs($"z") > zMax)
+      .select($"event_type", $"event_id",
+        round($"y".cast("double"), 2).as("value"), round($"z", 4).as("z"))
+      .orderBy($"event_type", $"event_id")
+  }
+
+  /** Funnel analysis (first-touch, strictly ordered): of the users
+    * whose FIRST view precedes their FIRST click precedes their FIRST
+    * purchase, how many survive each stage. One user-keyed
+    * map-side-combined aggregation computes the three first-touch
+    * timestamps per user (conditional `min` — O(1) state), then a
+    * 3-row rollup counts stage survivors; per-user rows never shuffle
+    * twice and nothing joins. The strict-order semantics (t_view ≤
+    * t_click ≤ t_purchase on first touches) is the standard
+    * product-analytics funnel; ties count as conversion. */
+  def funnel(spark: SparkSession, sfDir: String,
+             steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    import spark.implicits._
+    require(steps.size == 3, "funnel expects exactly 3 steps")
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === steps(0), $"ts")).as("t1"),
+        min(when($"event_type" === steps(1), $"ts")).as("t2"),
+        min(when($"event_type" === steps(2), $"ts")).as("t3"))
+    perUser.agg(
+        count($"t1").as("u1"),
+        count(when($"t1" <= $"t2", lit(1))).as("u2"),
+        count(when($"t1" <= $"t2" && $"t2" <= $"t3", lit(1))).as("u3"))
+      .select(explode(array(
+        struct(lit(1L).as("step"), lit(steps(0)).as("event_type"), $"u1".as("users")),
+        struct(lit(2L).as("step"), lit(steps(1)).as("event_type"), $"u2".as("users")),
+        struct(lit(3L).as("step"), lit(steps(2)).as("event_type"), $"u3".as("users")))).as("r"))
+      .select($"r.step", $"r.event_type", $"r.users")
+      .orderBy($"step")
+  }
+}

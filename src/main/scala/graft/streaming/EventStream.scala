@@ -25,6 +25,47 @@ object EventStream {
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Tumbling daily windows with the value sum routed through DECIMAL:
+    * streaming state merges partial sums in micro-batch arrival order,
+    * so a double sum's low bits would depend on the batch split — the
+    * DECIMAL accumulator is exact and therefore split-invariant, which
+    * is what lets the replayed stream hash-match a batch oracle. */
+  def windowedCountsExact(df: DataFrame, watermark: String = "1 hour"): DataFrame =
+    df.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"),
+        round(col("sv").cast("double"), 2).as("sum_value"))
+
+  /** L13 driver gate: replay the events table through the REAL
+    * Structured Streaming engine as `batches` file-per-trigger
+    * micro-batches (staged time-ranged parquet, maxFilesPerTrigger=1,
+    * complete-mode memory sink) and return the final sink table. The
+    * result must equal the one-shot batch aggregation — Spark's
+    * incremental stateful execution vs DuckDB's batch SQL is exactly
+    * the invariant worth gating. Complete mode keeps every window
+    * (nothing falls to the watermark), and the DECIMAL sum makes the
+    * state merges split-invariant. */
+  def replayWindowedCounts(spark: org.apache.spark.sql.SparkSession,
+                           sfDir: String, batches: Int = 4): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-replay").toString
+    graft.Tables.events(spark, sfDir)
+      .repartitionByRange(batches, col("ts"))
+      .write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val name = "graft_stream_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = windowedCountsExact(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy(col("day"), col("event_type"))
+  }
+
   /** Sliding-window twin of Relational.slidingWindow (C9b): 1-day
     * windows every 6 hours. Same fixed window/slide fan-out inside the
     * scan stage; watermark semantics are identical to the tumbling

@@ -371,4 +371,26 @@ class DedupSpec extends AnyFunSuite {
         minJaccard = 0.8).count()
     assert(jac == 0, "symmetric Jaccard should NOT flag the subsumption pair")
   }
+
+  test("X93: PPJoin is EXACT — equals the brute-force threshold join") {
+    val docs = Tables.documents(spark, sf)
+    val t = 0.5
+    val got = Dedup.ppjoinPairs(docs, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: every (i < j) pair through the same exact verify
+    val ids = docs.select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+    val allPairs = spark.createDataFrame(
+      for (a <- ids.toSeq; b <- ids.toSeq if a < b) yield (a, b))
+      .toDF("id1", "id2")
+    val expected = Dedup.verifyJaccard(allPairs, docs)
+      .where(col("jaccard") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    // and the prefix principle makes it a superset of windowed SNM
+    val snm = Dedup.sortedNeighborhoodPairs(docs, Seq("n_chars"), window = 10,
+        minJaccard = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(snm.subsetOf(got), "SNM (windowed, lossy) found a pair PPJoin missed")
+  }
 }

@@ -59,6 +59,49 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("grouping sets: exactly the three declared sets, consistent totals") {
+    val rows = operators.Relational.groupingSetsAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val leaves = rows.filter { case ((l, s), _) => l != "ALL" && s != "ALL" }
+    assert(leaves.nonEmpty)
+    // no source-only margin — that set was NOT declared (cube would add it)
+    assert(!rows.keys.exists { case (l, s) => l == "ALL" && s != "ALL" })
+    // per-lang subtotal = sum of its leaves
+    leaves.keys.map(_._1).toSet.foreach { (l: String) =>
+      val n = leaves.collect { case ((`l`, _), (c, _)) => c }.sum
+      assert(rows((l, "ALL"))._1 == n, s"lang $l subtotal mismatch")
+    }
+    // grand total row covers everything
+    assert(rows(("ALL", "ALL"))._1 == leaves.values.map(_._1).sum)
+  }
+
+  test("regression: closed form reproduces a driver-side OLS") {
+    val rows = operators.Relational.regressionByType(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val data = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.datediff(
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("ts")),
+          org.apache.spark.sql.functions.lit("2024-01-01")).cast("double").as("x"),
+        org.apache.spark.sql.functions.col("value")
+          .cast("decimal(18,2)").cast("double").as("y"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val (t, slope, r2) = (r.getString(0), r.getDouble(2), r.getDouble(4))
+      val pts = data(t)
+      val n = pts.size.toDouble
+      val mx = pts.map(_._2).sum / n; val my = pts.map(_._3).sum / n
+      val cov = pts.map(p => (p._2 - mx) * (p._3 - my)).sum
+      val vx = pts.map(p => (p._2 - mx) * (p._2 - mx)).sum
+      val vy = pts.map(p => (p._3 - my) * (p._3 - my)).sum
+      assert(math.abs(slope - cov / vx) < 1e-6, s"$t slope")
+      assert(math.abs(r2 - cov * cov / (vx * vy)) < 1e-6, s"$t r2")
+      assert(r2 >= 0 && r2 <= 1 + 1e-12, s"$t r2 out of range")
+    }
+  }
+
   test("rollup: subtotal levels are internally consistent") {
     val rows = operators.Relational.rollupAgg(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(4))).toMap

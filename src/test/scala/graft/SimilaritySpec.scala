@@ -183,6 +183,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mmr == Seq(1L, 3L, 2L), "MMR defers the near-duplicate behind the diverse hit")
   }
 
+  test("L6b: range search returns exactly the ε-neighborhood") {
+    val tau = 0.2
+    val got = Similarity.rangeSearch(emb.where(col("vec_id") < 4), emb, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val expected = (for {
+      q <- vecs.keys if q < 4
+      c <- vecs.keys if c != q && cosine(vecs(q), vecs(c)) >= tau
+    } yield (q, c)).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.nonEmpty, "tau too high for the test corpus")
+  }
+
   test("L7: LSH scores are exact cosines for the candidates it returns") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap

@@ -120,6 +120,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("L13 gate: micro-batched replay equals the one-shot batch aggregation") {
+    val streamed = EventStream.replayWindowedCounts(spark, sf, batches = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd"), col("event_type"),
+        col("n"), round(col("sv").cast("double"), 2))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "incremental streaming state must converge to the batch result exactly")
+  }
+
   test("L13: the plan carries a watermark bounding state") {
     val path = eventsDir
     val batchSchema = spark.read.parquet(path).schema

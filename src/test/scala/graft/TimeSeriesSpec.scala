@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeries
+
+class TimeSeriesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("resample: dense per-type calendar, gaps forward-filled") {
+    val rows = TimeSeries.resampleDaily(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (t, rs) =>
+      val days = rs.map(_._2).sorted
+      // dense grid: every day between min and max present exactly once
+      assert(days.sameElements(days.head to days.last),
+        s"$t grid has holes: ${days.mkString(",")}")
+      // forward fill: after the first observed day, avg_filled never null,
+      // and a zero-count day carries the previous day's value
+      val ordered = rs.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array((_, _, _, Some(prev)), (_, d, n, cur)) =>
+          assert(cur.nonEmpty, s"$t day $d unfilled after an observation")
+          if (n == 0) assert(cur.get == prev, s"$t day $d: gap must carry last value")
+        case _ => ()
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("rolling anomalies: flags reproduce the trailing-frame z-score") {
+    val flagged = TimeSeries.rollingAnomalies(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(flagged.nonEmpty, "expected at least one anomaly at sf0.001")
+    // brute-force recompute per type from the same (ts, event_id) order
+    val events = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("value").cast("decimal(18,2)").cast("double").as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // .iterator: a Map.flatMap over (type, id) tuples would rebuild a
+    // Map keyed on type and silently keep ONE flag per type
+    val expected = events.groupBy(_._1).iterator.flatMap { case (t, rs) =>
+      val ordered = rs.sortBy(r => (r._3, r._2))
+      ordered.indices.flatMap { i =>
+        val frame = ordered.slice(math.max(0, i - 19), i + 1)
+        val c = frame.length
+        if (c >= 15) {
+          val m = frame.map(_._4).sum / c
+          val q = frame.map(v => v._4 * v._4).sum / c
+          val z = (ordered(i)._4 - m) / math.sqrt(q - m * m)
+          if (math.abs(z) > 2.5) Some((t, ordered(i)._2)) else None
+        } else None
+      }
+    }.toSet
+    // flag SETS agree (exact z values differ in the last ulps because the
+    // brute force re-sums doubles in a different order than the engine's
+    // running DECIMAL frame — membership at |z|>2.5 is the stable contract)
+    val missing = expected -- flagged.keySet
+    val extra = flagged.keySet -- expected
+    assert(missing.size + extra.size <= math.max(1, expected.size / 20),
+      s"flag sets diverge: missing=$missing extra=$extra")
+  }
+
+  test("funnel: stage counts are the ordered first-touch survivors") {
+    val out = TimeSeries.funnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._1).sameElements(Array(1L, 2L, 3L)))
+    val Array(u1, u2, u3) = out.map(_._3)
+    assert(u1 >= u2 && u2 >= u3, "funnel must be monotone")
+    // brute force on the collected events
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    def first(rs: Array[(Long, String, Long)], tp: String): Option[Long] = {
+      val ts = rs.filter(_._2 == tp).map(_._3)
+      if (ts.isEmpty) None else Some(ts.min)
+    }
+    val firsts = byUser.values.map { rs =>
+      (first(rs.toArray, "view"), first(rs.toArray, "click"), first(rs.toArray, "purchase"))
+    }
+    assert(u1 == firsts.count(_._1.nonEmpty))
+    assert(u2 == firsts.count { case (a, b, _) =>
+      a.nonEmpty && b.nonEmpty && a.get <= b.get })
+    assert(u3 == firsts.count { case (a, b, c) =>
+      a.nonEmpty && b.nonEmpty && c.nonEmpty && a.get <= b.get && b.get <= c.get })
+  }
+}
