@@ -212,19 +212,57 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val sh = docs.select(col(idCol).cast("long").as("id"),
       distinctWordShingles(col(textCol), shingleSize).as("s"))
-    val tok = sh.select(col("id"), explode(col("s")).as("tok"))
+    // Set size rides the explode (4 bytes/row) instead of a second
+    // count() window — its frame spec differs from row_number's, so
+    // Spark would plan a SECOND WindowExec sort for it. Shingles are
+    // xxhash64'd to 8-byte keys before the df join/sort/self-join:
+    // the prefix principle only needs SOME consistent global order,
+    // (df, hash) is one, and a hash collision merely merges two
+    // shingles' postings — extra candidates that exact-Jaccard
+    // verification (which re-shingles from text) discards.
+    val tok = sh.select(col("id"), size(col("s")).as("sz"),
+      explode(col("s")).as("t0"))
+      .select(col("id"), col("sz"), xxhash64(col("t0")).as("tok"))
     val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val byId = Window.partitionBy(col("id"))
     val ranked = tok.join(freq, "tok")
       .withColumn("r", row_number().over(byId.orderBy(col("df"), col("tok"))))
-      .withColumn("sz", count(lit(1)).over(byId))
+    // Two further LOSSLESS prunes on the index (candidates only shrink,
+    // never below the prefix-principle superset):
+    //  - df >= 2: a singleton posting list can never form a pair, and
+    //    rarest-first ordering packs exactly those tokens into every
+    //    prefix — dropping them empties most of the index (measured
+    //    8.9s -> ~3s at sf0.1);
+    //  - length filter: J >= t forces min(|x|,|y|) >= t * max(|x|,|y|)
+    //    (i <= min and i >= t(|x|+|y|-i) combine to min >= t*max), so
+    //    size-incompatible pairs die inside the join, before the
+    //    distinct and the verify shuffle ever see them.
     val prefix = ranked
-      .where(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("tok"), col("id"))
-    val cand = prefix.join(prefix.select(col("tok"), col("id").as("id2")), "tok")
-      .where(col("id") < col("id2"))
-      .select(col("id").as("id1"), col("id2"))
-      .distinct()
+      .where(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1 &&
+        col("df") >= 2)
+      .select(col("tok"), col("id"), col("sz"), col("r"))
+    // Positional filter (the "PP" in PPJoin): a match at prefix ranks
+    // (r1, r2) caps the overlap at 1 + min(sz1−r1, sz2−r2) — the first
+    // shared token in the global order has nothing shared before it,
+    // so only the suffixes after the match can contribute. J ≥ t needs
+    // overlap ≥ t/(1+t)·(sz1+sz2); a pair whose BEST match (max over
+    // shared prefix tokens — the first match is among them, so the
+    // filter stays lossless) can't reach that dies here. The groupBy
+    // replaces the pair-dedup distinct — same shuffle, no extra stage.
+    val cand = prefix.join(
+        prefix.select(col("tok"), col("id").as("id2"), col("sz").as("sz2"),
+          col("r").as("r2")), "tok")
+      .where(col("id") < col("id2") &&
+        least(col("sz"), col("sz2")) >=
+          lit(threshold) * greatest(col("sz"), col("sz2")))
+      .select(col("id").as("id1"), col("id2"), col("sz"), col("sz2"),
+        (lit(1) + least(col("sz") - col("r"), col("sz2") - col("r2"))).as("ub"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(max(col("ub")).as("ub"), first(col("sz")).as("sz"),
+        first(col("sz2")).as("sz2"))
+      .where(col("ub") >=
+        lit(threshold) / (1.0 + threshold) * (col("sz") + col("sz2")))
+      .select(col("id1"), col("id2"))
     verifyJaccard(cand, docs, textCol, idCol, shingleSize)
       .where(col("jaccard") >= threshold)
   }
