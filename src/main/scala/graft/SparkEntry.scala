@@ -1010,6 +1010,17 @@ object SparkEntry {
     // aggregation the oracle computes
     "q_stream_window" -> ((s, dir) =>
       graft.streaming.EventStream.replayWindowedCounts(s, dir, batches = 4)),
+    // X101: X2 driver-gated — sessionization replayed through
+    // flatMapGroupsWithState as 4 time-ranged micro-batches; open
+    // sessions flushed via sentinel-advanced event-time timeouts; must
+    // hash-match the batch running-break oracle
+    "q_stream_sessionize" -> ((s, dir) =>
+      graft.streaming.Replay.replaySessionize(s, dir, gapMinutes = 480, batches = 4)),
+    // X102: X9 driver-gated — exact streaming dedup as a first-seen
+    // stateful operator over 4 doc_id-ranged micro-batches; cross-batch
+    // state suppression must reproduce the batch min-id-per-hash
+    "dedup_stream_exact" -> ((s, dir) =>
+      graft.streaming.Replay.replayExactDedup(s, dir, batches = 4)),
   )
 
   /** DuckDB-dialect twins of `queries`, identical column names and
@@ -2536,5 +2547,26 @@ object SparkEntry {
         | count(*) AS n,
         | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // streaming-sessionize twin: the BATCH running-break sessionization
+    // — the replayed flatMapGroupsWithState state machine must converge
+    // to exactly these sessions (same 480-min gap as q_sessionize)
+    "q_stream_sessionize" ->
+      """WITH f AS (
+        | SELECT user_id, ts, value, epoch_us(ts) AS us,
+        |  CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |       OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 28800000000
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM events),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        | round(sum(value), 2) AS total_value,
+        | (max(us) - min(us)) / 1e6 AS duration_secs
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // streaming-dedup twin: first sighting of each content hash keeps
+    // the min doc_id — with doc_id-ranged ascending batches the
+    // first-seen batch holds the global min, so the batch form is exact
+    "dedup_stream_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper_id
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
   )
 }

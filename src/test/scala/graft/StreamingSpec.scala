@@ -147,4 +147,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(plan.contains("EventTimeWatermark"),
       s"expected a watermark node in:\n$plan")
   }
+
+  test("X2 gate: replayed streaming sessionization equals the batch sessionizer") {
+    val streamed = graft.streaming.Replay
+      .replaySessionize(spark, sf, gapMinutes = 480, batches = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val batch = graft.streaming.Sessionize.batch(Tables.events(spark, sf), 480)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"), col("duration_secs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "cross-batch session state + timeout flush must reproduce the batch sessions")
+  }
+
+  test("X9 gate: replayed first-seen dedup keeps the global min id per hash") {
+    val streamed = graft.streaming.Replay.replayExactDedup(spark, sf, batches = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = Tables.documents(spark, sf)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).cast("long").as("keeper_id"))
+      .orderBy(col("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "a hash seen in an earlier micro-batch must stay suppressed in later ones")
+  }
 }
