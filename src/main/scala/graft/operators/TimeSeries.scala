@@ -66,6 +66,11 @@ object TimeSeries {
                        frame: Int = 20, minWarm: Int = 15,
                        zMax: Double = 2.5): DataFrame = {
     import spark.implicits._
+    // 100 TB route: spark.graft.rolling.partitioned=true swaps the
+    // type-keyed window (tasks = |types|) for the rank-bucketed one
+    // (tasks = rows/bucketRows); outputs are bit-identical.
+    if (spark.conf.getOption("spark.graft.rolling.partitioned").exists(_.toBoolean))
+      return rollingAnomaliesPartitioned(spark, sfDir, frame, minWarm, zMax)
     val w = Window.partitionBy($"event_type")
       .orderBy(unix_micros($"ts"), $"event_id")
       .rowsBetween(-(frame - 1), Window.currentRow)
@@ -77,6 +82,57 @@ object TimeSeries {
       .withColumn("q", sum($"y" * $"y").over(w).cast("double") / $"c")
       .withColumn("z", ($"y".cast("double") - $"m") / sqrt($"q" - $"m" * $"m"))
       .where($"c" >= minWarm && abs($"z") > zMax)
+      .select($"event_type", $"event_id",
+        round($"y".cast("double"), 2).as("value"), round($"z", 4).as("z"))
+      .orderBy($"event_type", $"event_id")
+  }
+
+  /** Scale route for [[rollingAnomalies]]: the plain form partitions
+    * its window by `event_type` alone — with a handful of types, a
+    * handful of tasks sort EVERYTHING, the low-cardinality-key window
+    * skew that kills a 100 TB run. Here each row first gets its
+    * per-type time-order rank from TrainingOrder.groupedRank (the
+    * two-phase distributed rank — partition-count metadata is all the
+    * driver ever sees), rows bucket by rank ÷ `bucketRows`, each
+    * bucket's last `frame`−1 rows are ALSO replicated into the next
+    * bucket as carry context, the identical ROWS frame runs per
+    * (type, bucket), and carry rows are dropped from the output.
+    * Count-based buckets make the carry exact UNCONDITIONALLY: the
+    * previous bucket always holds `bucketRows` ≥ frame−1 rows, so a
+    * row near a bucket's start sees exactly the trailing rows the
+    * global window would show it — bit-identical output (spec-proven)
+    * with parallelism scaling as rows/bucketRows, not the type count.
+    * Cost: the rank's ranged exchange + ≤ (frame−1)/bucketRows
+    * duplicated bytes.
+    *
+    * The driver entry routes here when
+    * `spark.graft.rolling.partitioned=true`; both routes share the
+    * z-score arithmetic so the choice is invisible in the output. */
+  def rollingAnomaliesPartitioned(spark: SparkSession, sfDir: String,
+                                  frame: Int = 20, minWarm: Int = 15,
+                                  zMax: Double = 2.5,
+                                  bucketRows: Int = 10000): DataFrame = {
+    import spark.implicits._
+    require(bucketRows >= frame, "carry covers one bucket back only")
+    val base = Tables.events(spark, sfDir)
+      .select($"event_type", $"event_id",
+        unix_micros($"ts").as("tus"),
+        $"value".cast("decimal(18,2)").as("y"))
+    val ranked = TrainingOrder.groupedRank(base, "event_type", Seq("tus", "event_id"))
+      .withColumn("bkt", (col("grank") / bucketRows).cast("long"))
+    val carry = ranked
+      .where(col("grank") % bucketRows >= bucketRows - (frame - 1))
+      .withColumn("bkt", $"bkt" + 1)
+      .withColumn("carry", lit(true))
+    val union = ranked.withColumn("carry", lit(false)).unionByName(carry)
+    val w = Window.partitionBy($"event_type", $"bkt").orderBy($"grank")
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    union
+      .withColumn("c", count(lit(1)).over(w))
+      .withColumn("m", sum($"y").over(w).cast("double") / $"c")
+      .withColumn("q", sum($"y" * $"y").over(w).cast("double") / $"c")
+      .withColumn("z", ($"y".cast("double") - $"m") / sqrt($"q" - $"m" * $"m"))
+      .where(!$"carry" && $"c" >= minWarm && abs($"z") > zMax)
       .select($"event_type", $"event_id",
         round($"y".cast("double"), 2).as("value"), round($"z", 4).as("z"))
       .orderBy($"event_type", $"event_id")

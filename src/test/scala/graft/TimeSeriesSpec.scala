@@ -64,6 +64,26 @@ class TimeSeriesSpec extends AnyFunSuite {
       s"flag sets diverge: missing=$missing extra=$extra")
   }
 
+  test("rolling anomalies: the rank-bucketed scale route is bit-identical") {
+    // bucketRows=40 forces many buckets per type even at sf0.001, so
+    // carry rows cross bucket boundaries constantly — the exact case
+    // the count-based carry must survive
+    val plain = TimeSeries.rollingAnomalies(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val routed = TimeSeries.rollingAnomaliesPartitioned(spark, sf, bucketRows = 40)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(plain.nonEmpty && routed == plain,
+      "bucketed window + frame-1 carry must reproduce the global trailing frame exactly")
+    // and the conf routes the entry through the partitioned form
+    spark.conf.set("spark.graft.rolling.partitioned", "true")
+    try {
+      val viaConf = TimeSeries.rollingAnomalies(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+      assert(viaConf == plain)
+    } finally spark.conf.unset("spark.graft.rolling.partitioned")
+  }
+
   test("funnel: stage counts are the ordered first-touch survivors") {
     val out = TimeSeries.funnel(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
