@@ -1021,6 +1021,14 @@ object SparkEntry {
     // state suppression must reproduce the batch min-id-per-hash
     "dedup_stream_exact" -> ((s, dir) =>
       graft.streaming.Replay.replayExactDedup(s, dir, batches = 4)),
+    // X103: SCD type-2 history build (validity intervals from an
+    // attribute-observation log; open versions close with a sentinel)
+    "q_scd2" -> (Relational.scdType2 _),
+    // X104: 2-D Pareto frontier via distributive local-sweep +
+    // tiny-global-merge; oracle is the NOT EXISTS dominance definition
+    "q_skyline" -> ((s, dir) => graft.operators.Skyline.partFrontier(s, dir)),
+    // X105: per-group mode, smallest-value tie-break
+    "q_mode" -> (Relational.modePerGroup _),
   )
 
   /** DuckDB-dialect twins of `queries`, identical column names and
@@ -2568,5 +2576,44 @@ object SparkEntry {
     "dedup_stream_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper_id
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    // scd2 twin: identical change-scan/version/interval build; status
+    // via min() since a version's rows share one status by construction
+    "q_scd2" ->
+      """WITH o AS (
+        | SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |  CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |        OR lag(o_orderstatus) OVER w <> o_orderstatus THEN 1 ELSE 0 END AS chg
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |v AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS version FROM o),
+        |g AS (SELECT o_custkey, version, min(o_orderstatus) AS status,
+        |        min(o_orderdate) AS valid_from, count(*) AS n_orders
+        |      FROM v GROUP BY 1, 2)
+        |SELECT o_custkey, CAST(version AS BIGINT) AS version, status,
+        | strftime(valid_from, '%Y-%m-%d') AS valid_from,
+        | strftime(coalesce(lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version),
+        |                   DATE '9999-12-31'), '%Y-%m-%d') AS valid_to,
+        | n_orders
+        |FROM g ORDER BY o_custkey, version""".stripMargin,
+    // skyline twin: the quadratic NOT EXISTS dominance definition —
+    // deliberately naive, it IS the semantics the sweep must reproduce
+    "q_skyline" ->
+      """SELECT p_partkey, round(p_retailprice, 2) AS price,
+        | CAST(p_size AS BIGINT) AS size
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+    // mode twin: same two-level aggregate with the same tie-break
+    "q_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+        |           FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY n DESC, l_quantity ASC) AS rr FROM c)
+        |SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS mode_qty, n
+        |FROM r WHERE rr = 1 ORDER BY l_returnflag""".stripMargin,
   )
 }

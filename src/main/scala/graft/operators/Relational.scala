@@ -650,6 +650,60 @@ object Relational {
       .orderBy($"lang", $"source")
   }
 
+  /** C22: slowly-changing-dimension type-2 history build — the
+    * warehouse operator that turns an event log of attribute
+    * observations into validity intervals. Per customer, orders
+    * ordered by (date, orderkey) are scanned for status CHANGES (lag
+    * inequality opens a version), versions aggregate to
+    * [valid_from, valid_to) with the successor's start closing each
+    * interval and the current version left open (sentinel 9999-12-31,
+    * not NULL, so both engines stringify identically). Three passes
+    * over ONE customer-keyed shuffle: the change-scan window, the
+    * per-version aggregate, and the valid_to lead all share the same
+    * partitioning, so Catalyst plans a single exchange. Key
+    * cardinality is |customers| — no skew concern. */
+  def scdType2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byCust = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val run = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val versioned = Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderstatus")
+      .withColumn("__chg",
+        when(lag($"o_orderstatus", 1).over(byCust).isNull ||
+             lag($"o_orderstatus", 1).over(byCust) =!= $"o_orderstatus", 1L)
+          .otherwise(0L))
+      .withColumn("version", sum($"__chg").over(run))
+      .groupBy($"o_custkey", $"version")
+      .agg(first($"o_orderstatus").as("status"),
+        min($"o_orderdate").as("valid_from"), count(lit(1)).as("n_orders"))
+    val succ = Window.partitionBy($"o_custkey").orderBy($"version")
+    versioned
+      .withColumn("valid_to",
+        coalesce(lead($"valid_from", 1).over(succ), lit("9999-12-31").cast("date")))
+      .select($"o_custkey", $"version", $"status",
+        date_format($"valid_from", "yyyy-MM-dd").as("valid_from"),
+        date_format($"valid_to", "yyyy-MM-dd").as("valid_to"), $"n_orders")
+      .orderBy($"o_custkey", $"version")
+  }
+
+  /** C23: per-group mode with a deterministic smallest-value
+    * tie-break — two stacked aggregations (value-count, then max-count
+    * argmin), no window over raw rows; the second aggregate's input is
+    * already one row per distinct value. */
+  def modePerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("n"))
+    val best = Window.partitionBy($"l_returnflag")
+      .orderBy($"n".desc, $"l_quantity".asc)
+    counts
+      .withColumn("__r", row_number().over(best))
+      .where($"__r" === 1)
+      .select($"l_returnflag", $"l_quantity".cast("double").as("mode_qty"), $"n")
+      .orderBy($"l_returnflag")
+  }
+
   /** C21: per-group OLS regression (value vs day index) from exact
     * co-moments — the profiling complement of `stats_corr`. One
     * map-side-combined aggregation accumulates n, Σx, Σy, Σxy, Σx²,

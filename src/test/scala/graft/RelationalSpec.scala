@@ -347,4 +347,45 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.exists(r => r._2 > 0L && r._3 == 0L), "customer-only side missing")
     assert(rows.exists(r => r._2 > 0L && r._3 > 0L))
   }
+
+  test("scd2: versions tile each customer's timeline and count every order") {
+    val rows = operators.Relational.scdType2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._6).sum == Tables.orders(spark, sf).count(),
+      "every order lands in exactly one version")
+    rows.groupBy(_._1).foreach { case (cust, vs) =>
+      val ordered = vs.sortBy(_._2)
+      assert(ordered.map(_._2).sameElements(1L to ordered.length),
+        s"customer $cust versions not contiguous")
+      // successor versions open exactly where the predecessor closes,
+      // carry a DIFFERENT status, and only the last stays open
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 == b._4, s"customer $cust: gap between versions")
+          assert(a._3 != b._3, s"customer $cust: version break without a status change")
+        case _ => ()
+      }
+      assert(ordered.last._5 == "9999-12-31")
+      assert(ordered.init.forall(_._5 != "9999-12-31"))
+    }
+  }
+
+  test("mode: the per-group winner is the max-count, min-value quantity") {
+    val got = operators.Relational.modePerGroup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    got.foreach { case (flag, qty, n) =>
+      val grp = counts.filter(_._1 == flag)
+      assert(n == grp.map(_._3).max, s"$flag: not the max count")
+      val winners = grp.filter(_._3 == n).map(_._2)
+      assert(qty == winners.min, s"$flag: tie not broken by smallest value")
+    }
+    assert(got.nonEmpty)
+  }
 }
