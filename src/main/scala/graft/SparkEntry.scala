@@ -1029,6 +1029,9 @@ object SparkEntry {
     "q_skyline" -> ((s, dir) => graft.operators.Skyline.partFrontier(s, dir)),
     // X105: per-group mode, smallest-value tie-break
     "q_mode" -> (Relational.modePerGroup _),
+    // X106: greedy non-overlapping view->click->purchase subsequence
+    // automaton per user (MATCH_RECOGNIZE-lite), histogram output
+    "q_sequence_count" -> ((s, dir) => TimeSeries.sequenceCount(s, dir)),
   )
 
   /** DuckDB-dialect twins of `queries`, identical column names and
@@ -2615,5 +2618,33 @@ object SparkEntry {
         |        ORDER BY n DESC, l_quantity ASC) AS rr FROM c)
         |SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS mode_qty, n
         |FROM r WHERE rr = 1 ORDER BY l_returnflag""".stripMargin,
+    // sequence-count twin: the same greedy automaton stepped one
+    // event-index per recursive-CTE iteration (iterations = max events
+    // per user, rows per iteration = users). NOT list_reduce: DuckDB
+    // 1.0.0's list_reduce returns wrong results for this
+    // sequentially-dependent lambda when evaluated over many rows at
+    // once (full-table and single-row plans disagree on identical
+    // input lists), so the oracle avoids it entirely. Same order key
+    // (epoch_us, event_id) as the Spark sort_array.
+    "q_sequence_count" ->
+      """WITH RECURSIVE ev AS (
+        | SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS i,
+        |  CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |       WHEN 'purchase' THEN 3 ELSE 0 END AS s
+        | FROM events),
+        |n AS (SELECT user_id, max(i) AS m FROM ev GROUP BY 1),
+        |st AS (
+        | SELECT user_id, 0 AS i, 0 AS stage, 0 AS cnt FROM n
+        | UNION ALL
+        | SELECT st.user_id, st.i + 1,
+        |  CASE WHEN e.s = st.stage + 1
+        |       THEN CASE WHEN st.stage + 1 = 3 THEN 0 ELSE st.stage + 1 END
+        |       ELSE st.stage END,
+        |  CASE WHEN e.s = st.stage + 1 AND st.stage + 1 = 3 THEN st.cnt + 1 ELSE st.cnt END
+        | FROM st JOIN ev e ON e.user_id = st.user_id AND e.i = st.i + 1),
+        |fin AS (SELECT st.user_id, st.cnt FROM st JOIN n USING (user_id) WHERE st.i = n.m)
+        |SELECT CAST(cnt AS BIGINT) AS conversions, count(*) AS n_users
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -138,6 +138,49 @@ object TimeSeries {
       .orderBy($"event_type", $"event_id")
   }
 
+  /** Sequence-pattern counting (the MATCH_RECOGNIZE-lite a funnel
+    * can't express): per user, how many GREEDY NON-OVERLAPPING
+    * occurrences of the ordered subsequence view → click → purchase
+    * appear in the time-ordered event stream — each event consumed at
+    * most once, an occurrence completing resets the automaton. Where
+    * [[funnel]] asks "did the first touches line up", this counts
+    * repeated conversions.
+    *
+    * Scale shape: ONE user-keyed aggregation collects the sorted
+    * per-user event array (bounded by a user's own event count — the
+    * natural sessionization bound), and the 3-state automaton runs
+    * INSIDE the row via `functions.aggregate` (codegen'd higher-order
+    * function, O(1) state) — no joins, no window over raw rows, no
+    * per-stage passes. The output histogram (conversions → users) is
+    * |distinct counts| rows. */
+  def sequenceCount(spark: SparkSession, sfDir: String,
+                    steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    import spark.implicits._
+    val stepArr = array(steps.map(lit): _*)
+    val nSteps = steps.size
+    val perUser = Tables.events(spark, sfDir)
+      .select($"user_id",
+        struct(unix_micros($"ts").as("us"), $"event_id".as("id"),
+          $"event_type".as("t")).as("e"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list($"e")).as("evs"))
+      .select($"user_id", aggregate(
+        col("evs"),
+        struct(lit(0).as("stage"), lit(0L).as("cnt")),
+        (acc, e) => {
+          val stage = acc.getField("stage")
+          val hit = e.getField("t") === element_at(stepArr, stage + 1)
+          val ns = when(hit, stage + 1).otherwise(stage)
+          struct(
+            when(ns === nSteps, lit(0)).otherwise(ns).as("stage"),
+            when(ns === nSteps, acc.getField("cnt") + 1)
+              .otherwise(acc.getField("cnt")).as("cnt"))
+        },
+        acc => acc.getField("cnt")).as("conversions"))
+    perUser.groupBy($"conversions").agg(count(lit(1)).as("n_users"))
+      .orderBy($"conversions")
+  }
+
   /** Funnel analysis (first-touch, strictly ordered): of the users
     * whose FIRST view precedes their FIRST click precedes their FIRST
     * purchase, how many survive each stage. One user-keyed

@@ -84,6 +84,28 @@ class TimeSeriesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.rolling.partitioned")
   }
 
+  test("sequence count: greedy non-overlapping automaton matches brute force") {
+    val got = TimeSeries.sequenceCount(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val stepOf = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
+    val hist = events.groupBy(_._1).view.mapValues { rs =>
+      var stage = 0; var cnt = 0L
+      rs.sortBy(r => (r._2, r._3)).foreach { r =>
+        if (stepOf.getOrElse(r._4, 0) == stage + 1) {
+          stage += 1
+          if (stage == 3) { cnt += 1; stage = 0 }
+        }
+      }
+      cnt
+    }.values.groupBy(identity).map { case (c, us) => c -> us.size.toLong }
+    assert(got == hist, s"got $got expected $hist")
+    assert(got.values.sum == events.map(_._1).distinct.length.toLong)
+  }
+
   test("funnel: stage counts are the ordered first-touch survivors") {
     val out = TimeSeries.funnel(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
