@@ -1032,6 +1032,9 @@ object SparkEntry {
     // X106: greedy non-overlapping view->click->purchase subsequence
     // automaton per user (MATCH_RECOGNIZE-lite), histogram output
     "q_sequence_count" -> ((s, dir) => TimeSeries.sequenceCount(s, dir)),
+    // X107: CSV round trip with explicit schema + PERMISSIVE corrupt
+    // quarantine (the delimited-text half of the raw ingest surface)
+    "ingest_csv" -> (graft.sources.CsvIngest.ingestEntry _),
   )
 
   /** DuckDB-dialect twins of `queries`, identical column names and
@@ -2135,6 +2138,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT '__corrupt', CAST(3 AS BIGINT), 0.0
         |ORDER BY event_type""".stripMargin,
+    // csv twin: same shape — the quoted round trip is lossless for
+    // these columns, so clean rows aggregate straight off the parquet
+    // and the 3 injected un-typeable lines count under the sentinel
+    "ingest_csv" ->
+      """SELECT lang, source, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        |FROM documents GROUP BY 1, 2
+        |UNION ALL
+        |SELECT '__corrupt', '__corrupt', CAST(3 AS BIGINT),
+        | CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |ORDER BY lang, source""".stripMargin,
     // corr twin: both engines' one-pass co-moment formulas agree to
     // well past the reported 4 decimals
     "stats_corr" ->

@@ -62,6 +62,38 @@ class NestedIngestSpec extends AnyFunSuite {
     assert(entry.filterNot(_._1 == "__corrupt") == expected)
   }
 
+  test("csv ingest: quoting round-trips, corrupt lines quarantine, rollup matches parquet") {
+    import spark.implicits._
+    // embedded delimiter, doubled quote, missing trailing fields
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv-spec").toString
+    Seq("1,en,\"a,b\",5,\"say \"\"hi\"\", ok\"",
+        "2,fr,plain,3,text",
+        "3,en,short,2",            // short arity: corrupt in CSV (unlike JSONL)
+        "bad,en,web,1,x")          // un-typeable doc_id -> corrupt
+      .toDS().write.mode("overwrite").text(tmp)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType),
+      StructField("text", StringType)))
+    val read = graft.sources.CsvIngest.readWithCorruptCapture(spark, tmp, schema)
+    val clean = read.where(col(graft.sources.CsvIngest.CorruptCol).isNull)
+      .collect().map(r => (r.getLong(0), r.getString(2), Option(r.get(4)))).toSet
+    assert(clean == Set(
+      (1L, "a,b", Some("say \"hi\", ok")),
+      (2L, "plain", Some("text"))))
+    // CSV quarantines BOTH bad arity and bad types — stricter than
+    // JSONL, where a missing field is just NULL
+    assert(read.where(col(graft.sources.CsvIngest.CorruptCol).isNotNull).count() == 2)
+    // the driver entry shape: per-(lang, source) rollup + sentinel
+    val entry = graft.sources.CsvIngest.ingestEntry(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(entry(("__corrupt", "__corrupt"))._1 == 3L)
+    val expected = Tables.documents(spark, sf).groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(entry.filterNot(_._1._1 == "__corrupt") == expected)
+  }
+
   test("R5+R6: flatten handles arbitrary depth and InvertedIndex can query the result") {
     val flat = NestedIngest.ingestJson(NestedIngest.eventsAsJson(spark, sf), "json")
     // dotted path from the reference's DSL resolves to the flattened column
