@@ -1035,6 +1035,25 @@ object SparkEntry {
     // X107: CSV round trip with explicit schema + PERMISSIVE corrupt
     // quarantine (the delimited-text half of the raw ingest surface)
     "ingest_csv" -> (graft.sources.CsvIngest.ingestEntry _),
+    // X108: incremental MV maintenance — stored base MV + delta
+    // partial agg merged by addition must equal the full recompute
+    "q_mv_merge" -> ((s, dir) => graft.operators.MaterializedView.mvMerge(s, dir)),
+    // X109: index time travel — after 4 committed batches, the AS OF
+    // version-2 read must equal the one-shot rebuild over batches 0..2
+    "ii_index_asof" -> ((s, dir) => {
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft-ii-asof").toString
+      val docs = Tables.documents(s, dir)
+      (0 until 4).foreach { b =>
+        graft.streaming.StreamingIndex.processBatch(
+          docs.where(pmod(col("doc_id"), lit(4)) === b), b.toLong,
+          stateDir, "lang", chunkSize = 100, docIdCol = "doc_id", _ => ())
+      }
+      graft.streaming.StreamingIndex.indexAsOf(s, stateDir, version = 2)
+        .select(col("value"), col("chunk"), col("n_docs"),
+          array_join(col("doc_ids"), ",").as("doc_ids"))
+        .orderBy(col("value"), col("chunk"))
+    }),
   )
 
   /** DuckDB-dialect twins of `queries`, identical column names and
@@ -2150,6 +2169,22 @@ object SparkEntry {
         |SELECT '__corrupt', '__corrupt', CAST(3 AS BIGINT),
         | CAST(0 AS BIGINT), CAST(0 AS BIGINT)
         |ORDER BY lang, source""".stripMargin,
+    // mv-merge twin: the FULL one-shot aggregation — the stored-MV +
+    // delta merge must land on exactly this (DECIMAL sums make the
+    // split point invisible)
+    "q_mv_merge" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        | count(*) AS n,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // as-of twin: the rebuild a reader at version 2 would see —
+    // batches 0..2 of the doc_id mod-4 replay
+    "ii_index_asof" ->
+      """SELECT lang AS value, CAST(doc_id // 100 AS BIGINT) AS chunk, count(*) AS n_docs,
+        | array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+        |FROM documents WHERE doc_id % 4 <= 2
+        |GROUP BY 1, 2 ORDER BY value, chunk""".stripMargin,
     // corr twin: both engines' one-pass co-moment formulas agree to
     // well past the reported 4 decimals
     "stats_corr" ->

@@ -65,4 +65,17 @@ object StreamingIndex {
     require(vs.nonEmpty, s"no committed index versions under $stateDir")
     spark.read.parquet(VersionedStore.path(stateDir, vs.max))
   }
+
+  /** Time travel: the committed index AS OF `version` — the latest
+    * commit ≤ version, i.e. exactly what a reader at that batch would
+    * have seen. The store's crash-safety pruning keeps the prior
+    * version alongside the current one, so the immediately preceding
+    * snapshot is always addressable; deeper history is a retention
+    * policy (skip the prune), not a format change — every version is
+    * a self-contained parquet snapshot. */
+  def indexAsOf(spark: SparkSession, stateDir: String, version: Long): DataFrame = {
+    val v = VersionedStore.latestBelow(spark, stateDir, version + 1)
+    require(v.nonEmpty, s"no committed index version <= $version under $stateDir")
+    spark.read.parquet(VersionedStore.path(stateDir, v.get))
+  }
 }

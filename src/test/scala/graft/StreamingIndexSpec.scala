@@ -47,6 +47,25 @@ class StreamingIndexSpec extends AnyFunSuite {
       "a replayed batch must be idempotent on the store")
   }
 
+  test("as-of read returns the snapshot a reader at that version saw") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_idx_asof").toString
+    val batches = Seq(
+      docs.where(col("doc_id") % 3 === 0),
+      docs.where(col("doc_id") % 3 === 1),
+      docs.where(col("doc_id") % 3 === 2))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingIndex.processBatch(b, i.toLong, dir, "source", 100L, "doc_id", _ => ())
+    }
+    // version 1 = batches 0..1; pruning keeps it alongside current
+    val asOf = canon(StreamingIndex.indexAsOf(spark, dir, version = 1))
+    val rebuild = canon(InvertedIndex.fieldValuesChunked(
+      docs.where(col("doc_id") % 3 =!= 2), "source", chunkSize = 100))
+    assert(asOf == rebuild)
+    assert(canon(StreamingIndex.indexAsOf(spark, dir, version = 99)) ==
+      canon(StreamingIndex.currentIndex(spark, dir)),
+      "as-of past the head reads the current snapshot")
+  }
+
   test("maintenance loop runs end-to-end on a real stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
