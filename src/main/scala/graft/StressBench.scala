@@ -61,6 +61,19 @@ object StressBench {
           concat(slice(col("embedding"), col("rep") + 1, lit(1 << 20)),
             slice(col("embedding"), lit(1), col("rep")))).as("embedding"))
 
+  /** Event-log amplification: factor replicas with user_id and
+    * event_id remapped per replica — N× users, each with the ORIGINAL
+    * series (constant per-user length, constant time span). That is
+    * what event growth looks like (more users, not longer histories),
+    * and it is the shape that separates the key-sharded operators
+    * (rank-bucketed rolling window, per-user automata) from anything
+    * leaning on a low-cardinality window key. */
+  def amplifyEvents(ev: DataFrame, factor: Int): DataFrame =
+    ev.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("event_id") * factor + col("rep")).as("event_id"),
+        (col("user_id") * factor + col("rep")).as("user_id"),
+        col("event_type"), col("value"), col("ts"))
+
   /** Times CONSTRUCTION + execution: operators with an eager driver
     * loop (connected components) do their work while the DataFrame is
     * being built, so the thunk must run inside the timer. */
@@ -71,7 +84,7 @@ object StressBench {
   }
 
   private def run(spark: SparkSession, path: String, verbatimPath: String,
-                  embPath: String, label: String): Map[String, Double] = {
+                  embPath: String, evDir: String, label: String): Map[String, Double] = {
     val docs = spark.read.parquet(path)
     val v = spark.read.parquet(verbatimPath)
     val emb = spark.read.parquet(embPath)
@@ -166,7 +179,27 @@ object StressBench {
       // two chained BM25 passes + expansion selection; stage 2's
       // dynamic-term explode must stay a scan-stage generate+filter
       "search_bm25_prf" -> (() =>
-        operators.Search.bm25PrfTopK(docs, Seq("spark", "vector"), 20)))
+        operators.Search.bm25PrfTopK(docs, Seq("spark", "vector"), 20)),
+      // PPJoin: prefixed replicas share no shingles, so the prefix
+      // index and candidate set must both grow ~linearly (constant
+      // duplicate density — same argument as the LSH family)
+      "dedup_ppjoin" -> (() =>
+        operators.Dedup.ppjoinPairs(docs)),
+      // the low-cardinality-key window, BOTH routes: the plain form's
+      // per-type sort is the known skew (its ratio documents the
+      // problem), the rank-bucketed route must track rows/bucketRows
+      "rolling_anomaly_plain" -> (() =>
+        operators.TimeSeries.rollingAnomalies(spark, evDir)),
+      "rolling_anomaly_part" -> (() =>
+        operators.TimeSeries.rollingAnomaliesPartitioned(spark, evDir)),
+      // per-user automaton: N x users with constant series length —
+      // one keyed aggregation, must be scan-linear
+      "q_sequence_count" -> (() =>
+        operators.TimeSeries.sequenceCount(spark, evDir)),
+      // incremental MV refresh: delta scan + |groups| merge — growth
+      // must track the events scan alone
+      "q_mv_merge" -> (() =>
+        operators.MaterializedView.mvMerge(spark, evDir)))
     ops.map { case (name, f) =>
       timeNoop(f) // warm-up
       val secs = timeNoop(f)
@@ -183,17 +216,22 @@ object StressBench {
 
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
     val base = docs.count()
     docs.write.mode("overwrite").parquet(s"$tmp/x1")
     docs.write.mode("overwrite").parquet(s"$tmp/x1t")
     emb.write.mode("overwrite").parquet(s"$tmp/e1")
+    ev.write.mode("overwrite").parquet(s"$tmp/ev1/events.parquet")
     amplify(docs, factor).write.mode("overwrite").parquet(s"$tmp/x$factor")
     amplifyVerbatim(docs, factor).write.mode("overwrite").parquet(s"$tmp/x${factor}t")
     amplifyEmbeddings(emb, factor).write.mode("overwrite").parquet(s"$tmp/e$factor")
+    amplifyEvents(ev, factor).write.mode("overwrite")
+      .parquet(s"$tmp/ev$factor/events.parquet")
     println(s"[stress] rows: ${base} -> ${base * factor} (${factor}x)")
 
-    val t1 = run(spark, s"$tmp/x1", s"$tmp/x1t", s"$tmp/e1", "1x ")
-    val tN = run(spark, s"$tmp/x$factor", s"$tmp/x${factor}t", s"$tmp/e$factor", s"${factor}x")
+    val t1 = run(spark, s"$tmp/x1", s"$tmp/x1t", s"$tmp/e1", s"$tmp/ev1", "1x ")
+    val tN = run(spark, s"$tmp/x$factor", s"$tmp/x${factor}t", s"$tmp/e$factor",
+      s"$tmp/ev$factor", s"${factor}x")
     t1.keys.foreach { k =>
       val ratio = tN(k) / t1(k)
       println(f"[stress] ratio $k%-24s ${ratio}%5.2fx time for ${factor}x data " +

@@ -80,7 +80,11 @@ object TimeSeries {
       .withColumn("c", count(lit(1)).over(w))
       .withColumn("m", sum($"y").over(w).cast("double") / $"c")
       .withColumn("q", sum($"y" * $"y").over(w).cast("double") / $"c")
-      .withColumn("z", ($"y".cast("double") - $"m") / sqrt($"q" - $"m" * $"m"))
+      // zero-variance frame (a run of identical values — never in the
+      // testdata, routine in a 100 TB corpus) ⇒ z undefined ⇒ not an
+      // anomaly; without the guard ANSI mode throws DIVIDE_BY_ZERO
+      .withColumn("z", when($"q" > $"m" * $"m",
+        ($"y".cast("double") - $"m") / sqrt($"q" - $"m" * $"m")))
       .where($"c" >= minWarm && abs($"z") > zMax)
       .select($"event_type", $"event_id",
         round($"y".cast("double"), 2).as("value"), round($"z", 4).as("z"))
@@ -131,7 +135,10 @@ object TimeSeries {
       .withColumn("c", count(lit(1)).over(w))
       .withColumn("m", sum($"y").over(w).cast("double") / $"c")
       .withColumn("q", sum($"y" * $"y").over(w).cast("double") / $"c")
-      .withColumn("z", ($"y".cast("double") - $"m") / sqrt($"q" - $"m" * $"m"))
+      // same zero-variance guard as the plain route (routes must stay
+      // bit-identical, including on identical-value runs)
+      .withColumn("z", when($"q" > $"m" * $"m",
+        ($"y".cast("double") - $"m") / sqrt($"q" - $"m" * $"m")))
       .where(!$"carry" && $"c" >= minWarm && abs($"z") > zMax)
       .select($"event_type", $"event_id",
         round($"y".cast("double"), 2).as("value"), round($"z", 4).as("z"))

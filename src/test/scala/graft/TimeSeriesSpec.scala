@@ -84,6 +84,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.rolling.partitioned")
   }
 
+  test("rolling anomalies: zero-variance runs are unscored, not a crash") {
+    // a run of identical values makes the trailing frame's variance
+    // exactly 0 — never in the testdata, routine at corpus scale
+    // (heartbeats, quantized metrics). z is undefined there: the row
+    // must be silently unscored, not an ANSI DIVIDE_BY_ZERO, and a
+    // genuine spike after the run must still surface.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ts-flat").toString
+    val rows = (0 until 30).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), 1L,
+        "a", 5.0, "{}")) :+
+      (30L, java.sql.Timestamp.valueOf("2024-01-01 00:59:00"), 1L, "a", 50.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val plain = TimeSeries.rollingAnomalies(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(plain.map(_._2) == Seq(30L),
+      s"only the spike is scoreable and anomalous, got $plain")
+    val routed = TimeSeries.rollingAnomaliesPartitioned(spark, tmp, bucketRows = 25)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(routed == plain, "guard must keep the two routes bit-identical")
+  }
+
   test("sequence count: greedy non-overlapping automaton matches brute force") {
     val got = TimeSeries.sequenceCount(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
