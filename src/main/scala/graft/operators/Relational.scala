@@ -738,4 +738,92 @@ object Relational {
         round($"cov_n" * $"cov_n" / ($"var_x" * $"var_y"), 6).as("r2"))
       .orderBy($"event_type")
   }
+
+  /** C24: exact two-sample Kolmogorov–Smirnov distance between every
+    * pair of event types' value distributions — the drift detector a
+    * data pipeline runs between corpus snapshots (mean/stddev miss
+    * shape changes; KS is distribution-free). D = max |F_a − F_b| over
+    * the pooled sample: one RANGE-frame window per pair gives both
+    * running CDFs (the RANGE frame includes value ties as peers, so D
+    * is evaluated after each tie group exactly as the step functions
+    * define), then a max. Pairs are |types|², a bounded constant — the
+    * pooled union is pairs× the scan, each pair's window keyed on
+    * (ta, tb) so the sort parallelizes across pairs. Counts divide as
+    * identical doubles in any engine; no accumulation-order term. */
+  def ksTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type", $"value".cast("double").as("v"))
+    val ty = ev.select($"event_type").distinct()
+    val pairs = ty.as("a").join(ty.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+    val sided = ev.join(broadcast(pairs),
+        $"event_type" === $"ta" || $"event_type" === $"tb")
+      .select($"ta", $"tb", $"v", ($"event_type" === $"ta").as("isa"))
+    val n = sided.groupBy($"ta", $"tb")
+      .agg(sum(when($"isa", 1L).otherwise(0L)).as("na"),
+        sum(when($"isa", 0L).otherwise(1L)).as("nb"))
+    val w = Window.partitionBy($"ta", $"tb").orderBy($"v")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    sided
+      .withColumn("ca", sum(when($"isa", 1L).otherwise(0L)).over(w))
+      .withColumn("cb", sum(when($"isa", 0L).otherwise(1L)).over(w))
+      .join(broadcast(n), Seq("ta", "tb"))
+      .groupBy($"ta", $"tb")
+      .agg(first($"na").as("n_a"), first($"nb").as("n_b"),
+        round(max(abs($"ca" / $"na" - $"cb" / $"nb")), 6).as("ks_d"))
+      .orderBy($"ta", $"tb")
+  }
+
+  /** C22: distribution-position windows — ntile/percent_rank/cume_dist,
+    * the ranking family X50's navigation windows (lead/lag/first/last)
+    * don't cover. One segment-keyed window with a total order
+    * ((acctbal, custkey) — the custkey tiebreak makes every position,
+    * and therefore every quartile boundary, deterministic); all three
+    * functions ride the same WindowExec, so the plan is a single
+    * exchange + sort exactly like any analytic window. */
+  def distributionWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+    Tables.customer(spark, sfDir)
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .select($"c_mktsegment", $"c_custkey", round($"c_acctbal", 2).as("acctbal"),
+        $"quartile", $"pct_rank", $"cume")
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+
+  /** C23: robust per-group outlier detection by median absolute
+    * deviation — the quality-score gate that survives the heavy-tailed
+    * distributions where mean/stddev z-scores (q_rolling_anomaly's
+    * arithmetic) drown: median and MAD have a 50% breakdown point, so
+    * a crawl shard whose spam inflates the tail still scores its bulk
+    * correctly. Two exact-percentile passes (value median, then
+    * deviation median) over |types| groups — the percentile buffer is
+    * per-GROUP row count, which is exactly the case SURVEY §5 allows
+    * exact percentile for (bounded groups); a 100 TB run with
+    * high-cardinality groups routes to approx_percentile the same way
+    * q_quantiles does. Outlier rule: |value − median| > k·MAD. */
+  def madOutliers(spark: SparkSession, sfDir: String,
+                  k: Double = 3.0): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type", $"value".cast("double").as("v"))
+    val med = ev.groupBy($"event_type")
+      .agg(percentile($"v", lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs($"v" - $"med"))
+    val mad = dev.groupBy($"event_type")
+      .agg(percentile($"adev", lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(first($"med"), 4).as("med"),
+        round(first($"mad"), 4).as("mad"),
+        sum(when($"adev" > lit(k) * $"mad", 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy($"event_type")
+  }
 }

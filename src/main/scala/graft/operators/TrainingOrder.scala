@@ -67,6 +67,26 @@ object TrainingOrder {
       .drop("__pid", "__rn", "__off")
   }
 
+  /** Multi-epoch reshuffling in ONE pass: epoch e's permutation is the
+    * rank of md5(seed:e:id) — each epoch an independent deterministic
+    * permutation (what a trainer replays so no two epochs present
+    * examples in correlated order), produced together by exploding the
+    * epoch index and running ONE `groupedRank` keyed on it, instead of
+    * nEpochs separate rank passes. The epoch count is a small constant
+    * (3–5 in practice), so the explode multiplies bytes, not keys —
+    * and the rank's range partitioning spreads (epoch, hash) evenly,
+    * no epoch-sized task ever forms. Returns (epoch, pos, id). */
+  def epochs(df: DataFrame, nEpochs: Int, seed: String,
+             idCol: String = "doc_id"): DataFrame = {
+    require(nEpochs >= 1, "need at least one epoch")
+    val keyed = df.select(col(idCol).cast("long").as("id"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(nEpochs - 1L))))
+      .withColumn("__key", md5(concat(lit(seed), lit(":"),
+        col("epoch").cast("string"), lit(":"), col("id").cast("string"))))
+    groupedRank(keyed, "epoch", Seq("__key", "id"))
+      .select(col("epoch"), col("grank").as("pos"), col("id"))
+  }
+
   /** Weighted source interleaving — deterministic curriculum mixing:
     * within each stratum rows take a seeded-hash order; the r-th row
     * of a stratum with weight w lands at virtual time (r+1)/w, so a

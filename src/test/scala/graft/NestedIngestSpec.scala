@@ -94,6 +94,32 @@ class NestedIngestSpec extends AnyFunSuite {
     assert(entry.filterNot(_._1._1 == "__corrupt") == expected)
   }
 
+  test("orc ingest: values survive the format hop to the microsecond and bit") {
+    // row-level fidelity, stronger than the entry's rollup: every
+    // event's (ts, value, type) must come back from ORC bit-identical
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc-spec").toString
+    val src = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    src.write.mode("overwrite").orc(tmp)
+    val back = spark.read.orc(tmp)
+    assert(back.count() == src.count())
+    val mismatches = src.alias("a").join(back.alias("b"), Seq("event_id"))
+      .where(col("a.ts") =!= col("b.ts") || col("a.value") =!= col("b.value") ||
+        col("a.event_type") =!= col("b.event_type") ||
+        col("a.user_id") =!= col("b.user_id"))
+      .count()
+    assert(mismatches == 0, "ORC round trip must be lossless")
+    // and the entry rollup matches the same rollup off parquet
+    val entry = graft.sources.OrcIngest.ingestEntry(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expect = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(entry == expect)
+  }
+
   test("R5+R6: flatten handles arbitrary depth and InvertedIndex can query the result") {
     val flat = NestedIngest.ingestJson(NestedIngest.eventsAsJson(spark, sf), "json")
     // dotted path from the reference's DSL resolves to the flattened column

@@ -54,6 +54,25 @@ class TrainingOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("epochs: each epoch is an independent permutation matching its own seed sort") {
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val got = TrainingOrder.epochs(docs, 3, "ep7").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == ids.length * 3)
+    (0L until 3L).foreach { e =>
+      val epoch = got.filter(_._1 == e).sortBy(_._2)
+      assert(epoch.map(_._2).toSeq == ids.indices.map(_.toLong),
+        s"epoch $e positions must be dense 0..n-1")
+      val expect = ids.map(id => (md5hex(s"ep7:$e:$id"), id)).sorted.map(_._2)
+      assert(epoch.map(_._3).toSeq == expect.toSeq,
+        s"epoch $e order must equal its md5(seed:epoch:id) sort")
+    }
+    // epochs must actually differ from each other (independent permutations)
+    val perms = (0L until 3L).map(e =>
+      got.filter(_._1 == e).sortBy(_._2).map(_._3).toSeq)
+    assert(perms.distinct.length == 3, "epoch permutations must be pairwise distinct")
+  }
+
   test("interleave: weighted strata appear proportionally in every prefix") {
     val weights = Map("en" -> 3.0, "zh" -> 1.5, "fr" -> 0.5)
     val rows = TrainingOrder.interleaved(docs, weights, "ep0", stratumCol = "lang")
