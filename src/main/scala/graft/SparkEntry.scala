@@ -1054,6 +1054,50 @@ object SparkEntry {
           array_join(col("doc_ids"), ",").as("doc_ids"))
         .orderBy(col("value"), col("chunk"))
     }),
+    // X110: distribution-position windows (ntile/percent_rank/
+    // cume_dist) — one segment-keyed WindowExec for all three
+    "q_ntile" -> (Relational.distributionWindows _),
+    // X111: robust per-group outliers by median absolute deviation —
+    // the heavy-tail-safe complement of the z-score entries
+    "q_mad" -> ((s, dir) => Relational.madOutliers(s, dir)),
+    // X112: multi-epoch training reshuffle — nEpochs independent
+    // seeded permutations from ONE epoch-keyed two-phase rank
+    "order_epoch" -> ((s, dir) =>
+      graft.operators.TrainingOrder.epochs(Tables.documents(s, dir), 3, "ep7")
+        .orderBy(col("epoch"), col("pos"))),
+    // X113: CDC change-feed apply — last-writer-wins snapshot from an
+    // insert/update/delete feed, one key-hashed window
+    "q_cdc_apply" -> (graft.operators.ChangeFeed.applyEntry _),
+    // X114: ORC round trip — value fidelity (µs timestamps, DECIMAL
+    // sums) across the format hop, proven against the parquet original
+    "ingest_orc" -> (graft.sources.OrcIngest.ingestEntry _),
+    // X115: dynamic partition pruning — a runtime aggregate-derived
+    // dim key set prunes whole hive partitions off the fact scan;
+    // oracle joins without any pruning, proving it pure I/O
+    "q_dpp_scan" -> (graft.sources.RuntimeFilters.dppQuery _),
+    // X116: runtime bloom-filter join — filtered dim keys reach the
+    // shuffle-hash fact scan as a might_contain row predicate
+    "q_bloom_join" -> (graft.sources.RuntimeFilters.bloomJoin _),
+    // X117: stream-stream interval join through the REAL engine (two
+    // independent file streams, symmetric-hash join state + watermark
+    // eviction) must reproduce the batch interval self-join
+    "q_stream_join" -> ((s, dir) =>
+      graft.streaming.Replay.replayStreamJoin(s, dir)),
+    // X118: perceptual image-hash dedup — aHash per payload inside the
+    // batched decode mapPartitions, exact-phash dup groups
+    "mm_image_phash" -> ((s, dir) =>
+      graft.multimodal.Multimodal.imagePHash(s, dir)),
+    // X119: regex search — the grep layer under the term family, a
+    // pure scan-stage predicate (dialect kept engine-portable)
+    "search_regex" -> ((s, dir) =>
+      Search.regexSearch(Tables.documents(s, dir), "(spark|vector) (join|index)")),
+    // X120: keyword-in-context snippets — ±3 tokens around the first
+    // match, array-position arithmetic inside the scan
+    "search_snippet" -> ((s, dir) =>
+      Search.snippets(Tables.documents(s, dir), "vector")),
+    // X121: exact two-sample KS distance between every event-type
+    // pair's value distribution — the snapshot drift detector
+    "stats_ks" -> (Relational.ksTest _),
   )
 
   /** DuckDB-dialect twins of `queries`, identical column names and
@@ -2696,5 +2740,161 @@ object SparkEntry {
         |fin AS (SELECT st.user_id, st.cnt FROM st JOIN n USING (user_id) WHERE st.i = n.m)
         |SELECT CAST(cnt AS BIGINT) AS conversions, count(*) AS n_users
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+    // distribution-window twin: the (acctbal, custkey) tiebreak makes
+    // every rank unique, so percent_rank/cume_dist are tie-free pure
+    // position arithmetic — identical doubles in both engines
+    "q_ntile" ->
+      """SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    // MAD twin: quantile_cont interpolates exactly like Spark's exact
+    // percentile; med/mad are per-group constants so min() == first()
+    "q_mad" ->
+      """WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+        |med AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM ev GROUP BY 1),
+        |dev AS (SELECT ev.event_type, v, med, abs(v - med) AS adev
+        |        FROM ev JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(min(med), 4) AS med, round(min(mad), 4) AS mad,
+        | CAST(sum(CASE WHEN adev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // epoch-reshuffle twin: same md5(seed:epoch:id) sort key, dense
+    // rank from row_number per epoch partition
+    "order_epoch" ->
+      """WITH e AS (SELECT d.doc_id, CAST(t.epoch AS BIGINT) AS epoch
+        |           FROM documents d CROSS JOIN range(3) t(epoch)),
+        |k AS (SELECT epoch, doc_id,
+        |       md5('ep7:' || CAST(epoch AS VARCHAR) || ':' ||
+        |           CAST(doc_id AS VARCHAR)) AS h FROM e)
+        |SELECT epoch,
+        | CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) - 1
+        |      AS BIGINT) AS pos,
+        | doc_id AS id
+        |FROM k ORDER BY epoch, pos""".stripMargin,
+    // CDC twin: identical three-generation feed, DECIMAL price
+    // arithmetic end-to-end (the only double cast is at output), the
+    // same last-writer-wins window
+    "q_cdc_apply" ->
+      """WITH feed AS (
+        | SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
+        | FROM orders
+        | UNION ALL
+        | SELECT o_orderkey, 2, 'U',
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+        |             AS DECIMAL(21,3))
+        | FROM orders WHERE o_orderkey % 7 = 0
+        | UNION ALL
+        | SELECT o_orderkey, 3, 'D', CAST(NULL AS DECIMAL(21,3))
+        | FROM orders WHERE o_orderkey % 13 = 0),
+        |latest AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS r
+        |           FROM feed)
+        |SELECT k AS o_orderkey, op AS last_op, CAST(price AS DOUBLE) AS price
+        |FROM latest WHERE r = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    // regex twin: same literal/alternation pattern — the subset Java
+    // regex and DuckDB's RE2 interpret identically
+    "search_regex" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '(spark|vector) (join|index)'))
+        |      AS BIGINT) AS n_matches,
+        | regexp_extract(text, '(spark|vector) (join|index)', 0) AS first_match
+        |FROM documents
+        |WHERE regexp_matches(text, '(spark|vector) (join|index)')
+        |ORDER BY doc_id""".stripMargin,
+    // snippet twin: same 1-based first-occurrence position and
+    // [max(pos-3,1), min(pos+3, len)] token window
+    "search_snippet" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, toks, list_position(toks, 'vector') AS pos FROM t)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        | array_to_string(
+        |   toks[greatest(pos - 3, 1):least(pos + 3, len(toks))], ' ') AS snippet
+        |FROM p WHERE pos IS NOT NULL AND pos > 0
+        |ORDER BY doc_id""".stripMargin,
+    // KS twin: same pooled RANGE-frame running CDFs; integer counts
+    // divide as identical doubles in both engines
+    "stats_ks" ->
+      """WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+        |          FROM ty a JOIN ty b ON a.event_type < b.event_type),
+        |sided AS (SELECT ta, tb, v, (ev.event_type = ta) AS isa
+        |          FROM ev JOIN pairs ON ev.event_type = ta OR ev.event_type = tb),
+        |cum AS (SELECT ta, tb,
+        |         sum(CASE WHEN isa THEN 1 ELSE 0 END) OVER w AS ca,
+        |         sum(CASE WHEN isa THEN 0 ELSE 1 END) OVER w AS cb
+        |        FROM sided
+        |        WINDOW w AS (PARTITION BY ta, tb ORDER BY v
+        |                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |n AS (SELECT ta, tb, sum(CASE WHEN isa THEN 1 ELSE 0 END) AS na,
+        |       sum(CASE WHEN isa THEN 0 ELSE 1 END) AS nb
+        |      FROM sided GROUP BY ta, tb)
+        |SELECT ta, tb, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        | round(max(abs(ca / na - cb / nb)), 6) AS ks_d
+        |FROM cum JOIN n USING (ta, tb)
+        |GROUP BY ta, tb, na, nb ORDER BY ta, tb""".stripMargin,
+    // DPP twin: the same join with NO pruning anywhere — the pruned
+    // fact scan must be result-invisible; exact-DECIMAL HAVING keeps
+    // the dim key set identical across engines
+    "q_dpp_scan" ->
+      """WITH dim AS (
+        | SELECT event_type FROM events GROUP BY event_type
+        | HAVING sum(CAST(value AS DECIMAL(18,2))) > 50 * count(*))
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // bloom twin: plain join, no runtime filter — might_contain must
+    // be result-invisible (false positives die in the join)
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // stream-join twin: the batch interval self-join the streaming
+    // symmetric-hash state must converge to; epoch_us matches Spark's
+    // micros-normalized ts
+    "q_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        | CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT) AS lag_secs
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(v.ts)
+        | AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+        |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
+    // phash twin: recompute the aHash from the first 64 payload bytes
+    // (text is ASCII, so ascii(substr) IS the byte); the /64 mean is a
+    // power-of-two division — exact in double in both engines
+    "mm_image_phash" ->
+      """WITH img AS (SELECT doc_id, text FROM documents
+        |             WHERE doc_id % 3 = 0 AND length(text) >= 64),
+        |px AS (SELECT doc_id, t.i,
+        |        ascii(substr(text, CAST(t.i AS INTEGER), 1)) AS v
+        |       FROM img CROSS JOIN range(1, 65) t(i)),
+        |m AS (SELECT doc_id, sum(v) / 64.0 AS mean FROM px GROUP BY doc_id),
+        |h AS (SELECT px.doc_id,
+        |        string_agg(CASE WHEN v >= mean THEN '1' ELSE '0' END,
+        |                   '' ORDER BY px.i) AS phash
+        |      FROM px JOIN m USING (doc_id) GROUP BY px.doc_id)
+        |SELECT phash, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keeper_id
+        |FROM h GROUP BY phash ORDER BY phash""".stripMargin,
+    // ORC twin reads the ORIGINAL parquet: any drift the ORC hop
+    // introduces (timestamp truncation, double mangling) breaks the
+    // hash; epoch_us matches Spark's micros-normalized ts
+    "ingest_orc" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us,
+        | min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

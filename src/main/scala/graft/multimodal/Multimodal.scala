@@ -155,6 +155,54 @@ object Multimodal {
         round(col("mean_amp"), 4).as("mean_amp"),
         round(col("clip_frac"), 4).as("clip_frac"))
 
+  /** One image's perceptual signature: the 64-bit average-hash as a
+    * 64-char '0'/'1' string (string, not long, so an external oracle
+    * needs no 2^63 arithmetic and the bit order is self-describing). */
+  final case class ImageHash(media_id: Long, phash: String)
+
+  /** Average-hash (aHash) perceptual image signature: decode to an
+    * 8×8 grayscale thumbnail (STUB: the first 64 payload bytes as
+    * pixels — a real decoder resizes the actual raster and nothing
+    * downstream changes), threshold each pixel against the thumbnail
+    * mean, pack the 64 bits in raster order. Identical images hash
+    * identically; near-identical ones differ in a few bits — the
+    * standard cheap pre-filter before pixel-level comparison.
+    *
+    * Scale shape: same as every media path — the hash is extracted
+    * inside the batched `mapPartitions` at the scan, the payload dies
+    * there, and only (id, 64-char hash) ever shuffles. Payloads
+    * shorter than 64 bytes are undecodable by the stub and skipped
+    * (a real decoder has its own corrupt-file quarantine). The mean
+    * divides by exactly 64, a power of two, so the threshold is an
+    * EXACT double both here and in any oracle recomputation. */
+  def imageHashes(media: Dataset[MediaRecord],
+                  batchSize: Int = 64): Dataset[ImageHash] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[ImageHash]
+    media.filter(r => r.kind == "image" && r.payload.length >= 64)
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { r =>
+          val px = new Array[Int](64)
+          var i = 0; var sum = 0L
+          while (i < 64) { px(i) = r.payload(i) & 0xff; sum += px(i); i += 1 }
+          val mean = sum / 64.0
+          val bits = new StringBuilder(64)
+          i = 0
+          while (i < 64) { bits.append(if (px(i) >= mean) '1' else '0'); i += 1 }
+          ImageHash(r.media_id, bits.toString)
+        })
+      }
+  }
+
+  /** The `mm_image_phash` queries entry: aHash every image payload and
+    * roll up per signature — exact-phash dup groups (count + keeper
+    * id), the image-corpus analogue of `dedup_exact`'s content-hash
+    * groups. One groupBy over narrow (id, hash) rows. */
+  def imagePHash(spark: SparkSession, sfDir: String): DataFrame =
+    imageHashes(mediaFromDocuments(spark, sfDir)).toDF()
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n"), min(col("media_id")).as("keeper_id"))
+      .orderBy(col("phash"))
+
   /** Deterministic media table derived from the documents testdata:
     * the text bytes act as the payload, the kind cycles through the
     * three modalities. */

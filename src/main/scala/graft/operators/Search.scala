@@ -236,6 +236,47 @@ object Search {
       .select(col("q"), col("term"), dist.cast("long").as("dist"), col("df"))
   }
 
+  /** Regex search — the grep layer under the term-based family, for
+    * queries a tokenized index can't answer (patterns spanning token
+    * boundaries, alternations with context). A pure scan-stage
+    * predicate + count: no index, no shuffle until the final sort; at
+    * 100 TB it reads at the corpus's sequential-scan rate, which is
+    * why the indexed operators exist for everything a term query CAN
+    * express. Pattern dialect is kept to the literal/alternation/
+    * grouping subset that Java regex and RE2-family engines interpret
+    * identically. */
+  def regexSearch(docs: DataFrame, pattern: String,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        regexp_count(col(textCol), lit(pattern)).cast("long").as("n_matches"),
+        regexp_extract(col(textCol), pattern, 0).as("first_match"))
+      .where(col("n_matches") > 0)
+      .orderBy(col("doc_id"))
+
+  /** Keyword-in-context snippets: for every document containing
+    * `term`, the ±`context` tokens around its FIRST occurrence — what
+    * a search result page renders. Array-position arithmetic inside
+    * the scan (tokenize once, `array_position`, slice); only matching
+    * docs emit a row and only the snippet leaves the scan, never the
+    * document. */
+  def snippets(docs: DataFrame, term: String, context: Int = 3,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = term.toLowerCase
+    val toks = searchTokens(col(textCol))
+    docs.select(col(idCol).cast("long").as("doc_id"), toks.as("t"))
+      .withColumn("pos", array_position(col("t"), t))
+      .where(col("pos") > 0)
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("t"),
+          greatest(col("pos") - context, lit(1L)).cast("int"),
+          // window end is min(pos+context, len), start is max(pos-c,1):
+          // length = end - start + 1 — exact at both document edges
+          (least(col("pos") + context, size(col("t")).cast("long")) -
+            greatest(col("pos") - context, lit(1L)) + 1).cast("int")),
+          " ").as("snippet"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Prefix (`pre*` wildcard) search over the term dictionary: terms
     * starting with `prefix` and their document frequencies. The prefix
     * test runs inside the token array before the explode, so only

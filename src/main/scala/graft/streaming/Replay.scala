@@ -101,6 +101,60 @@ object Replay {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Stream-stream interval join driver gate: views and purchases
+    * replayed as two INDEPENDENT file streams (same ascending
+    * time-range slice boundaries, one file per trigger each), joined
+    * on user within [view_ts, view_ts + window] through the real
+    * symmetric-hash join with watermark-driven state eviction. The
+    * state machinery being pinned: a view must stay buffered until the
+    * watermark passes its join window (a purchase from a LATER
+    * micro-batch can still match it), a purchase must match views from
+    * EARLIER batches already in state, and eviction must never drop a
+    * row the window still reaches. Because slices ascend in event
+    * time, nothing is ever late to the watermark, so the engine must
+    * emit exactly the batch join — which is what the oracle computes.
+    * Watermark delay is 1 minute: pure state-retention slack (inner
+    * joins emit on arrival; the delay only schedules eviction). */
+  def replayStreamJoin(spark: SparkSession, sfDir: String,
+                       batches: Int = 4, windowMinutes: Int = 60): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("vts"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+    val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = hi - lo + 1
+    def slices(df: DataFrame, tsCol: String): Seq[DataFrame] =
+      (0 until batches).map { i =>
+        val a = lo + span * i / batches
+        val b = lo + span * (i + 1) / batches
+        df.where(unix_micros(col(tsCol)) >= a && unix_micros(col(tsCol)) < b)
+      }
+    val stageV = stageSlices(slices(views, "vts"))
+    val stageP = stageSlices(slices(purch, "pts"))
+    def stream(stage: String, wmCol: String) = {
+      val schema = spark.read.parquet(stage).schema
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(stage).withWatermark(wmCol, "1 minute")
+    }
+    val joined = stream(stageV, "vts").join(stream(stageP, "pts"),
+      expr(s"user_id = p_user_id AND pts >= vts AND " +
+        s"pts <= vts + interval $windowMinutes minutes"))
+    val name = "graft_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        ((unix_micros(col("pts")) - unix_micros(col("vts"))) / 1000000L)
+          .cast("long").as("lag_secs"))
+      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
   /** X9 driver gate: exact streaming dedup replayed as `batches`
     * doc_id-ranged micro-batches through a first-seen stateful
     * operator keyed on the content hash (state = one boolean per

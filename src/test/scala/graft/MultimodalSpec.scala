@@ -75,6 +75,38 @@ class MultimodalSpec extends AnyFunSuite {
            again.sortBy(f => (f.media_id, f.frame_idx)).toSeq)
   }
 
+  test("X118: aHash matches a byte-level recompute; short payloads skipped") {
+    import spark.implicits._
+    def ahash(bytes: Array[Byte]): String = {
+      val px = bytes.take(64).map(_ & 0xff)
+      val mean = px.sum / 64.0
+      px.map(v => if (v >= mean) '1' else '0').mkString
+    }
+    val hashes = Multimodal.imageHashes(Multimodal.mediaFromDocuments(spark, sf))
+      .collect().map(h => h.media_id -> h.phash).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val images = docs.filter(_._1 % 3 == 0)
+    images.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      if (bytes.length >= 64)
+        assert(hashes(id) == ahash(bytes), s"media $id hash mismatch")
+      else assert(!hashes.contains(id), s"short payload $id must be skipped")
+    }
+    assert(hashes.keySet.subsetOf(images.map(_._1).toSet),
+      "only image-kind payloads are hashed")
+    assert(hashes.nonEmpty)
+    // entry rollup: groups partition the hashed ids, keeper is min
+    val entry = Multimodal.imagePHash(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(entry.map(_._2).sum == hashes.size)
+    entry.foreach { case (ph, n, keeper) =>
+      val members = hashes.filter(_._2 == ph).keys
+      assert(members.size == n && members.min == keeper)
+    }
+  }
+
   test("L12: payload dies at feature extraction; aggregation sees only features") {
     val plan = Multimodal.decodeStats(spark, sf).queryExecution.optimizedPlan.toString.toLowerCase
     val decodeAt = plan.indexOf("mappartitions")

@@ -388,4 +388,84 @@ class RelationalSpec extends AnyFunSuite {
     }
     assert(got.nonEmpty)
   }
+
+  test("distribution windows: ntile/percent_rank/cume_dist are pure position arithmetic") {
+    val rows = operators.Relational.distributionWindows(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (seg, rs) =>
+      val n = rs.length
+      // the (acctbal, custkey) tiebreak makes the order total, so each
+      // function is a closed form of the row's position alone
+      val ordered = rs.sortBy(r => (r._3, r._2))
+      // ntile: first n%4 buckets get ceil(n/4) rows, the rest floor
+      val big = n % 4; val small = n / 4
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val expTile =
+          if (i < big * (small + 1)) i / (small + 1) + 1
+          else big + (i - big * (small + 1)) / small + 1
+        assert(r._4 == expTile, s"$seg row $i: ntile ${r._4} != $expTile")
+        assert(math.abs(r._5 - i.toDouble / (n - 1)) < 1e-6,
+          s"$seg row $i: percent_rank")
+        assert(math.abs(r._6 - (i + 1).toDouble / n) < 1e-6,
+          s"$seg row $i: cume_dist")
+      }
+    }
+  }
+
+  test("KS distance: every pair matches the textbook two-sample statistic") {
+    import org.apache.spark.sql.functions.col
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("value").cast("double")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+      .map { case (t, vs) => t -> vs.map(_._2).sorted }
+    def ks(a: Seq[Double], b: Seq[Double]): Double = {
+      // evaluate both empirical CDFs at every pooled value
+      (a ++ b).distinct.map { x =>
+        math.abs(a.count(_ <= x).toDouble / a.length -
+          b.count(_ <= x).toDouble / b.length)
+      }.max
+    }
+    val got = operators.Relational.ksTest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val types = byType.keys.toSeq.sorted
+    val pairs = for (i <- types.indices; j <- i + 1 until types.length)
+      yield (types(i), types(j))
+    assert(got.keySet == pairs.toSet)
+    pairs.foreach { case (ta, tb) =>
+      val (na, nb, d) = got((ta, tb))
+      assert(na == byType(ta).length && nb == byType(tb).length)
+      assert(math.abs(d - ks(byType(ta), byType(tb))) < 1e-6,
+        s"($ta,$tb) KS distance")
+    }
+  }
+
+  test("MAD outliers: median/MAD/outlier count match the brute force") {
+    import org.apache.spark.sql.functions.col
+    def interp(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val idx = 0.5 * (s.length - 1)
+      val lo = s(idx.floor.toInt); val hi = s(idx.ceil.toInt)
+      lo + (hi - lo) * (idx - idx.floor)
+    }
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("value").cast("double")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    val got = operators.Relational.madOutliers(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, vs) =>
+      val xs = vs.map(_._2).toSeq
+      val med = interp(xs)
+      val adev = xs.map(v => math.abs(v - med))
+      val mad = interp(adev)
+      val (n, gm, gmad, nOut) = got(t)
+      assert(n == xs.length)
+      assert(math.abs(gm - med) < 1e-4, s"$t median $gm != $med")
+      assert(math.abs(gmad - mad) < 1e-4, s"$t MAD $gmad != $mad")
+      assert(nOut == adev.count(_ > 3.0 * mad), s"$t outlier count")
+    }
+  }
 }

@@ -283,4 +283,37 @@ class SearchSpec extends AnyFunSuite {
       assert(s1 > s2 || (s1 == s2 && id1 < id2))
     }
   }
+
+  test("regex search: matches and counts reproduce java.util.regex on the driver") {
+    val pat = "(spark|vector) (join|index)"
+    val got = Search.regexSearch(docs, pat).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val re = java.util.regex.Pattern.compile(pat)
+    val expect = docs.select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val m = re.matcher(r.getString(1))
+        var n = 0L; var first: String = null
+        while (m.find()) { if (n == 0) first = m.group(0); n += 1 }
+        (r.getLong(0), n, first)
+      }
+      .filter(_._2 > 0).sortBy(_._1).toSeq
+    assert(got.nonEmpty && got == expect)
+  }
+
+  test("snippets: ±3 tokens around the first occurrence, exact at both edges") {
+    val got = Search.snippets(docs, "vector", context = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val expect = docs.select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val toks = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+        val pos = toks.indexOf("vector")   // 0-based, -1 if absent
+        if (pos < 0) None
+        else Some((r.getLong(0), pos + 1L,
+          toks.slice(math.max(pos - 3, 0), math.min(pos + 4, toks.length))
+            .mkString(" ")))
+      }.sortBy(_._1).toSeq
+    assert(got.nonEmpty && got == expect)
+    // at least one match near a document edge exercises the clamping
+    assert(expect.exists(_._2 <= 3), "need an edge-clamped snippet in testdata")
+  }
 }

@@ -162,6 +162,27 @@ class StreamingSpec extends AnyFunSuite {
       "cross-batch session state + timeout flush must reproduce the batch sessions")
   }
 
+  test("X117 gate: replayed stream-stream interval join equals the batch join") {
+    val streamed = graft.streaming.Replay.replayStreamJoin(spark, sf, batches = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("us").as("vus"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("us").as("pus"))
+    val batch = v.join(p, col("user_id") === col("pu") &&
+        col("pus") >= col("vus") && col("pus") <= col("vus") + 3600000000L)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        ((col("pus") - col("vus")) / 1000000L).cast("long").as("lag_secs"))
+      .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "symmetric-hash join state across micro-batches must emit exactly the batch pairs")
+  }
+
   test("X9 gate: replayed first-seen dedup keeps the global min id per hash") {
     val streamed = graft.streaming.Replay.replayExactDedup(spark, sf, batches = 4)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
