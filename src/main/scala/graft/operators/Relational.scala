@@ -746,10 +746,19 @@ object Relational {
     * the pooled sample: one RANGE-frame window per pair gives both
     * running CDFs (the RANGE frame includes value ties as peers, so D
     * is evaluated after each tie group exactly as the step functions
-    * define), then a max. Pairs are |types|², a bounded constant — the
-    * pooled union is pairs× the scan, each pair's window keyed on
-    * (ta, tb) so the sort parallelizes across pairs. Counts divide as
-    * identical doubles in any engine; no accumulation-order term. */
+    * define), then a max. Counts divide as identical doubles in any
+    * engine; no accumulation-order term.
+    *
+    * Scale shape: the step functions only change at DISTINCT values,
+    * so raw rows first collapse to per-(pair, value) counts — a
+    * map-side-combined aggregate that parallelizes over pairs×values
+    * and does ALL the data-sized work. The running-CDF window then
+    * scans one row per distinct value per pair (value-domain-bounded,
+    * ~10⁴ here), never the corpus — the per-pair sort that would
+    * otherwise funnel half the data through one task touches only the
+    * collapsed frame. Tie handling falls out for free: collapsing
+    * makes each value one row, so a ROWS frame IS the tie-correct
+    * RANGE frame. */
   def ksTest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir)
@@ -758,17 +767,18 @@ object Relational {
     val pairs = ty.as("a").join(ty.as("b"),
         col("a.event_type") < col("b.event_type"))
       .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
-    val sided = ev.join(broadcast(pairs),
+    val perValue = ev.join(broadcast(pairs),
         $"event_type" === $"ta" || $"event_type" === $"tb")
-      .select($"ta", $"tb", $"v", ($"event_type" === $"ta").as("isa"))
-    val n = sided.groupBy($"ta", $"tb")
-      .agg(sum(when($"isa", 1L).otherwise(0L)).as("na"),
-        sum(when($"isa", 0L).otherwise(1L)).as("nb"))
+      .groupBy($"ta", $"tb", $"v")
+      .agg(sum(when($"event_type" === $"ta", 1L).otherwise(0L)).as("da"),
+        sum(when($"event_type" === $"ta", 0L).otherwise(1L)).as("db"))
+    val n = perValue.groupBy($"ta", $"tb")
+      .agg(sum($"da").as("na"), sum($"db").as("nb"))
     val w = Window.partitionBy($"ta", $"tb").orderBy($"v")
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    sided
-      .withColumn("ca", sum(when($"isa", 1L).otherwise(0L)).over(w))
-      .withColumn("cb", sum(when($"isa", 0L).otherwise(1L)).over(w))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue
+      .withColumn("ca", sum($"da").over(w))
+      .withColumn("cb", sum($"db").over(w))
       .join(broadcast(n), Seq("ta", "tb"))
       .groupBy($"ta", $"tb")
       .agg(first($"na").as("n_a"), first($"nb").as("n_b"),
