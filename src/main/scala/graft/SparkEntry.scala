@@ -1098,6 +1098,73 @@ object SparkEntry {
     // X121: exact two-sample KS distance between every event-type
     // pair's value distribution — the snapshot drift detector
     "stats_ks" -> (Relational.ksTest _),
+    // X122: recursive CTE (Spark 4 native WITH RECURSIVE) — per-level
+    // rollup of the implicit doc-id binary tree (parent = id DIV 2);
+    // the d > parent guard is the monotone step that bounds recursion
+    // at log2(max_id) iterations
+    "q_recursive_depth" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("graft_docs_rec")
+      s.sql(
+        """WITH RECURSIVE t(doc_id, depth) AS (
+          |  SELECT CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS depth
+          |  UNION ALL
+          |  SELECT d.doc_id, t.depth + 1
+          |  FROM graft_docs_rec d JOIN t
+          |    ON d.doc_id DIV 2 = t.doc_id AND d.doc_id > t.doc_id)
+          |SELECT depth, count(*) AS n, min(doc_id) AS min_id,
+          |       max(doc_id) AS max_id
+          |FROM t GROUP BY depth ORDER BY depth""".stripMargin)
+    }),
+    // X123: suffix wildcard via the reversed-term dictionary trick —
+    // the suffix query becomes a sargable prefix query
+    "search_suffix" -> ((s, dir) =>
+      Search.suffixSearch(Tables.documents(s, dir), "ow")
+        .orderBy(col("term"))),
+    // X124: correlated LATERAL subquery (per-customer top order) —
+    // the decorrelation surface grouped_topk's window form avoids
+    "q_lateral" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("graft_cust_lat")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_ord_lat")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey,
+          |       round(t.o_totalprice, 2) AS top_price
+          |FROM graft_cust_lat c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM graft_ord_lat o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+          |ORDER BY c.c_custkey""".stripMargin)
+    }),
+    // X125: re-touch sequencing funnel view→click→purchase (any later
+    // click counts, unlike X97's first-touch form) — per-step user
+    // counts from one (user_id, ts) window sort
+    "q_funnel_seq" -> (EventAnalytics.funnel(_, _)),
+    // X126: weekly cohort retention — integer week arithmetic from the
+    // corpus epoch, distinct users per (cohort, offset) cell
+    "q_retention" -> (EventAnalytics.retention _),
+    // X127: first-order Markov transition matrix over per-user event
+    // sequences; probabilities are integer-count divisions
+    "q_markov" -> (EventAnalytics.markovTransitions _),
+    // X128: chi-squared contingency cells (event_type × value bucket),
+    // reported per cell — cross-cell double sums are engine-dependent
+    "stats_chi2_cells" -> (EventAnalytics.contingency _),
+    // X129: more-like-this — TF-IDF cosine ranking against one query
+    // document via a posting-list join; DECIMAL accumulation makes
+    // float-sum order invisible cross-engine
+    "search_mlt" -> ((s, dir) =>
+      Search.moreLikeThis(Tables.documents(s, dir), queryDocId = 7L, k = 10)),
+    // X130: length-grouped batching with per-batch padding waste —
+    // two-phase distributed rank, all-integer output
+    "order_batches" -> ((s, dir) =>
+      TrainingOrder.lengthBatches(Tables.documents(s, dir), batchSize = 32)),
+    // X131: KL/PSI drift between the event-type mix of two time halves
+    "stats_psi" -> (EventAnalytics.klDrift(_, _)),
+    // X132: mutual-kNN graph — every vector a query, reverse-edge flag
+    "knn_graph" -> ((s, dir) => {
+      Similarity.knnGraph(Tables.embeddings(s, dir), 10)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
+          round(col("score"), 4).as("score"), col("mutual"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
   )
 
   /** DuckDB-dialect twins of `queries`, identical column names and
@@ -2798,6 +2865,37 @@ object SparkEntry {
         |SELECT k AS o_orderkey, op AS last_op, CAST(price AS DOUBLE) AS price
         |FROM latest WHERE r = 1 AND op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
+    // suffix twin: LIKE '%ow' over the distinct-per-doc token lists —
+    // same df definition as the prefix twin
+    "search_suffix" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> len(x) > 0) AS t
+        | FROM documents)
+        |SELECT term, count(*) AS df
+        |FROM (SELECT doc_id,
+        |       unnest(list_filter(list_distinct(t), x -> x LIKE '%ow')) AS term
+        |      FROM toks)
+        |GROUP BY term ORDER BY term""".stripMargin,
+    // lateral twin: identical correlated top-1 subquery
+    "q_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS top_price
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY c.c_custkey""".stripMargin,
+    // recursive twin: same anchor/step, DuckDB's // is Spark's DIV
+    "q_recursive_depth" ->
+      """WITH RECURSIVE t(doc_id, depth) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT d.doc_id, t.depth + 1
+        |  FROM documents d JOIN t ON d.doc_id // 2 = t.doc_id
+        |   AND d.doc_id > t.doc_id)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id,
+        | max(doc_id) AS max_id
+        |FROM t GROUP BY depth ORDER BY depth""".stripMargin,
     // regex twin: same literal/alternation pattern — the subset Java
     // regex and DuckDB's RE2 interpret identically
     "search_regex" ->
@@ -2841,6 +2939,148 @@ object SparkEntry {
         | round(max(abs(ca / na - cb / nb)), 6) AS ks_d
         |FROM cum JOIN n USING (ta, tb)
         |GROUP BY ta, tb, na, nb ORDER BY ta, tb""".stripMargin,
+    // funnel twin: stagewise min-qualifying-time joins — step k exists
+    // iff an event of stage k is STRICTLY later than step k-1's
+    // earliest qualifying time
+    "q_funnel_seq" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t1.t1
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        |       GROUP BY e.user_id)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |        CAST(count(*) AS BIGINT) AS users FROM t1
+        | UNION ALL
+        | SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM t2
+        | UNION ALL
+        | SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM t3)
+        |ORDER BY step""".stripMargin,
+    // retention twin: same integer week arithmetic from the corpus
+    // epoch (datediff arg order differs between engines)
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+        |            FROM events),
+        |fst AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id)
+        |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+        |       CAST(wk - cohort_week AS BIGINT) AS week_offset,
+        |       CAST(count(DISTINCT ev.user_id) AS BIGINT) AS users
+        |FROM ev JOIN fst ON ev.user_id = fst.user_id
+        |GROUP BY cohort_week, wk - cohort_week
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    // markov twin: same lag window with the event_id tiebreak (order
+    // by epoch micros, not raw ns ts); BIGINT / BIGINT is float
+    // division in DuckDB, same as Spark
+    "q_markov" ->
+      """WITH trans AS (
+        | SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY epoch_us(ts), event_id) AS to_type
+        | FROM events),
+        |cnt AS (SELECT from_type, to_type, count(*) AS n FROM trans
+        |        WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM cnt ORDER BY from_type, to_type""".stripMargin,
+    // chi2 twin: identical per-cell double expression from integer
+    // marginals (cast to DOUBLE before the product, mirroring the
+    // Spark side's overflow-safe order of operations)
+    "stats_chi2_cells" ->
+      """WITH cells AS (
+        | SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+        |        count(*) AS o
+        | FROM events GROUP BY event_type, bucket),
+        |m AS (SELECT event_type, bucket, o,
+        |       sum(o) OVER (PARTITION BY event_type) AS row_tot,
+        |       sum(o) OVER (PARTITION BY bucket) AS col_tot,
+        |       sum(o) OVER () AS n
+        |      FROM cells)
+        |SELECT event_type, bucket, CAST(o AS BIGINT) AS o,
+        |       round(CAST(row_tot AS DOUBLE) * col_tot / n, 6) AS e,
+        |       round(pow(o - CAST(row_tot AS DOUBLE) * col_tot / n, 2)
+        |             / (CAST(row_tot AS DOUBLE) * col_tot / n), 6) AS contrib
+        |FROM m ORDER BY event_type, bucket""".stripMargin,
+    // mlt twin: same tf·ln(N/df) weights rounded to 9 dp, DECIMAL
+    // accumulation for dots and norms, one double expression per row
+    "search_mlt" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> len(x) > 0) AS t
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        |       GROUP BY doc_id, term),
+        |nd AS (SELECT count(*) AS n_docs FROM toks),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |w AS (SELECT doc_id, tf.term,
+        |       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 9) AS w
+        |      FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN nd),
+        |norms AS (SELECT doc_id, sum(CAST(w * w AS DECIMAL(30,10))) AS nsq
+        |          FROM w GROUP BY doc_id),
+        |q AS (SELECT term, w AS wq FROM w WHERE doc_id = 7),
+        |qn AS (SELECT nsq AS qnsq FROM norms WHERE doc_id = 7),
+        |dots AS (SELECT w.doc_id, sum(CAST(w.w * q.wq AS DECIMAL(30,10))) AS dot
+        |         FROM w JOIN q ON w.term = q.term WHERE w.doc_id <> 7
+        |         GROUP BY w.doc_id)
+        |SELECT d.doc_id, round(CAST(dot AS DOUBLE) /
+        |        (sqrt(CAST(nsq AS DOUBLE)) * sqrt(CAST(qnsq AS DOUBLE))), 6) AS score
+        |FROM dots d JOIN norms USING (doc_id) CROSS JOIN qn
+        |ORDER BY score DESC, d.doc_id LIMIT 10""".stripMargin,
+    // batches twin: same descending-length global order and integer
+    // batch arithmetic (// = Spark's DIV)
+    "order_batches" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> len(x) > 0) AS t
+        | FROM documents),
+        |l AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM toks),
+        |r AS (SELECT doc_id, len,
+        |       row_number() OVER (ORDER BY len DESC, doc_id) - 1 AS rank0
+        |      FROM l)
+        |SELECT CAST(rank0 // 32 AS BIGINT) AS batch,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(max(len) AS BIGINT) AS max_len,
+        |       CAST(sum(len) AS BIGINT) AS sum_len,
+        |       CAST(count(*) * max(len) - sum(len) AS BIGINT) AS padding_waste
+        |FROM r GROUP BY rank0 // 32 ORDER BY batch""".stripMargin,
+    // psi twin: identical conditional counts, shares, and ln terms —
+    // per-type rows, no cross-row double sums
+    "stats_psi" ->
+      """WITH cnt AS (
+        | SELECT event_type,
+        |  sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS a,
+        |  sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS b
+        | FROM events GROUP BY event_type HAVING a > 0 AND b > 0),
+        |m AS (SELECT event_type, a, b, sum(a) OVER () AS na, sum(b) OVER () AS nb
+        |      FROM cnt)
+        |SELECT event_type, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        | round(a / na, 6) AS p_early, round(b / nb, 6) AS p_late,
+        | round((a / na) * ln((a / na) / (b / nb)), 6) AS kl_term,
+        | round((a / na - b / nb) * ln((a / na) / (b / nb)), 6) AS psi_term
+        |FROM m ORDER BY event_type""".stripMargin,
+    // knn-graph twin: the ann_bruteforce ranking for EVERY vector plus
+    // the reverse-edge mutual flag via a self-join of the top-k set
+    "knn_graph" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |scored AS (
+        | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+        |        list_cosine_similarity(a.ev, b.ev) AS s
+        | FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+        |ranked AS (
+        | SELECT q_id, c_id, s,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
+        | FROM scored),
+        |top AS (SELECT * FROM ranked WHERE rank <= 10)
+        |SELECT t.q_id, CAST(t.rank AS BIGINT) AS rank, t.c_id,
+        |       round(t.s, 4) AS score, (r.q_id IS NOT NULL) AS mutual
+        |FROM top t LEFT JOIN top r ON r.q_id = t.c_id AND r.c_id = t.q_id
+        |ORDER BY t.q_id, t.rank""".stripMargin,
     // DPP twin: the same join with NO pruning anywhere — the pruned
     // fact scan must be result-invisible; exact-DECIMAL HAVING keeps
     // the dim key set identical across engines

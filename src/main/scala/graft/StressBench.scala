@@ -199,7 +199,28 @@ object StressBench {
       // incremental MV refresh: delta scan + |groups| merge — growth
       // must track the events scan alone
       "q_mv_merge" -> (() =>
-        operators.MaterializedView.mvMerge(spark, evDir)))
+        operators.MaterializedView.mvMerge(spark, evDir)),
+      // three chained running-min windows + a same-key reduce on ONE
+      // (user_id, ts) sort: N× users at constant series length must be
+      // scan-linear (per-user work is constant)
+      "q_funnel_seq" -> (() =>
+        operators.EventAnalytics.funnel(spark, evDir)),
+      // per-user lag window + |types|²-bounded count aggregate
+      "q_markov" -> (() =>
+        operators.EventAnalytics.markovTransitions(spark, evDir)),
+      // two user-keyed stages + (cohort, offset, user) distinct — the
+      // distinct's partial dedup must keep the exchange row-linear
+      "q_retention" -> (() =>
+        operators.EventAnalytics.retention(spark, evDir)),
+      // posting-list join against one query doc: verbatim replicas
+      // grow every df (and the candidate set) ×N — must stay linear;
+      // doc 0 keeps id 0 under the id remap at every factor
+      "search_mlt" -> (() =>
+        operators.Search.moreLikeThis(v, 0L, 10)),
+      // two-phase distributed rank + batch-keyed reduce — same scale
+      // shape as order_interleave, plus the batch tiling
+      "order_batches" -> (() =>
+        operators.TrainingOrder.lengthBatches(docs, 32)))
     ops.map { case (name, f) =>
       timeNoop(f) // warm-up
       val secs = timeNoop(f)

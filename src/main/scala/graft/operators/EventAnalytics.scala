@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream product analytics: ordered funnels, cohort retention,
+  * and Markov transition matrices — the query family a training-data
+  * pipeline's telemetry side (and any clickstream warehouse) runs on
+  * the `events` table. The reference engine has no event analytics;
+  * these extend its numeric-stats surface (reference:
+  * src/main.rs:510-689) to ordered/temporal statistics.
+  *
+  * Scale shape shared by all three: every operator is a single hash
+  * exchange on `user_id` followed by sort-within-partition windows
+  * and/or a same-key groupBy that REUSES the exchange (Catalyst
+  * collapses hashpartitioning(user_id) → groupBy(user_id) into one
+  * shuffle), then a tiny final aggregate over |steps|, |cohort weeks|²
+  * or |event types|² rows. Nothing data-sized crosses a second
+  * exchange, no per-user arrays are materialized, so 100 TB of events
+  * streams through partition-local sorts exactly like q_sessionize.
+  */
+object EventAnalytics {
+
+  /** X125: re-touch sequencing funnel — of the users who ever did
+    * `s1`, how many later did `s2`, and later still `s3`? ANY later
+    * `s2` event advances the funnel, unlike X97's first-touch form
+    * (TimeSeries.funnel) where only the first touches' order counts.
+    * "Later" is strictly increasing event time (a same-timestamp pair
+    * does not advance the funnel — the conservative reading when
+    * ordering within a tie is unknowable). One window pass per user
+    * computes the running
+    * earliest qualifying time of each stage, chained: a click only
+    * qualifies after the earliest view, a purchase only after the
+    * earliest qualifying click. All three stages ride the SAME
+    * (user_id, ts) sort — three WindowExecs, one exchange — and the
+    * per-user reduction is a same-key groupBy on top of it. */
+  def funnel(spark: SparkSession, sfDir: String,
+             s1: String = "view", s2: String = "click",
+             s3: String = "purchase"): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_type")
+      .where($"event_type".isin(s1, s2, s3))
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = ev
+      .withColumn("t1", min(when($"event_type" === s1, $"ts")).over(w))
+      .withColumn("q2", when($"event_type" === s2 && $"t1" < $"ts", $"ts"))
+      .withColumn("t2", min($"q2").over(w))
+      .withColumn("q3", when($"event_type" === s3 && $"t2" < $"ts", $"ts"))
+    val perUser = staged.groupBy($"user_id")
+      .agg(max($"t1".isNotNull).as("r1"), max($"q2".isNotNull).as("r2"),
+        max($"q3".isNotNull).as("r3"))
+    perUser.agg(
+      sum(when($"r1", 1L).otherwise(0L)).as("u1"),
+      sum(when($"r2", 1L).otherwise(0L)).as("u2"),
+      sum(when($"r3", 1L).otherwise(0L)).as("u3"))
+      .select(explode(array(
+        struct(lit(1L).as("step"), lit(s1).as("event_type"), $"u1".as("users")),
+        struct(lit(2L).as("step"), lit(s2).as("event_type"), $"u2".as("users")),
+        struct(lit(3L).as("step"), lit(s3).as("event_type"), $"u3".as("users")))))
+      .select($"col.step", $"col.event_type", $"col.users")
+      .orderBy($"step")
+  }
+
+  /** X126: weekly cohort retention — users bucketed by the week of
+    * their first event (the cohort), counted distinct in every later
+    * activity week, reported as (cohort_week, week_offset, users).
+    * Weeks are integer arithmetic from the corpus epoch
+    * (days-since-2024-01-01 DIV 7 — a Monday, and engine-identical,
+    * where date_trunc('week') semantics historically differ), so every
+    * output column is integral. Two same-key stages: the per-user
+    * first-event aggregate and the join back to activity rows both
+    * key on user_id (one exchange, reused); the distinct + count is
+    * over (cohort, offset, user) — bounded by active users per cell,
+    * with map-side partial dedup. */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", expr("datediff(CAST(ts AS DATE), DATE'2024-01-01') DIV 7").as("wk"))
+    val first = ev.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+    ev.join(first, Seq("user_id"))
+      .select($"cohort_week", ($"wk" - $"cohort_week").as("week_offset"), $"user_id")
+      .distinct()
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(count(lit(1)).as("users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  /** X127: first-order Markov transition matrix over per-user event
+    * sequences — P(next event type | current), the session-shape
+    * statistic that catches bot traffic (degenerate self-loops) and
+    * drift in interaction patterns. One lag window over the same
+    * (user_id, (ts, event_id)) sort every operator here shares — the
+    * event_id tiebreak makes tied timestamps deterministic in both
+    * engines — then a |types|²-bounded count aggregate; probabilities
+    * are integer-count divisions (engine-identical doubles, rounded),
+    * normalized per source state via a window over the tiny result. */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = ev
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .where($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy($"from_type")
+    trans
+      .withColumn("p", round($"n" / sum($"n").over(tot), 6))
+      .select($"from_type", $"to_type", $"n", $"p")
+      .orderBy($"from_type", $"to_type")
+  }
+
+  /** X128: chi-squared contingency cells for event_type × value
+    * bucket — the categorical-drift companion to stats_ks's continuous
+    * KS distance. Buckets are fixed-width integer arithmetic
+    * (floor(value/25)); observed counts aggregate map-side-combined;
+    * expected counts e = row_total · col_total / N and the cell
+    * contribution (o−e)²/e are computed from INTEGER totals by one
+    * fixed dependency-free double expression each, so both engines
+    * round identically — and the statistic is reported PER CELL, never
+    * summed across cells, because a cross-row double sum's
+    * accumulation order is engine-dependent (callers fold the tiny
+    * |types|×|buckets| result however they like). Marginals ride two
+    * windows over the already-aggregated cell table — data-sized work
+    * is exactly one groupBy. */
+  def contingency(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, sfDir)
+      .select($"event_type", expr("CAST(floor(value / 25.0D) AS BIGINT)").as("bucket"))
+      .groupBy($"event_type", $"bucket").agg(count(lit(1)).as("o"))
+    val byType = Window.partitionBy($"event_type")
+    val byBucket = Window.partitionBy($"bucket")
+    val all = Window.partitionBy()
+    cells
+      .withColumn("row_tot", sum($"o").over(byType))
+      .withColumn("col_tot", sum($"o").over(byBucket))
+      .withColumn("n", sum($"o").over(all))
+      // double BEFORE the product: row_tot·col_tot in integers is
+      // ~N²/|cells| and overflows BIGINT at real corpus sizes
+      .withColumn("e_raw", $"row_tot".cast("double") * $"col_tot" / $"n")
+      .withColumn("e", round($"e_raw", 6))
+      .withColumn("contrib", round(pow($"o" - $"e_raw", 2.0) / $"e_raw", 6))
+      .select($"event_type", $"bucket", $"o", $"e", $"contrib")
+      .orderBy($"event_type", $"bucket")
+  }
+
+  /** X131: KL / PSI drift between the event-type mix of two time
+    * halves — the categorical snapshot-vs-snapshot detector (PSI is
+    * the industry-standard "population stability index"; KL its
+    * asymmetric cousin), complementing stats_ks (continuous values)
+    * and stats_chi2_cells (joint independence). One map-side-combined
+    * conditional-count aggregate over |types| groups is ALL the
+    * data-sized work; shares and the ln terms are dependency-free
+    * double expressions over integer counts, reported PER TYPE —
+    * cross-row double sums are accumulation-order-dependent, so
+    * callers fold the |types|-row result. Types absent from either
+    * half are excluded (ln undefined), which the guard makes
+    * explicit. */
+  def klDrift(spark: SparkSession, sfDir: String,
+              splitAt: String = "2024-01-16 00:00:00"): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables.events(spark, sfDir)
+      .select($"event_type", ($"ts" < lit(splitAt).cast("timestamp")).as("early"))
+      .groupBy($"event_type")
+      .agg(sum(when($"early", 1L).otherwise(0L)).as("a"),
+        sum(when($"early", 0L).otherwise(1L)).as("b"))
+      .where($"a" > 0 && $"b" > 0)
+    val all = Window.partitionBy()
+    cnt
+      .withColumn("na", sum($"a").over(all))
+      .withColumn("nb", sum($"b").over(all))
+      .withColumn("p", $"a" / $"na")
+      .withColumn("q", $"b" / $"nb")
+      .select($"event_type", $"a", $"b",
+        round($"p", 6).as("p_early"), round($"q", 6).as("p_late"),
+        round($"p" * log($"p" / $"q"), 6).as("kl_term"),
+        round(($"p" - $"q") * log($"p" / $"q"), 6).as("psi_term"))
+      .orderBy($"event_type")
+  }
+}

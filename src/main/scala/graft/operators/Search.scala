@@ -289,6 +289,21 @@ object Search {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
   }
 
+  /** Suffix (`*fix` wildcard) search via the classic reversed-term
+    * trick: a trailing wildcard is unindexable left-to-right, but
+    * REVERSE every term and the suffix query becomes a prefix query
+    * over the reversed dictionary — sargable, dictionary-prunable,
+    * exactly how Lucene's reverse-wildcard field works. The reverse +
+    * prefix test runs inside the token array before the explode, so
+    * like prefixSearch only matching terms are ever generated. */
+  def suffixSearch(docs: DataFrame, suffix: String,
+                   textCol: String = "text"): DataFrame = {
+    val rp = suffix.toLowerCase.reverse
+    docs.select(explode(filter(array_distinct(searchTokens(col(textCol))),
+        t => reverse(t).startsWith(lit(rp)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+  }
+
   /** Proximity search: docs where `termA` and `termB` co-occur within
     * `maxDist` token positions, with the best (smallest) distance.
     * Entirely per-row — positions of the two query terms are extracted
@@ -378,6 +393,51 @@ object Search {
     *
     * Returns the k best (doc_id, score), score descending, doc_id
     * ascending on ties. */
+  /** X129: more-like-this — rank the corpus by TF-IDF cosine
+    * similarity to one query DOCUMENT (the "related documents" query,
+    * where BM25's free-text form starts from terms instead). Weights
+    * are tf·ln(N/df), rounded to 9 dp so the two engines' ln ulps
+    * can't diverge; dot products and squared norms accumulate as
+    * DECIMAL so float-summation ORDER (which Spark and DuckDB choose
+    * differently) is invisible — the only double arithmetic is one
+    * dependency-free expression per output row.
+    *
+    * Scale shape: candidate generation is a posting-list join — the
+    * broadcast query vector (|query terms| rows) meets each term's
+    * posting list where it lives, so only docs SHARING a term are ever
+    * scored, and each contributes one partial-aggregated dot-product
+    * row per shared term. Norms ride the same (doc, term) aggregate.
+    * Nothing is quadratic; the reduce keys on doc_id throughout. */
+  def moreLikeThis(docs: DataFrame, queryDocId: Long, k: Int,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      searchTokens(col(textCol)).as("t"))
+    val tf = base.select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val stats = base.agg(count(lit(1)).as("n_docs"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = tf.join(dft, "term").crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 9).as("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum((col("w") * col("w")).cast("decimal(30,10)")).as("nsq"))
+    val qvec = w.where(col("doc_id") === queryDocId)
+      .select(col("term"), col("w").as("wq"))
+    val qnorm = norms.where(col("doc_id") === queryDocId)
+      .select(col("nsq").as("qnsq"))
+    w.join(broadcast(qvec), "term")
+      .where(col("doc_id") =!= queryDocId)
+      .groupBy(col("doc_id"))
+      .agg(sum((col("w") * col("wq")).cast("decimal(30,10)")).as("dot"))
+      .join(norms, "doc_id")
+      .crossJoin(broadcast(qnorm))
+      .select(col("doc_id"), round(col("dot").cast("double") /
+        (sqrt(col("nsq").cast("double")) * sqrt(col("qnsq").cast("double"))), 6)
+        .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def bm25TopK(docs: DataFrame, query: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75,
                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

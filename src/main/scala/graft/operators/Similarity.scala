@@ -304,4 +304,26 @@ object Similarity {
       .select(col("q_id"), (col("rank0") + 1).as("rank"),
         col("t.id").as("c_id"), col("t.score").as("score"))
   }
+
+  /** X132: k-NN graph construction — EVERY vector is a query, and each
+    * directed edge is marked `mutual` when its reverse edge is also in
+    * the other endpoint's top-k (the mutual-kNN graph is the standard
+    * substrate for agglomerative/density clustering of embeddings).
+    * Exactness baseline scores all pairs with the same
+    * candidates-stay-put / bounded-heap shape as bruteForceTopK; at
+    * corpus scale the all-pairs score is inherently quadratic, so the
+    * 100 TB route swaps the scorer for the SRP-banded candidate
+    * generator (`lshTopK`) and reranks — the graph step (the self-join
+    * marking mutual edges) is k·N-bounded either way and joins on
+    * (q_id, c_id), a key both sides already carry. */
+  def knnGraph(vectors: DataFrame, k: Int,
+               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val edges = bruteForceTopK(vectors, vectors, k, vecCol, idCol)
+    val reverse = edges.select(col("q_id").as("c_id"), col("c_id").as("q_id"))
+      .withColumn("mutual", lit(true))
+    edges.join(reverse, Seq("q_id", "c_id"), "left")
+      .select(col("q_id"), col("rank"), col("c_id"), col("score"),
+        coalesce(col("mutual"), lit(false)).as("mutual"))
+      .orderBy(col("q_id"), col("rank"))
+  }
 }

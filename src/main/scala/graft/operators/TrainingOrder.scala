@@ -111,4 +111,30 @@ object TrainingOrder {
     Dedup.globalRank(ranked, Seq("slot", "__key", "id"))
       .select(col("rank").as("pos"), col("stratum"), col("id"))
   }
+
+  /** X130: length-grouped batching — sort by token length descending,
+    * tile into fixed-size batches, report each batch's padding waste
+    * (n·max_len − Σlen, the tokens a per-batch-padded trainer burns).
+    * Length-similar examples batching together is the standard padding
+    * -efficiency move; descending order also front-loads the worst
+    * batch (OOM fail-fast). The global order comes from the same
+    * two-phase distributed rank as every ordering here — no
+    * single-partition window — and the per-batch reduce keys on
+    * rank DIV batchSize, which the range partitioning already
+    * co-locates. All-integer output. */
+  def lengthBatches(docs: DataFrame, batchSize: Int,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(batchSize > 0)
+    val len = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+        .cast("long").as("len"))
+    Dedup.globalRank(len.withColumn("__neg", -col("len")), Seq("__neg", "doc_id"))
+      .withColumn("batch", expr(s"rank DIV $batchSize"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"), max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+      .withColumn("padding_waste", col("n_docs") * col("max_len") - col("sum_len"))
+      .orderBy(col("batch"))
+  }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Brute-force driver-side oracles for the event-analytics family
+  * (X125-X128): each operator's distributed plan is replayed as plain
+  * Scala collections over the collected sf0.001 events. */
+class EventAnalyticsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val ev: Seq[(Long, Timestamp, Long, String, Double)] =
+    Tables.events(spark, sf)
+      .selectExpr("user_id", "ts", "event_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSeq
+
+  test("funnel: stagewise strict-order counts match the brute force") {
+    val got = SparkEntry.queries("q_funnel_seq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val byUser = ev.groupBy(_._1)
+    def minAfter(es: Seq[(Long, Timestamp, Long, String, Double)],
+                 ty: String, after: Option[Timestamp]): Option[Timestamp] =
+      after.flatMap { a =>
+        val c = es.filter(e => e._4 == ty && e._2.after(a)).map(_._2)
+        if (c.isEmpty) None else Some(c.min)
+      }
+    val t1s = byUser.view.mapValues { es =>
+      val v = es.filter(_._4 == "view").map(_._2)
+      if (v.isEmpty) None else Some(v.min)
+    }.toMap
+    val t2s = byUser.map { case (u, es) => u -> minAfter(es, "click", t1s(u)) }
+    val t3s = byUser.map { case (u, es) => u -> minAfter(es, "purchase", t2s(u)) }
+    val expect = Seq(
+      (1L, "view", t1s.values.count(_.isDefined).toLong),
+      (2L, "click", t2s.values.count(_.isDefined).toLong),
+      (3L, "purchase", t3s.values.count(_.isDefined).toLong))
+    assert(got == expect && expect.head._3 > 0)
+    // strictness: the funnel is monotone non-increasing
+    assert(expect(0)._3 >= expect(1)._3 && expect(1)._3 >= expect(2)._3)
+  }
+
+  test("retention: every cohort cell matches distinct-user counting") {
+    val epoch = java.time.LocalDate.of(2024, 1, 1)
+    val got = SparkEntry.queries("q_retention")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def week(t: Timestamp): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        epoch, t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate) / 7
+    val wk = ev.map(e => (e._1, week(e._2)))
+    val cohort = wk.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expect = wk.map { case (u, w) => (cohort(u), w - cohort(u), u) }
+      .distinct.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toLong).toMap
+    assert(got == expect && got.nonEmpty)
+    // cell (c, 0) always contains the cohort's full population
+    val pops = cohort.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    pops.foreach { case (c, n) => assert(got((c, 0L)) == n) }
+  }
+
+  test("markov: transition counts and row-normalized probabilities match") {
+    val got = SparkEntry.queries("q_markov")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val trans = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2.getTime, e._3)).map(_._4)
+      sorted.zip(sorted.drop(1))
+    }.toSeq
+    val cnt = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowTot = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got.keySet == cnt.keySet && got.nonEmpty)
+    cnt.foreach { case (k, n) =>
+      assert(got(k)._1 == n)
+      assert(math.abs(got(k)._2 - n.toDouble / rowTot(k._1)) < 1e-6, s"$k")
+    }
+    // probabilities sum to ~1 per source state
+    got.toSeq.groupBy(_._1._1).values.foreach { row =>
+      assert(math.abs(row.map(_._2._2).sum - 1.0) < 1e-5)
+    }
+  }
+
+  test("psi drift: per-type kl/psi terms match the share arithmetic") {
+    val split = Timestamp.valueOf("2024-01-16 00:00:00")
+    val got = SparkEntry.queries("stats_psi")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6)))).toMap
+    val cnt = ev.groupBy(_._4).view.mapValues { es =>
+      (es.count(_._2.before(split)).toLong,
+        es.count(e => !e._2.before(split)).toLong)
+    }.toMap.filter { case (_, (a, b)) => a > 0 && b > 0 }
+    val na = cnt.values.map(_._1).sum.toDouble
+    val nb = cnt.values.map(_._2).sum.toDouble
+    assert(got.keySet == cnt.keySet && got.nonEmpty)
+    cnt.foreach { case (t, (a, b)) =>
+      val p = a / na; val q = b / nb
+      assert(got(t)._1 == a && got(t)._2 == b)
+      assert(math.abs(got(t)._3 - p * math.log(p / q)) < 1e-6, s"kl $t")
+      assert(math.abs(got(t)._4 - (p - q) * math.log(p / q)) < 1e-6, s"psi $t")
+    }
+  }
+
+  test("chi2 cells: observed/expected/contribution match the textbook formula") {
+    val got = SparkEntry.queries("stats_chi2_cells")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val cells = ev.map(e => (e._4, math.floor(e._5 / 25.0).toLong))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowTot = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val colTot = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = cells.values.sum
+    assert(got.keySet == cells.keySet && got.nonEmpty)
+    cells.foreach { case (k, o) =>
+      val e = rowTot(k._1).toDouble * colTot(k._2) / n
+      assert(got(k)._1 == o)
+      assert(math.abs(got(k)._2 - e) < 1e-6)
+      assert(math.abs(got(k)._3 - math.pow(o - e, 2) / e) < 1e-6)
+    }
+  }
+}

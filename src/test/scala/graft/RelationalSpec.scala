@@ -414,6 +414,40 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("lateral: per-customer top order matches the window form") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q_lateral")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expect = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (c, os) =>
+        val best = os.minBy(o => (-o._3, o._2))
+        (c, best._2, math.rint(best._3 * 100) / 100)
+      }.toSeq.sortBy(_._1)
+    assert(got.nonEmpty && got == expect)
+  }
+
+  test("recursive CTE: tree levels are exactly the binary-tree id ranges") {
+    val ids = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val got = SparkEntry.queries("q_recursive_depth")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    // level d of the parent = id DIV 2 tree is [2^d, 2^(d+1)) ∩ ids
+    got.foreach { case (d, (n, lo, hi)) =>
+      if (d == 0) assert((n, lo, hi) == ((1L, 0L, 0L)))
+      else {
+        val level = ids.filter(i => i >= (1L << (d - 1).toInt) &&
+          i < (1L << d.toInt))
+        assert(n == level.size && lo == level.min && hi == level.max,
+          s"level $d")
+      }
+    }
+    // every document is reachable: levels partition the id set
+    assert(got.map(_._2._1).sum == ids.size + (if (ids(0L)) 0 else 1))
+  }
+
   test("KS distance: every pair matches the textbook two-sample statistic") {
     import org.apache.spark.sql.functions.col
     val byType = Tables.events(spark, sf)

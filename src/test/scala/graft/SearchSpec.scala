@@ -284,6 +284,45 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("suffix search: reversed-term prefix equals an endsWith scan of the vocabulary") {
+    val got = Search.suffixSearch(docs, "ow").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = Search.vocabulary(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._1.endsWith("ow")).toMap
+    assert(got.nonEmpty && got == expect)
+  }
+
+  test("more-like-this: TF-IDF cosine ranking matches the brute force") {
+    val qId = 7L
+    val got = Search.moreLikeThis(docs, qId, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val n = texts.size.toDouble
+    val tf = texts.view.mapValues(_.groupBy(identity).map { case (t, o) =>
+      t -> o.length.toLong }).toMap
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity).map { case (t, o) =>
+      t -> o.size.toLong }
+    def w(d: Long): Map[String, Double] = tf(d).map { case (t, f) =>
+      t -> BigDecimal(f * math.log(n / dfm(t)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val qw = w(qId)
+    val qn = math.sqrt(qw.values.map(x => x * x).sum)
+    val expect = texts.keys.filter(_ != qId).flatMap { d =>
+      val dw = w(d)
+      val shared = dw.keySet.intersect(qw.keySet)
+      if (shared.isEmpty) None else {
+        val dot = shared.toSeq.map(t => dw(t) * qw(t)).sum
+        val cos = dot / (math.sqrt(dw.values.map(x => x * x).sum) * qn)
+        Some(d -> cos)
+      }
+    }.toSeq.sortBy { case (d, s) => (-s, d) }.take(10)
+    assert(got.map(_._1) == expect.map(_._1) && got.nonEmpty)
+    got.zip(expect).foreach { case ((_, gs), (_, es)) =>
+      assert(math.abs(gs - es) < 1e-5)
+    }
+  }
+
   test("regex search: matches and counts reproduce java.util.regex on the driver") {
     val pat = "(spark|vector) (join|index)"
     val got = Search.regexSearch(docs, pat).collect()

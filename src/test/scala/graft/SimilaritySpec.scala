@@ -206,4 +206,24 @@ class SimilaritySpec extends AnyFunSuite {
         assert(math.abs(s - cosine(vecs(q), vecs(c))) < 1e-9)
       }
   }
+
+  test("X132: knn graph edges equal per-query brute force; mutual = reverse edge present") {
+    val k = 5
+    val got = Similarity.knnGraph(emb, k).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getBoolean(4)))
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val expectEdges = vecs.keys.flatMap { q =>
+      vecs.keys.filter(_ != q).map(c => (q, c, cosine(vecs(q), vecs(c))))
+        .toSeq.sortBy { case (_, c, s) => (-s, c) }.take(k).zipWithIndex
+        .map { case ((_, c, _), i) => (q, (i + 1).toLong, c) }
+    }.toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == expectEdges && got.nonEmpty)
+    val edgeSet = got.map(t => (t._1, t._3)).toSet
+    got.foreach { case (q, _, c, m) =>
+      assert(m == edgeSet.contains((c, q)), s"mutual flag wrong for ($q,$c)")
+    }
+    assert(got.exists(_._4) && got.exists(!_._4),
+      "test corpus should have both mutual and one-way edges")
+  }
 }

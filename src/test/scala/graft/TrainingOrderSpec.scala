@@ -93,4 +93,21 @@ class TrainingOrderSpec extends AnyFunSuite {
     val en = half.count(_._2 == "en"); val fr = half.count(_._2 == "fr")
     assert(en > fr * 2, s"weight-3 stratum should dominate a prefix (en=$en fr=$fr)")
   }
+
+  test("length batches: tiling, max/sum, and padding waste match the brute force") {
+    val B = 32
+    val got = TrainingOrder.lengthBatches(docs, B).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(_._1)
+    val lens = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").count(_.nonEmpty).toLong)
+    val expect = lens.sortBy { case (id, l) => (-l, id) }.map(_._2)
+      .grouped(B).zipWithIndex.map { case (b, i) =>
+        (i.toLong, b.size.toLong, b.max, b.sum, b.size * b.max - b.sum)
+      }.toSeq
+    assert(got == expect && got.nonEmpty)
+    // batches are length-monotone: each batch's max ≤ the previous min
+    got.sliding(2).foreach { case Seq(a, b) => assert(b._3 <= a._3) case _ => }
+  }
 }
