@@ -1165,6 +1165,33 @@ object SparkEntry {
           round(col("score"), 4).as("score"), col("mutual"))
         .orderBy(col("q_id"), col("rank"))
     }),
+    // X133: faceted search — conjunctive query + per-facet rollup
+    "search_facets" -> ((s, dir) =>
+      Search.facetedSearch(Tables.documents(s, dir), Seq("spark"),
+        Seq("lang", "source"))),
+    // X134: posting-list delta-gap compression sizing
+    "ii_postings_delta" -> ((s, dir) =>
+      Search.postingsDeltaStats(Tables.documents(s, dir))),
+    // X135: canonical-keeper selection over the embedding near-dup
+    // clusters (longest doc wins, id tiebreak)
+    "dedup_keeper" -> ((s, dir) =>
+      ConnectedComponents.canonicalKeepers(Tables.documents(s, dir),
+        Dedup.embeddingPairs(Tables.embeddings(s, dir)))),
+    // X136: text-embedding pair curation with per-cohort stats
+    "mm_pair_stats" -> ((s, dir) =>
+      graft.multimodal.Multimodal.pairStats(Tables.documents(s, dir),
+        Tables.embeddings(s, dir))),
+    // X137: per-type Gini inequality over event values via the
+    // distributed grouped rank
+    "stats_gini" -> (EventAnalytics.gini _),
+    // X138: WAND/MaxScore-pruned BM25 — result-identical to
+    // search_bm25 (same oracle), but the scoring exchange only
+    // carries docs passing the scan-stage upper-bound gate
+    "search_wand" -> ((s, dir) =>
+      Search.wandTopK(Tables.documents(s, dir), Seq("spark", "vector", "slow"), 20)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
+    // X139: entry-path analysis — first-3-event paths per user
+    "q_entry_paths" -> (EventAnalytics.entryPaths(_, _)),
   )
 
   /** DuckDB-dialect twins of `queries`, identical column names and
@@ -1377,6 +1404,25 @@ object SparkEntry {
         |  ',' ORDER BY doc_id, pos) AS postings
         |FROM p GROUP BY 1, 2 ORDER BY term, chunk""".stripMargin,
     "search_bm25" -> bm25OracleSql(Seq("spark", "vector", "slow"), 20),
+    // wand twin: the UNPRUNED bm25 oracle — pruning must be
+    // result-invisible, which is the entire correctness claim
+    "search_wand" -> bm25OracleSql(Seq("spark", "vector", "slow"), 20),
+    // entry-path twin: same rank window (epoch-µs order, event_id
+    // tiebreak) and NULL-skipping concat_ws
+    "q_entry_paths" ->
+      """WITH r AS (
+        | SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |                     ORDER BY epoch_us(ts), event_id) AS rn
+        | FROM events),
+        |p AS (SELECT user_id,
+        |       min(CASE WHEN rn = 1 THEN event_type END) AS p1,
+        |       min(CASE WHEN rn = 2 THEN event_type END) AS p2,
+        |       min(CASE WHEN rn = 3 THEN event_type END) AS p3
+        |      FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT concat_ws('->', p1, p2, p3) AS path,
+        | CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path ORDER BY path""".stripMargin,
     "search_bm25_prf" -> bm25PrfOracleSql(Seq("spark", "vector"), 20, r = 5, e = 3),
     // 1-based positions cancel in the distance; join over unnested
     // per-term position lists = the per-row O(|pa|·|pb|) array min
@@ -3064,6 +3110,98 @@ object SparkEntry {
         | round((a / na) * ln((a / na) / (b / nb)), 6) AS kl_term,
         | round((a / na - b / nb) * ln((a / na) / (b / nb)), 6) AS psi_term
         |FROM m ORDER BY event_type""".stripMargin,
+    // facets twin: same scan predicate, facet expansion as UNION ALL
+    "search_facets" ->
+      """WITH toks AS (
+        | SELECT doc_id, lang, source,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |m AS (SELECT lang, source FROM toks WHERE list_contains(t, 'spark')),
+        |f AS (SELECT 'lang' AS facet, lang AS value FROM m
+        |      UNION ALL SELECT 'source', source FROM m)
+        |SELECT facet, value, CAST(count(*) AS BIGINT) AS n
+        |FROM f GROUP BY facet, value ORDER BY facet, value""".stripMargin,
+    // delta twin: same per-term lag gaps; bin() is unpadded in both
+    // engines, so gap_bits agree
+    "ii_postings_delta" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> len(x) > 0) AS t
+        | FROM documents),
+        |p AS (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks),
+        |g AS (SELECT term, doc_id,
+        |       doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS gap
+        |      FROM p)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        | CAST(min(doc_id) AS BIGINT) AS first_id,
+        | CAST(max(doc_id) AS BIGINT) AS last_id,
+        | CAST(max(gap) AS BIGINT) AS max_gap,
+        | CAST(length(bin(max(gap))) AS BIGINT) AS gap_bits
+        |FROM g GROUP BY term HAVING count(*) >= 2 ORDER BY term""".stripMargin,
+    // keeper twin: the dedup_clusters reachability closure, then the
+    // longest-doc-wins window per component
+    "dedup_keeper" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |bits AS (SELECT id, e, ${srpBitsSql(16, 64)} FROM v),
+        |banded AS (${srpBandedSql(16, 4)}),
+        |ok AS (SELECT band, bhash FROM banded GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 200),
+        |cand AS (
+        | SELECT DISTINCT a.id AS id1, b.id AS id2
+        | FROM banded a JOIN ok USING (band, bhash) JOIN banded b
+        |  ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id),
+        |pairs AS (
+        | SELECT c.id1, c.id2 FROM cand c JOIN v v1 ON v1.id = c.id1 JOIN v v2 ON v2.id = c.id2
+        | WHERE list_cosine_similarity(v1.e, v2.e) >= 0.35),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION SELECT id2, id1 FROM pairs),
+        |reach(id, r) AS (
+        | SELECT a, a FROM edges
+        | UNION
+        | SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |k AS (SELECT comp.component, comp.id, d.n_chars
+        |      FROM comp JOIN documents d ON d.doc_id = comp.id),
+        |rr AS (SELECT component, id,
+        |        row_number() OVER (PARTITION BY component
+        |                           ORDER BY n_chars DESC, id) AS rn,
+        |        count(*) OVER (PARTITION BY component) AS nm
+        |       FROM k)
+        |SELECT component, id AS keeper_id, CAST(nm AS BIGINT) AS n_members,
+        | CAST(nm - 1 AS BIGINT) AS n_removed
+        |FROM rr WHERE rn = 1 AND nm > 1 ORDER BY component""".stripMargin,
+    // pair twin: same join/gate; norms are one left-to-right fold in
+    // both engines, cohort averages accumulate as DECIMAL
+    "mm_pair_stats" ->
+      """WITH p AS (
+        | SELECT d.lang, e.label,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(d.text), '\s+'),
+        |                       x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  CAST(e.embedding AS DOUBLE[]) AS ev
+        | FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        | WHERE d.n_chars >= 40),
+        |n AS (SELECT lang, label, n_tokens,
+        |       round(sqrt(list_dot_product(ev, ev)), 6) AS norm FROM p)
+        |SELECT lang, CAST(label AS BIGINT) AS label,
+        | CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        | CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+        | round(CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_norm
+        |FROM n GROUP BY lang, label ORDER BY lang, label""".stripMargin,
+    // gini twin: identical rank formula over exact DECIMAL sums; the
+    // ratio is the only double arithmetic, one expression per group
+    "stats_gini" ->
+      """WITH ev AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x, event_id
+        |            FROM events),
+        |r AS (SELECT event_type, x,
+        |       row_number() OVER (PARTITION BY event_type ORDER BY x, event_id) - 1 AS grank
+        |      FROM ev),
+        |a AS (SELECT event_type, count(*) AS n, sum(x) AS s0,
+        |       sum((grank + 1) * x) AS s1
+        |      FROM r GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        | round((2.0 * CAST(s1 AS DOUBLE) - (n + 1) * CAST(s0 AS DOUBLE))
+        |       / (n * CAST(s0 AS DOUBLE)), 6) AS gini
+        |FROM a ORDER BY event_type""".stripMargin,
     // knn-graph twin: the ann_bruteforce ranking for EVERY vector plus
     // the reverse-edge mutual flag via a self-join of the top-k set
     "knn_graph" ->

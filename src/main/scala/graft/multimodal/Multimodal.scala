@@ -203,6 +203,38 @@ object Multimodal {
       .agg(count(lit(1)).as("n"), min(col("media_id")).as("keeper_id"))
       .orderBy(col("phash"))
 
+  /** X136: text–embedding pair curation — the CLIP-style step that
+    * joins a caption corpus to its embedding table, applies the
+    * quality gate, and reports per-(lang, label) cohort stats for
+    * mixture decisions. The join keys doc_id ≡ vec_id (the corpus
+    * convention dedup_hybrid also relies on); at 100 TB both sides
+    * shuffle on that shared key once — or not at all when both are
+    * bucketed on it. Per-row vector norms are one left-to-right fold
+    * (engine-identical); the cohort average accumulates them as
+    * DECIMAL so cross-row float-sum order is invisible. All other
+    * outputs are integers. */
+  def pairStats(docs: DataFrame, emb: DataFrame,
+                minChars: Long = 40): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(lower(col("text")))
+    val pairs = docs
+      .where(col("n_chars") >= minChars)
+      .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tokens"))
+      .join(emb.select(col("vec_id").as("doc_id"), col("label"), col("embedding")),
+        Seq("doc_id"))
+    pairs
+      .withColumn("norm", round(sqrt(aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))), 6))
+      .groupBy(col("lang"), col("label"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("norm").cast("decimal(18,6)")).as("__nsum"))
+      .withColumn("avg_norm", round(col("__nsum").cast("double") / col("n_pairs"), 6))
+      .select(col("lang"), col("label").cast("long").as("label"), col("n_pairs"),
+        col("sum_tokens"), col("max_tokens"), col("avg_norm"))
+      .orderBy(col("lang"), col("label"))
+  }
+
   /** Deterministic media table derived from the documents testdata:
     * the text bytes act as the payload, the kind cycles through the
     * three modalities. */

@@ -111,6 +111,34 @@ object ConnectedComponents {
       .agg(count(lit(1)).as("n_members"),
         array_join(array_sort(collect_list(col("id"))), ",").as("members"))
 
+  /** X135: canonical-keeper selection — dedup's POLICY step: within
+    * each near-dup cluster, which member survives? `dropClustered`
+    * hard-codes "smallest id"; real pipelines keep the best document
+    * (longest, preferred source, then id as the tiebreak). One
+    * component-keyed window over the cluster membership joined to the
+    * doc metadata — component cardinality is high and cluster sizes
+    * are bounded by dedup density, so the sort parallelizes like any
+    * high-cardinality window. Returns one row per multi-member
+    * cluster: (component, keeper_id, n_members, n_removed). */
+  def canonicalKeepers(docs: DataFrame, edges: DataFrame,
+                       lengthCol: String = "n_chars",
+                       idCol: String = "doc_id",
+                       maxRounds: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val member = components(edges, maxRounds)
+      .join(docs.select(col(idCol).cast("long").as("id"),
+        col(lengthCol).as("__len")), Seq("id"))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("__len").desc, col("id"))
+    member
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("comp"))))
+      .where(col("__rn") === 1 && col("n_members") > 1)
+      .select(col("comp").as("component"), col("id").as("keeper_id"),
+        col("n_members"), (col("n_members") - 1).as("n_removed"))
+      .orderBy(col("component"))
+  }
+
   /** Drop every non-canonical member of every cluster from `docs`:
     * the end-to-end "pairs → survivors" dedup contract. */
   def dropClustered(docs: DataFrame, edges: DataFrame,

@@ -183,4 +183,58 @@ object EventAnalytics {
         round(($"p" - $"q") * log($"p" / $"q"), 6).as("psi_term"))
       .orderBy($"event_type")
   }
+
+  /** X139: entry-path analysis — the first `n` event types of every
+    * user's history concatenated into a path string, counted across
+    * users (the "how do sessions start" query behind onboarding and
+    * bot triage; q_markov gives the edge view, this gives the prefix
+    * view). One row_number window on the shared (user_id, (ts,
+    * event_id)) sort keeps only ranks ≤ n, the per-user reduce
+    * (conditional min per position — O(1) state) reuses the
+    * partitioning, and the path aggregate is bounded by |types|ⁿ.
+    * concat_ws skips NULLs in both engines, so users with fewer than
+    * `n` events fold into their shorter prefix naturally. */
+  def entryPaths(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(n >= 1 && n <= 5)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ranked = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= n)
+    val positions = (1 to n).map(i =>
+      min(when($"rn" === i, $"event_type")).as(s"p$i"))
+    ranked.groupBy($"user_id")
+      .agg(positions.head, positions.tail: _*)
+      .select(concat_ws("->", (1 to n).map(i => col(s"p$i")): _*).as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_users"))
+      .orderBy($"path")
+  }
+
+  /** X137: per-group Gini coefficient of the value distribution — the
+    * inequality profile (is spend concentrated in a few whales? are
+    * token counts dominated by a handful of documents?). Uses the
+    * rank formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over each
+    * group's ascending sort. Ranks come from the two-phase distributed
+    * groupedRank — NOT a per-group window, so the |types|-cardinality
+    * key can't funnel a partition. Values are exact DECIMAL(18,2)
+    * (the corpus's native 2-dp prices/values), so both Σ terms
+    * accumulate EXACTLY in any order; the only double arithmetic is
+    * the final one-expression ratio per group. */
+  def gini(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type", $"value".cast("decimal(18,2)").as("x"), $"event_id")
+    val ranked = TrainingOrder.groupedRank(ev, "event_type", Seq("x", "event_id"))
+    ranked
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("s0"),
+        sum(($"grank" + 1) * $"x").as("s1"))
+      .select($"event_type", $"n",
+        round((lit(2.0) * $"s1".cast("double") -
+          ($"n" + 1) * $"s0".cast("double")) / ($"n" * $"s0".cast("double")), 6)
+          .as("gini"))
+      .orderBy($"event_type")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -289,6 +290,30 @@ object Search {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
   }
 
+  /** X134: posting-list delta-gap compression stats — for every term
+    * with ≥2 postings, the d-gap profile (first/last id, widest gap,
+    * and the bit width `len(bin(max_gap))` a fixed-width gap coder
+    * would need). This is the sizing pass for compressed postings
+    * (VByte/PForDelta pick block widths from exactly these numbers),
+    * and on the doc-id-CLUSTERED layout it quantifies the win: terms
+    * correlated with the cluster key get small gaps → few bits. One
+    * token explode re-keyed by term (the same exchange any index build
+    * pays), then a term-keyed lag window — high-cardinality partition
+    * key, so every sort is small and parallel. */
+  def postingsDeltaStats(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(searchTokens(col(textCol)))).as("term"))
+      .withColumn("gap", col("doc_id") - lag(col("doc_id"), 1).over(w))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_id"),
+        max(col("doc_id")).as("last_id"), max(col("gap")).as("max_gap"))
+      .where(col("df") >= 2)
+      .withColumn("gap_bits", length(bin(col("max_gap"))).cast("long"))
+      .orderBy(col("term"))
+  }
+
   /** Suffix (`*fix` wildcard) search via the classic reversed-term
     * trick: a trailing wildcard is unindexable left-to-right, but
     * REVERSE every term and the suffix query becomes a prefix query
@@ -393,6 +418,28 @@ object Search {
     *
     * Returns the k best (doc_id, score), score descending, doc_id
     * ascending on ties. */
+  /** X133: faceted search — run a conjunctive term query and roll the
+    * matching docs up by each requested metadata facet (the sidebar
+    * counts every search UI shows next to results). The match
+    * predicate runs inside the scan (same per-row token test as
+    * booleanSearchScan — no index round-trip for a one-shot query);
+    * facet expansion is one `explode` of |facets| structs per matching
+    * row, so the only exchange is the (facet, value) count aggregate,
+    * map-side combined and bounded by Σ|facet domains|. */
+  def facetedSearch(docs: DataFrame, must: Seq[String], facets: Seq[String],
+                    textCol: String = "text"): DataFrame = {
+    require(must.nonEmpty && facets.nonEmpty)
+    val toks = searchTokens(col(textCol))
+    val matched = docs.where(must.map(t => array_contains(toks, t))
+      .reduce(_ && _))
+    matched
+      .select(explode(array(facets.map(f =>
+        struct(lit(f).as("facet"), col(f).as("value"))): _*)).as("fv"))
+      .groupBy(col("fv.facet").as("facet"), col("fv.value").as("value"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("facet"), col("value"))
+  }
+
   /** X129: more-like-this — rank the corpus by TF-IDF cosine
     * similarity to one query DOCUMENT (the "related documents" query,
     * where BM25's free-text form starts from terms instead). Weights
@@ -436,6 +483,119 @@ object Search {
         .as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** X138: WAND/MaxScore-pruned BM25 — the top-k pruning algorithm
+    * production engines use so ranking cost tracks the RESULT, not the
+    * corpus. Result-identical to `bm25TopK` (the spec and the shared
+    * oracle prove it); the plan differs: per-term score UPPER BOUNDS
+    * (from max tf and min dl — aggregates, not per-doc work) gate
+    * which docs enter the scoring exchange.
+    *
+    * Three phases, Spark-first: (1) one aggregation pass derives
+    * corpus stats and per-term (df, max tf) — |query terms| rows
+    * collected to the driver, bounded metadata like IVF centroids;
+    * (2) a seed pass fully scores only the RAREST term's posting set
+    * with a per-row expression (all constants known), and its k-th
+    * best score θ̂ is a certified lower bound of the final threshold —
+    * any true top-k doc has score ≥ θ ≥ θ̂ and UB ≥ score, so
+    * (3) the UB gate `Σ ub(matched terms) ≥ θ̂` — evaluated INSIDE the
+    * scan from broadcast constants, before any exchange — provably
+    * keeps every true top-k doc, and the exact scorer runs only on
+    * survivors. At 100 TB the gate drops the overwhelming share of
+    * matching docs from the shuffle; with the materialized index the
+    * same bounds skip posting-fetches entirely. */
+  def wandTopK(docs: DataFrame, query: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val (survivors, termStats, nDocs, avgdl) = wandPrep(docs, query, k, k1, b, textCol, idCol)
+    val spark = docs.sparkSession
+    val dft = broadcast(spark.createDataFrame(termStats.map(t => (t._1, t._2)))
+      .toDF("term", "df"))
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    val tfStructs = array(query.distinct.map(_.toLowerCase).map(w =>
+      struct(lit(w).as("term"),
+        size(filter(col("t"), x => x === w)).cast("long").as("tf"))): _*)
+    survivors.select(col("doc_id"), col("dl"), explode(tfStructs).as("ts"))
+      .select(col("doc_id"), col("dl"), col("ts.term").as("term"), col("ts.tf").as("tf"))
+      .where(col("tf") > 0)
+      .join(dft, "term")
+      .select(col("doc_id"),
+        (log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * k1p1) /
+          (col("tf") + lit(k1) * (lit(oneMinusB) + lit(b) * col("dl") / lit(avgdl)))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Docs matching ≥1 query term vs docs surviving the UB gate —
+    * the pruning effectiveness the spec asserts. */
+  def wandSurvivorCounts(docs: DataFrame, query: Seq[String], k: Int,
+                         k1: Double = 1.2, b: Double = 0.75,
+                         textCol: String = "text", idCol: String = "doc_id"): (Long, Long) = {
+    val terms = query.distinct.map(_.toLowerCase)
+    val toks = searchTokens(col(textCol))
+    val matched = docs.where(terms.map(t => array_contains(toks, t)).reduce(_ || _)).count()
+    val (survivors, _, _, _) = wandPrep(docs, query, k, k1, b, textCol, idCol)
+    (matched, survivors.count())
+  }
+
+  /** Shared phases 1-3 of wandTopK: returns (surviving base rows,
+    * per-term (term, df, maxtf), n_docs, avgdl). */
+  private def wandPrep(docs: DataFrame, query: Seq[String], k: Int,
+                       k1: Double, b: Double, textCol: String, idCol: String)
+      : (DataFrame, Seq[(String, Long, Long)], Long, Double) = {
+    require(query.nonEmpty && k > 0)
+    val terms = query.distinct.map(_.toLowerCase)
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        searchTokens(col(textCol)).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+    // phase 1: corpus stats + per-term df/maxtf — bounded collects
+    val Array(st) = base.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"),
+      min(col("dl")).as("mindl")).collect()
+    val (nDocs, avgdl, minDl) = (st.getLong(0), st.getDouble(1), st.getLong(2))
+    val tfStructs = array(terms.map(w =>
+      struct(lit(w).as("term"),
+        size(filter(col("t"), x => x === w)).cast("long").as("tf"))): _*)
+    val termStats = base.select(explode(tfStructs).as("ts"))
+      .select(col("ts.term").as("term"), col("ts.tf").as("tf"))
+      .where(col("tf") > 0)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("maxtf"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1) // fixed term order → deterministic θ̂ sum
+    def idf(df: Long): Double = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+    def termScore(tf: Double, dl: Double, df: Long): Double =
+      idf(df) * (tf * k1p1) / (tf + k1 * (oneMinusB + b * dl / avgdl))
+    val ub = termStats.map { case (t, df, maxtf) =>
+      t -> termScore(maxtf.toDouble, minDl.toDouble, df)
+    }.toMap
+    // per-row exact score from driver constants (same formula/values)
+    val rowScore = if (termStats.isEmpty) lit(0.0) else termStats.map {
+      case (t, df, _) =>
+        val tf = size(filter(col("t"), x => x === t)).cast("double")
+        when(tf > 0, lit(idf(df)) * (tf * k1p1) /
+          (tf + lit(k1) * (lit(oneMinusB) + lit(b) * col("dl") / lit(avgdl))))
+          .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    // phase 2: θ̂ from the rarest term's fully-scored posting set
+    val thetaHat = if (termStats.isEmpty) 0.0 else {
+      val rarest = termStats.minBy(_._2)._1
+      val seed = base.where(array_contains(col("t"), rarest))
+        .select(rowScore.as("s")).orderBy(col("s").desc).limit(k)
+        .collect().map(_.getDouble(0))
+      if (seed.length < k) 0.0 else seed.last
+    }
+    // phase 3: the scan-stage UB gate
+    val ubExpr = terms.map(t =>
+      when(array_contains(col("t"), t), lit(ub.getOrElse(t, 0.0)))
+        .otherwise(lit(0.0))).reduce(_ + _)
+    (base.where(ubExpr >= thetaHat && ubExpr > 0.0), termStats, nDocs, avgdl)
   }
 
   def bm25TopK(docs: DataFrame, query: Seq[String], k: Int,

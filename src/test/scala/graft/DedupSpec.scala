@@ -326,6 +326,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("X135: keeper is the longest member (id tiebreak) of every multi-member cluster") {
+    val emb = Tables.embeddings(spark, sf)
+    val edges = Dedup.embeddingPairs(emb)
+    val comp = operators.ConnectedComponents.components(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lens = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = operators.ConnectedComponents.canonicalKeepers(docs, edges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val expect = comp.toSeq.groupBy(_._2).collect {
+      case (c, ms) if ms.size > 1 =>
+        val ids = ms.map(_._1)
+        c -> ((ids.minBy(id => (-lens(id), id)), ids.size.toLong, ids.size - 1L))
+    }.toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("L2 plan shape: one exchange on band buckets, no shingle explode before it") {
     val plan = Dedup.minhashLshPairs(docs).queryExecution.optimizedPlan.toString
     // signature computed as the custom per-row expression, not an explode of shingles

@@ -98,6 +98,37 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("entry paths: first-3 prefixes and counts match the brute force") {
+    val got = SparkEntry.queries("q_entry_paths")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = ev.groupBy(_._1).values.map { es =>
+      es.sortBy(e => (e._2.getTime, e._3)).take(3).map(_._4).mkString("->")
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expect && got.nonEmpty)
+    assert(got.values.sum == ev.map(_._1).distinct.size)
+  }
+
+  test("gini: per-type coefficient matches the rank formula on sorted values") {
+    val got = SparkEntry.queries("stats_gini")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expect = ev.groupBy(_._4).view.mapValues { es =>
+      val xs = es.sortBy(e => (BigDecimal(e._5).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP), e._3)).map(e =>
+        BigDecimal(e._5).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      val n = xs.size
+      val s0 = xs.sum
+      val s1 = xs.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+      (n.toLong,
+        (2.0 * s1.toDouble - (n + 1) * s0.toDouble) / (n * s0.toDouble))
+    }.toMap
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    expect.foreach { case (t, (n, g)) =>
+      assert(got(t)._1 == n)
+      assert(math.abs(got(t)._2 - g) < 1e-6, s"gini $t")
+      assert(got(t)._2 > 0.0 && got(t)._2 < 1.0)
+    }
+  }
+
   test("chi2 cells: observed/expected/contribution match the textbook formula") {
     val got = SparkEntry.queries("stats_chi2_cells")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->

@@ -7,6 +7,38 @@ import graft.multimodal.Multimodal
 class MultimodalSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("X136: pair stats match a driver-side join + norm recompute") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val got = Multimodal.pairStats(docs, emb).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val dmeta = docs.select("doc_id", "lang", "text", "n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    val pairs = emb.select("vec_id", "label", "embedding").collect().flatMap { r =>
+      val id = r.getLong(0)
+      dmeta.get(id).filter(_._3 >= 40).map { case (lang, text, _) =>
+        val nTok = text.toLowerCase.split("\\s+").count(_.nonEmpty).toLong
+        val vec = r.getSeq[Float](2)
+        val norm = BigDecimal(math.sqrt(
+          vec.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        ((lang, r.getInt(1).toLong), nTok, norm)
+      }
+    }
+    val expect = pairs.groupBy(_._1).view.mapValues { ps =>
+      val toks = ps.map(_._2)
+      val avg = (ps.map(_._3).sum / ps.size).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      (ps.size.toLong, toks.sum, toks.max, avg)
+    }.toMap
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    expect.foreach { case (k, (n, st, mt, avg)) =>
+      assert(got(k)._1 == n && got(k)._2 == st && got(k)._3 == mt)
+      assert(math.abs(got(k)._4 - avg) < 2e-6, s"cohort $k")
+    }
+  }
+
   test("L12: decode pipeline is deterministic and preserves cardinality") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val n = media.count()

@@ -293,6 +293,47 @@ class SearchSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expect)
   }
 
+  test("wand: pruned top-k equals unpruned bm25 exactly; the UB gate actually prunes") {
+    val q = Seq("spark", "vector", "slow")
+    val wand = Search.wandTopK(docs, q, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Search.bm25TopK(docs, q, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(wand == full && wand.nonEmpty)
+    val (matched, survived) = Search.wandSurvivorCounts(docs, q, 20)
+    assert(survived < matched,
+      s"UB gate should prune ($survived survived of $matched matched)")
+    assert(survived >= 20, "survivors must still cover the top-k")
+  }
+
+  test("faceted search: facet counts equal the brute-force rollup of matching docs") {
+    val got = Search.facetedSearch(docs, Seq("spark"), Seq("lang", "source"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val meta = docs.select("doc_id", "lang", "source").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val matching = texts.collect { case (id, t) if t.contains("spark") => id }
+    val expect =
+      matching.groupBy(id => ("lang", meta(id)._1)).view.mapValues(_.size.toLong) ++
+      matching.groupBy(id => ("source", meta(id)._2)).view.mapValues(_.size.toLong)
+    assert(got == expect.toMap && got.nonEmpty)
+  }
+
+  test("postings delta stats: gaps and bit widths match the sorted posting lists") {
+    val got = Search.postingsDeltaStats(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val postings = texts.toSeq.flatMap { case (id, t) => t.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).filter(_._2.size >= 2)
+    assert(got.keySet == postings.keySet.toSet && got.nonEmpty)
+    postings.foreach { case (term, ids) =>
+      val gaps = ids.zip(ids.tail).map { case (a, b) => b - a }
+      val (df, fi, li, mg, bits) = got(term)
+      assert(df == ids.size && fi == ids.head && li == ids.last)
+      assert(mg == gaps.max, s"term $term")
+      assert(bits == java.lang.Long.toBinaryString(gaps.max).length)
+    }
+  }
+
   test("more-like-this: TF-IDF cosine ranking matches the brute force") {
     val qId = 7L
     val got = Search.moreLikeThis(docs, qId, 10).collect()
