@@ -1192,6 +1192,19 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
     // X139: entry-path analysis — first-3-event paths per user
     "q_entry_paths" -> (EventAnalytics.entryPaths(_, _)),
+    // X140: RFM segmentation — quintile grid via the distributed rank
+    "q_rfm" -> (EventAnalytics.rfm(_, _)),
+    // X141: schema-evolution ingest — two-generation mergeSchema read
+    "ingest_evolve" -> (graft.sources.SchemaEvolution.ingestEvolved _),
+    // X142: view→purchase conversion-latency deciles via the
+    // distributed rank (exact percentiles, no percentile buffer)
+    "q_conv_latency" -> (EventAnalytics.conversionLatency _),
+    // X143: DAU / trailing-7-day WAU / stickiness from one user-day
+    // dedup + a bounded day expansion
+    "q_dau_wau" -> (EventAnalytics.dauWau _),
+    // X144: per-label embedding drift — half-centroid cosine agreement
+    "embed_drift" -> ((s, dir) =>
+      EmbeddingStats.centroidDrift(Tables.embeddings(s, dir))),
   )
 
   /** DuckDB-dialect twins of `queries`, identical column names and
@@ -1407,6 +1420,87 @@ object SparkEntry {
     // wand twin: the UNPRUNED bm25 oracle — pruning must be
     // result-invisible, which is the entire correctness claim
     "search_wand" -> bm25OracleSql(Seq("spark", "vector", "slow"), 20),
+    // rfm twin: same per-user metrics and integer rank·5 DIV n
+    // quintiles (row_number − 1 ≡ the two-phase rank; DuckDB // ≡ DIV)
+    "q_rfm" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  min(datediff('day', CAST(ts AS DATE), DATE '2024-01-31')) AS rec,
+        |  count(*) AS freq,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS mon
+        | FROM events GROUP BY user_id),
+        |n AS (SELECT count(*) AS n_users FROM u),
+        |s AS (SELECT user_id,
+        |       (row_number() OVER (ORDER BY rec DESC, user_id) - 1) * 5 // n_users + 1 AS r_score,
+        |       (row_number() OVER (ORDER BY freq, user_id) - 1) * 5 // n_users + 1 AS f_score,
+        |       (row_number() OVER (ORDER BY mon, user_id) - 1) * 5 // n_users + 1 AS m_score
+        |      FROM u CROSS JOIN n)
+        |SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+        | CAST(m_score AS BIGINT) AS m_score, CAST(count(*) AS BIGINT) AS n_users
+        |FROM s GROUP BY r_score, f_score, m_score
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
+    // latency twin: same first-touch pair, integer µs latency, rank
+    // deciles (// ≡ DIV), all-integer output
+    "q_conv_latency" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+        | FROM events GROUP BY user_id),
+        |l AS (SELECT user_id, epoch_us(t2) - epoch_us(t1) AS lat_us
+        |      FROM u WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t1 < t2),
+        |n AS (SELECT count(*) AS n FROM l),
+        |r AS (SELECT lat_us,
+        |       (row_number() OVER (ORDER BY lat_us, user_id) - 1) * 10 // n + 1 AS decile
+        |      FROM l CROSS JOIN n)
+        |SELECT CAST(decile AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(min(lat_us) // 60000000 AS BIGINT) AS min_minutes,
+        | CAST(max(lat_us) // 60000000 AS BIGINT) AS max_minutes
+        |FROM r GROUP BY decile ORDER BY decile""".stripMargin,
+    // dau/wau twin: same user-day dedup and bounded day expansion
+    "q_dau_wau" ->
+      """WITH ud AS (
+        | SELECT DISTINCT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+        |        user_id
+        | FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |w AS (SELECT DISTINCT day + g AS rday, user_id
+        |      FROM ud CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS g) t),
+        |wau AS (SELECT rday, count(*) AS wau FROM w GROUP BY rday)
+        |SELECT CAST(day AS BIGINT) AS day, CAST(dau AS BIGINT) AS dau,
+        | CAST(wau AS BIGINT) AS wau, round(dau / wau, 6) AS stickiness
+        |FROM dau JOIN wau ON day = rday ORDER BY day""".stripMargin,
+    // drift twin: the embed_centroid per-dim round-6 average, computed
+    // per half, then one list cosine per label
+    "embed_drift" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |ua AS (SELECT label, unnest(e) AS x, unnest(range(1, len(e)+1)) AS pos
+        |       FROM v WHERE vec_id % 2 = 0),
+        |ca AS (SELECT label, pos, round(avg(x), 6) AS m FROM ua GROUP BY 1, 2),
+        |la AS (SELECT label, list(m ORDER BY pos) AS cva FROM ca GROUP BY label),
+        |na AS (SELECT label, count(*) AS n_a FROM v WHERE vec_id % 2 = 0 GROUP BY label),
+        |ub AS (SELECT label, unnest(e) AS x, unnest(range(1, len(e)+1)) AS pos
+        |       FROM v WHERE vec_id % 2 = 1),
+        |cb AS (SELECT label, pos, round(avg(x), 6) AS m FROM ub GROUP BY 1, 2),
+        |lb AS (SELECT label, list(m ORDER BY pos) AS cvb FROM cb GROUP BY label),
+        |nb AS (SELECT label, count(*) AS n_b FROM v WHERE vec_id % 2 = 1 GROUP BY label)
+        |SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | round(list_cosine_similarity(la.cva, lb.cvb), 4) AS drift_cos
+        |FROM la JOIN lb USING (label) JOIN na USING (label) JOIN nb USING (label)
+        |ORDER BY label""".stripMargin,
+    // evolve twin: the merged two-generation read must be
+    // result-invisible vs the original table's slices
+    "ingest_evolve" ->
+      """WITH m AS (
+        | SELECT 1 AS gen, l_quantity AS qty, CAST(NULL AS DOUBLE) AS price
+        | FROM lineitem WHERE l_linenumber = 1
+        | UNION ALL
+        | SELECT 2, l_quantity, l_extendedprice FROM lineitem WHERE l_linenumber = 2)
+        |SELECT CAST(gen AS BIGINT) AS gen, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(price) AS BIGINT) AS n_price,
+        | CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | coalesce(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS sum_price
+        |FROM m GROUP BY gen ORDER BY gen""".stripMargin,
     // entry-path twin: same rank window (epoch-µs order, event_id
     // tiebreak) and NULL-skipping concat_ws
     "q_entry_paths" ->

@@ -221,7 +221,11 @@ object StressBench {
       // shape as order_interleave, plus the batch tiling
       "order_batches" -> (() =>
         operators.TrainingOrder.lengthBatches(docs, 32)))
-    ops.map { case (name, f) =>
+    // dev affordance: SPARK_GRAFT_STRESS_ONLY=a,b,c restricts the run
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    ops.filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, f) =>
       timeNoop(f) // warm-up
       val secs = timeNoop(f)
       println(f"[stress] $label $name%-24s ${secs}%8.2fs")

@@ -43,4 +43,26 @@ object EmbeddingStats {
     df.join(broadcast(groupCentroids(df, groupCol, vecCol)), groupCol)
       .select(col(idCol), col(groupCol),
         round(cosine(col(vecCol), col("centroid")), 4).as("c_cos"))
+
+  /** X144: embedding drift — per-group centroid agreement between two
+    * deterministic halves of the corpus (even/odd ids stand in for
+    * snapshot A/B; with real snapshots the split column is the
+    * snapshot id). Completes the drift family: stats_ks watches a
+    * numeric column, stats_psi the categorical mix, this the SEMANTIC
+    * space — a label whose half-centroids diverge (low cosine) is
+    * drifting or mislabeled. Two groupCentroids aggregates (map-side
+    * combined, O(dim) state) + a |groups|-row join; the embedding
+    * column never shuffles. */
+  def centroidDrift(df: DataFrame, groupCol: String = "label",
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val a = groupCentroids(df.where(col(idCol) % 2 === 0), groupCol, vecCol)
+      .select(col(groupCol), col("centroid").as("ca"), col("n").as("n_a"))
+    val b = groupCentroids(df.where(col(idCol) % 2 === 1), groupCol, vecCol)
+      .select(col(groupCol), col("centroid").as("cb"), col("n").as("n_b"))
+    a.join(b, groupCol)
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        round(cosine(col("ca"), col("cb")), 4).as("drift_cos"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -184,6 +184,99 @@ object EventAnalytics {
       .orderBy($"event_type")
   }
 
+  /** X142: conversion-latency deciles — for every user whose first
+    * view is followed by a later purchase, the minutes between, tiled
+    * into a decile distribution (min/max/count per decile). The
+    * latency table is one user-keyed conditional aggregate + filter;
+    * deciles come from the two-phase distributed rank over integer
+    * microsecond latencies (exact percentile WITHOUT a percentile
+    * buffer — SURVEY §5's rule for data-sized percentile inputs), and
+    * every output column is integral. */
+  def conversionLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(min(when($"event_type" === "view", $"ts")).as("t1"),
+        min(when($"event_type" === "purchase", $"ts")).as("t2"))
+      .where($"t1".isNotNull && $"t2".isNotNull && $"t1" < $"t2")
+      .select($"user_id",
+        (unix_micros($"t2") - unix_micros($"t1")).as("lat_us"))
+    val n = perUser.count() // scalar, bounded
+    Dedup.globalRank(perUser, Seq("lat_us", "user_id"))
+      .withColumn("decile", expr(s"(rank * 10) DIV ${n}L") + 1)
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_users"),
+        min($"lat_us").as("__min"), max($"lat_us").as("__max"))
+      .select($"decile", $"n_users",
+        expr("__min DIV 60000000L").as("min_minutes"),
+        expr("__max DIV 60000000L").as("max_minutes"))
+      .orderBy($"decile")
+  }
+
+  /** X143: DAU / trailing-WAU / stickiness — the activity headline.
+    * The data-sized work is ONE (day, user) dedup (map-side partial);
+    * DAU is its per-day count, and the trailing-7-day WAU expands each
+    * user-day to the ≤7 report days it supports (a bounded Generate —
+    * days are a fixed range, never data-sized) followed by a second
+    * dedup-count keyed by report day. Stickiness dau/wau is the only
+    * double, one division per day row. */
+  def dauWau(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables.events(spark, sfDir)
+      .select(expr("datediff(CAST(ts AS DATE), DATE'2024-01-01')").as("day"),
+        $"user_id")
+      .distinct()
+    val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(explode(sequence($"day", $"day" + 6)).as("rday"), $"user_id")
+      .distinct()
+      .groupBy($"rday").agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("day") === wau("rday"))
+      .select($"day".cast("long").as("day"), $"dau", $"wau",
+        round($"dau" / $"wau", 6).as("stickiness"))
+      .orderBy($"day")
+  }
+
+  /** X140: RFM segmentation — the classic recency/frequency/monetary
+    * customer grading, done scale-first: per-user metrics are one
+    * map-side-combined aggregate (recency = integer days to the corpus
+    * horizon, frequency = count, monetary = exact DECIMAL sum), and
+    * each dimension's quintile comes from the two-phase distributed
+    * rank (`Dedup.globalRank` — not a single-partition ntile window),
+    * with score = integer rank·5 DIV n arithmetic, so every derived
+    * column is engine-exact. Output is the |5³|-bounded segment grid
+    * with member counts. Recency ranks ascending (fewest days = score
+    * 5); frequency/monetary rank ascending with score = quintile+1
+    * (largest = 5). Ties break on user_id everywhere. */
+  def rfm(spark: SparkSession, sfDir: String,
+          horizon: String = "2024-01-31"): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(min(datediff(to_date(lit(horizon)), $"ts".cast("date"))).as("rec"),
+        count(lit(1)).as("freq"),
+        sum($"value".cast("decimal(18,2)")).as("mon"))
+    // one scalar collect — bounded metadata, reused by all three ranks
+    val nUsers = perUser.count()
+    def quintile(df: DataFrame, orderCol: String, asc: Boolean,
+                 outCol: String): DataFrame = {
+      val keyed = if (asc) df.withColumn("__k", col(orderCol))
+        else df.withColumn("__k", -col(orderCol))
+      Dedup.globalRank(keyed, Seq("__k", "user_id"))
+        .withColumn(outCol, expr(s"(rank * 5) DIV ${nUsers}L") + 1)
+        .drop("__k", "rank")
+    }
+    // recency: fewest days since last event ranks FIRST and must score
+    // 5 → rank descending via the negated key, quintile+1
+    val scored = quintile(quintile(quintile(perUser,
+      "rec", asc = false, "r_score"),
+      "freq", asc = true, "f_score"),
+      "mon", asc = true, "m_score")
+    scored.groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+  }
+
   /** X139: entry-path analysis — the first `n` event types of every
     * user's history concatenated into a path string, counted across
     * users (the "how do sessions start" query behind onboarding and

@@ -42,6 +42,32 @@ class EmbeddingStatsSpec extends AnyFunSuite {
     assert(a(2).get == Vector(0.5, -0.5))
   }
 
+  test("X144: drift cosine matches a driver-side half-centroid recompute") {
+    val got = EmbeddingStats.centroidDrift(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val rows = emb.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def centroid(vs: Seq[Array[Double]]): Array[Double] = {
+      val s = vs.reduce((a, b) => a.zip(b).map(t => t._1 + t._2))
+      s.map(x => BigDecimal(x / vs.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map(t => t._1 * t._2).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byLabel = rows.groupBy(_._2)
+    assert(got.keySet == byLabel.keySet && got.nonEmpty)
+    byLabel.foreach { case (l, vs) =>
+      val a = vs.filter(_._1 % 2 == 0).map(_._3).toSeq
+      val b = vs.filter(_._1 % 2 == 1).map(_._3).toSeq
+      assert(got(l)._1 == a.size && got(l)._2 == b.size)
+      // sf0.001's 2-3-vector halves can even be negatively aligned —
+      // the oracle is the recompute, not a sign assumption
+      assert(math.abs(got(l)._3 - cos(centroid(a), centroid(b))) < 2e-4, s"label $l")
+    }
+  }
+
   test("centroid cosine: own-label mean scores higher than a foreign centroid on average") {
     val cents = EmbeddingStats.groupCentroids(emb).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap

@@ -98,6 +98,71 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("conversion latency: deciles tile the converting users; bounds match brute force") {
+    val got = SparkEntry.queries("q_conv_latency")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    val lat = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val v = es.filter(_._4 == "view").map(_._2)
+      val p = es.filter(_._4 == "purchase").map(_._2)
+      if (v.isEmpty || p.isEmpty) None else {
+        val (t1, t2) = (v.min, p.min)
+        if (t1.before(t2))
+          Some(u -> ((t2.getTime - t1.getTime) * 1000L +
+            (t2.getNanos / 1000 % 1000) - (t1.getNanos / 1000 % 1000)))
+        else None
+      }
+    }.toSeq
+    val n = lat.size
+    val expect = lat.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((_, us), i) => (i.toLong * 10 / n + 1, us) }
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (d, xs) =>
+        d -> ((xs.size.toLong, xs.map(_._2).min / 60000000L,
+          xs.map(_._2).max / 60000000L))
+      }
+    assert(got.toSeq == expect && got.nonEmpty)
+    assert(got.map(_._2._1).sum == n)
+  }
+
+  test("dau/wau: trailing-7 distinct counts match brute force; stickiness in (0,1]") {
+    val got = SparkEntry.queries("q_dau_wau")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val epoch = java.time.LocalDate.of(2024, 1, 1)
+    val ud = ev.map(e => (java.time.temporal.ChronoUnit.DAYS.between(epoch,
+      e._2.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate), e._1)).distinct
+    val days = ud.map(_._1).distinct
+    assert(got.keySet == days.toSet && got.nonEmpty)
+    days.foreach { d =>
+      val dau = ud.count(_._1 == d).toLong
+      val wau = ud.filter(t => t._1 >= d - 6 && t._1 <= d).map(_._2).distinct.size.toLong
+      assert(got(d)._1 == dau && got(d)._2 == wau, s"day $d")
+      assert(math.abs(got(d)._3 - dau.toDouble / wau) < 1e-6)
+      assert(got(d)._3 > 0.0 && got(d)._3 <= 1.0)
+    }
+  }
+
+  test("rfm: quintile grid matches driver-side ranking; scores span 1..5") {
+    val got = SparkEntry.queries("q_rfm")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val horizon = java.time.LocalDate.of(2024, 1, 31)
+    val perUser = ev.groupBy(_._1).map { case (u, es) =>
+      val rec = es.map(e => java.time.temporal.ChronoUnit.DAYS.between(
+        e._2.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate, horizon)).min
+      val mon = es.map(e => BigDecimal(e._5).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum
+      (u, rec, es.size.toLong, mon)
+    }.toSeq
+    val n = perUser.size
+    def scores(ordered: Seq[Long]): Map[Long, Long] =
+      ordered.zipWithIndex.map { case (u, i) => u -> (i.toLong * 5 / n + 1) }.toMap
+    val r = scores(perUser.sortBy(t => (-t._2, t._1)).map(_._1))
+    val f = scores(perUser.sortBy(t => (t._3, t._1)).map(_._1))
+    val m = scores(perUser.sortBy(t => (t._4, t._1)).map(_._1))
+    val expect = perUser.map(t => (r(t._1), f(t._1), m(t._1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expect && got.nonEmpty)
+    assert(got.keys.flatMap(k => Seq(k._1, k._2, k._3)).forall(s => s >= 1 && s <= 5))
+  }
+
   test("entry paths: first-3 prefixes and counts match the brute force") {
     val got = SparkEntry.queries("q_entry_paths")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

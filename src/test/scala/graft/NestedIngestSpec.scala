@@ -120,6 +120,27 @@ class NestedIngestSpec extends AnyFunSuite {
     assert(entry == expect)
   }
 
+  test("evolve ingest: mergeSchema widens v1 with NULL price; sums match the source slices") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.sources.SchemaEvolution.ingestEvolved(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select("l_linenumber", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    def bd(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    Seq(1, 2).foreach { gen =>
+      val rows = li.filter(_._1 == gen)
+      val (n, np, sq, sp) = got(gen.toLong)
+      assert(n == rows.length && rows.nonEmpty)
+      assert(np == (if (gen == 1) 0L else rows.length.toLong),
+        "v1 price must be all-NULL after the merge")
+      assert(math.abs(sq - rows.map(r => bd(r._2)).sum.toDouble) < 1e-6)
+      assert(math.abs(sp - (if (gen == 1) BigDecimal(0)
+        else rows.map(r => bd(r._3)).sum).toDouble) < 1e-6)
+    }
+  }
+
   test("R5+R6: flatten handles arbitrary depth and InvertedIndex can query the result") {
     val flat = NestedIngest.ingestJson(NestedIngest.eventsAsJson(spark, sf), "json")
     // dotted path from the reference's DSL resolves to the flattened column
