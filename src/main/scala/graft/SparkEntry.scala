@@ -1205,6 +1205,26 @@ object SparkEntry {
     // X144: per-label embedding drift — half-centroid cosine agreement
     "embed_drift" -> ((s, dir) =>
       EmbeddingStats.centroidDrift(Tables.embeddings(s, dir))),
+    // X145: perceptual near-dup image pairs within Hamming ≤ 3 via
+    // banded signature join + exact bit_count verify
+    "mm_phash_neardup" -> (graft.multimodal.Multimodal.phashNearDupPairs(_, _)),
+    // X146: weekly churn accounting (new/retained/resurrected/churned)
+    "q_churn" -> (EventAnalytics.churn _),
+    // X147: last-touch revenue attribution with an explicit 'none'
+    // bucket; exact DECIMAL revenue sums
+    "q_attribution" -> (EventAnalytics.lastTouchAttribution _),
+    // X148: synonym-expanded search — canonical reach + variant hits
+    "ii_synonym_search" -> ((s, dir) =>
+      Search.synonymSearch(Tables.documents(s, dir), Map(
+        "fast" -> Seq("quick", "rapid"),
+        "index" -> Seq("lookup", "catalog"),
+        "spark" -> Seq("flame")))),
+    // X149: day-of-week seasonality profile with per-type shares
+    "q_seasonality" -> (EventAnalytics.seasonality _),
+    // X150: week-over-week movers with per-week |Δ| rank
+    "q_top_movers" -> (EventAnalytics.topMovers _),
+    // X151: audience-overlap Jaccard matrix between event types
+    "q_overlap_users" -> (EventAnalytics.audienceOverlap _),
   )
 
   /** DuckDB-dialect twins of `queries`, identical column names and
@@ -3359,6 +3379,125 @@ object SparkEntry {
         |      FROM px JOIN m USING (doc_id) GROUP BY px.doc_id)
         |SELECT phash, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keeper_id
         |FROM h GROUP BY phash ORDER BY phash""".stripMargin,
+    // near-dup phash twin: the X118 aHash derivation, then per-char
+    // Hamming over all pairs (the oracle may be quadratic; the ENGINE
+    // may not) — band recall is exact for d ≤ bands − 1 by pigeonhole
+    "mm_phash_neardup" ->
+      """WITH img AS (SELECT doc_id, text FROM documents
+        |             WHERE doc_id % 3 = 0 AND length(text) >= 64),
+        |px AS (SELECT doc_id, t.i,
+        |        ascii(substr(text, CAST(t.i AS INTEGER), 1)) AS v
+        |       FROM img CROSS JOIN range(1, 65) t(i)),
+        |m AS (SELECT doc_id, sum(v) / 64.0 AS mean FROM px GROUP BY doc_id),
+        |h AS (SELECT px.doc_id,
+        |        string_agg(CASE WHEN v >= mean THEN '1' ELSE '0' END,
+        |                   '' ORDER BY px.i) AS phash
+        |      FROM px JOIN m USING (doc_id) GROUP BY px.doc_id)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        | CAST(len([i for i in range(1, 65)
+        |           if substr(a.phash, CAST(i AS INTEGER), 1) <>
+        |              substr(b.phash, CAST(i AS INTEGER), 1)]) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE len([i for i in range(1, 65)
+        |           if substr(a.phash, CAST(i AS INTEGER), 1) <>
+        |              substr(b.phash, CAST(i AS INTEGER), 1)]) <= 3
+        |ORDER BY id1, id2""".stripMargin,
+    // churn twin: same (week, user) dedup and user-keyed self-joins
+    "q_churn" ->
+      """WITH uw AS (
+        | SELECT DISTINCT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk,
+        |        user_id
+        | FROM events),
+        |fst AS (SELECT user_id, min(wk) AS fw FROM uw GROUP BY user_id),
+        |cur AS (
+        | SELECT u.wk, CAST(count(*) AS BIGINT) AS active,
+        |  CAST(sum(CASE WHEN f.fw = u.wk THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+        |  CAST(sum(CASE WHEN f.fw < u.wk AND p.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        | FROM uw u JOIN fst f ON u.user_id = f.user_id
+        | LEFT JOIN uw p ON p.wk = u.wk - 1 AND p.user_id = u.user_id
+        | GROUP BY u.wk),
+        |ch AS (
+        | SELECT p.wk + 1 AS wk, CAST(count(*) AS BIGINT) AS churned
+        | FROM uw p LEFT JOIN uw c ON c.wk = p.wk + 1 AND c.user_id = p.user_id
+        | WHERE c.user_id IS NULL GROUP BY p.wk + 1)
+        |SELECT CAST(cur.wk AS BIGINT) AS wk, active, new_users, retained,
+        | resurrected, coalesce(ch.churned, 0) AS churned
+        |FROM cur LEFT JOIN ch ON cur.wk = ch.wk ORDER BY wk""".stripMargin,
+    // attribution twin: same strictly-before IGNORE NULLS last_value
+    // window on the (epoch-µs, event_id) order
+    "q_attribution" ->
+      """WITH t AS (
+        | SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+        |  last_value(CASE WHEN event_type IN ('view', 'click')
+        |             THEN event_type END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        | FROM events)
+        |SELECT coalesce(touch, 'none') AS touch,
+        | CAST(count(*) AS BIGINT) AS n_purchases,
+        | CAST(sum(v) AS DOUBLE) AS revenue
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY coalesce(touch, 'none') ORDER BY touch""".stripMargin,
+    // synonym twin: same variant→canonical VALUES (canonical maps to
+    // itself), distinct-token join, distinct-doc reach
+    "ii_synonym_search" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> len(x) > 0) AS t
+        | FROM documents),
+        |syn(term, canonical) AS (VALUES
+        | ('quick','fast'), ('rapid','fast'), ('fast','fast'),
+        | ('lookup','index'), ('catalog','index'), ('index','index'),
+        | ('flame','spark'), ('spark','spark')),
+        |hits AS (
+        | SELECT canonical, doc_id
+        | FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks)
+        | JOIN syn USING (term))
+        |SELECT canonical, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_variant_hits
+        |FROM hits GROUP BY canonical ORDER BY canonical""".stripMargin,
+    // seasonality twin: integer days-since-Monday-epoch mod 7
+    "q_seasonality" ->
+      """WITH c AS (
+        | SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS dow,
+        |        event_type, count(*) AS n
+        | FROM events GROUP BY dow, event_type)
+        |SELECT CAST(dow AS BIGINT) AS dow, event_type, CAST(n AS BIGINT) AS n,
+        | round(n / sum(n) OVER (PARTITION BY event_type), 6) AS share
+        |FROM c ORDER BY dow, event_type""".stripMargin,
+    // movers twin: same weekly counts, lag deltas, |Δ|-desc rank
+    "q_top_movers" ->
+      """WITH wk AS (
+        | SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk,
+        |        event_type, count(*) AS n
+        | FROM events GROUP BY wk, event_type),
+        |d AS (
+        | SELECT wk, event_type, n,
+        |  lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+        | FROM wk)
+        |SELECT CAST(wk AS BIGINT) AS wk, event_type, CAST(n AS BIGINT) AS n,
+        | CAST(prev AS BIGINT) AS prev, CAST(n - prev AS BIGINT) AS delta,
+        | round((n - prev) / prev, 6) AS pct,
+        | CAST(row_number() OVER (PARTITION BY wk
+        |        ORDER BY abs(n - prev) DESC, event_type) AS BIGINT) AS mover_rank
+        |FROM d WHERE prev IS NOT NULL ORDER BY wk, event_type""".stripMargin,
+    // overlap twin: same (type,user) dedup, pairwise intersection,
+    // Jaccard from integer counts
+    "q_overlap_users" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, count(*) AS sz FROM tu GROUP BY event_type),
+        |i AS (
+        | SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_both
+        | FROM tu a JOIN tu b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        | GROUP BY ta, tb)
+        |SELECT ta, tb, CAST(n_both AS BIGINT) AS n_both,
+        | CAST(na.sz AS BIGINT) AS na, CAST(nb.sz AS BIGINT) AS nb,
+        | round(n_both / (na.sz + nb.sz - n_both), 6) AS jaccard
+        |FROM i JOIN sz na ON i.ta = na.event_type
+        |       JOIN sz nb ON i.tb = nb.event_type
+        |ORDER BY ta, tb""".stripMargin,
     // ORC twin reads the ORIGINAL parquet: any drift the ORC hop
     // introduces (timestamp truncation, double mangling) breaks the
     // hash; epoch_us matches Spark's micros-normalized ts

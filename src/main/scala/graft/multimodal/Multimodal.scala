@@ -203,6 +203,48 @@ object Multimodal {
       .agg(count(lit(1)).as("n"), min(col("media_id")).as("keeper_id"))
       .orderBy(col("phash"))
 
+  /** X145: NEAR-duplicate image pairs by perceptual-hash Hamming
+    * distance — exact-phash grouping (X118) misses the one-bit wobble
+    * a recompression introduces; this finds pairs within Hamming ≤ d.
+    * Scale shape is the banded-signature pattern every near-dup
+    * operator here uses: split the 64-bit signature into d+1 bands —
+    * pigeonhole guarantees any pair within distance d agrees on ≥1
+    * whole band — hash-join on (band index, band value), then verify
+    * exactly with bit_count(a XOR b) per band (integer ops,
+    * engine-exact). Candidates are band-bucket-bounded; nothing is
+    * all-pairs. */
+  def phashNearDupPairs(spark: SparkSession, sfDir: String,
+                        maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 15, "bands of 16 bits need d+1 <= 16... d in [0,15]")
+    val bands = maxDist + 1
+    require(64 % bands == 0, "band count must divide 64")
+    val width = 64 / bands
+    val h = imageHashes(mediaFromDocuments(spark, sfDir)).toDF()
+      .select(col("media_id"), col("phash"))
+    val bandCols = (0 until bands).map(i =>
+      struct(lit(i).as("b"),
+        conv(substring(col("phash"), 1 + i * width, width), 2, 10)
+          .cast("long").as("v")))
+    val banded = h.select(col("media_id"), col("phash"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("media_id"), col("phash"), col("bb.b"), col("bb.v"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+    val ham = (0 until bands).map { i =>
+      val o = 1 + i * width
+      s"bit_count(CAST(conv(substring(pa, $o, $width), 2, 10) AS BIGINT) ^ " +
+        s"CAST(conv(substring(pb, $o, $width), 2, 10) AS BIGINT))"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+    cand.withColumn("hamming", expr(ham))
+      .where(col("hamming") <= maxDist)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** X136: text–embedding pair curation — the CLIP-style step that
     * joins a caption corpus to its embedding table, applies the
     * quality gate, and reports per-(lang, label) cohort stats for

@@ -184,6 +184,139 @@ object EventAnalytics {
       .orderBy($"event_type")
   }
 
+  /** X149: day-of-week seasonality profile — per (weekday, type)
+    * activity counts and each cell's share of its type (the weekly
+    * rhythm baseline that q_resample's daily series doesn't fold).
+    * Weekday is integer days-since-Monday-epoch mod 7 — engine-exact
+    * where dayofweek() conventions differ. One map-side-combined
+    * count over ≤ 7·|types| cells; shares ride a window over that
+    * tiny result. */
+  def seasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, sfDir)
+      .select(expr("datediff(CAST(ts AS DATE), DATE'2024-01-01') % 7").as("dow"),
+        $"event_type")
+      .groupBy($"dow", $"event_type").agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("share",
+        round($"n" / sum($"n").over(Window.partitionBy($"event_type")), 6))
+      .select($"dow".cast("long").as("dow"), $"event_type", $"n", $"share")
+      .orderBy($"dow", $"event_type")
+  }
+
+  /** X150: week-over-week movers — per (week, type) activity with the
+    * absolute and relative change vs the prior week and a per-week
+    * mover rank (|Δ| descending). The weekly count aggregate is the
+    * only data-sized step; lag/rank ride |weeks|·|types| rows. */
+  def topMovers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wk = Tables.events(spark, sfDir)
+      .select(expr("datediff(CAST(ts AS DATE), DATE'2024-01-01') DIV 7").as("wk"),
+        $"event_type")
+      .groupBy($"wk", $"event_type").agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy($"event_type").orderBy($"wk")
+    val ranked = wk
+      .withColumn("prev", lag($"n", 1).over(byType))
+      .where($"prev".isNotNull)
+      .withColumn("delta", $"n" - $"prev")
+      .withColumn("pct", round($"delta" / $"prev", 6))
+    ranked
+      .withColumn("mover_rank", row_number().over(
+        Window.partitionBy($"wk").orderBy(abs($"delta").desc, $"event_type"))
+        .cast("long"))
+      .select($"wk", $"event_type", $"n", $"prev", $"delta", $"pct", $"mover_rank")
+      .orderBy($"wk", $"event_type")
+  }
+
+  /** X151: audience-overlap matrix — Jaccard of user sets between
+    * every event-type pair ("do purchasers also click?"). One
+    * (type, user) dedup, then a user-keyed self-join whose per-user
+    * fanout is ≤ |types|² — never data×data — and a |types|²-bounded
+    * count aggregate; Jaccard is one integer-count division per
+    * cell. */
+  def audienceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tu = Tables.events(spark, sfDir)
+      .select($"event_type", $"user_id").distinct()
+    val sizes = tu.groupBy($"event_type").agg(count(lit(1)).as("sz"))
+    val inter = tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.select($"event_type".as("ta"), $"sz".as("na"))), "ta")
+      .join(broadcast(sizes.select($"event_type".as("tb"), $"sz".as("nb"))), "tb")
+      .select($"ta", $"tb", $"n_both", $"na", $"nb",
+        round($"n_both" / ($"na" + $"nb" - $"n_both"), 6).as("jaccard"))
+      .orderBy($"ta", $"tb")
+  }
+
+  /** X146: weekly churn accounting — every product review starts
+    * here: per week, how many active users are NEW (first-ever week),
+    * RETAINED (also active last week), RESURRECTED (active before,
+    * absent last week), and how many of last week's actives CHURNED
+    * (absent this week). One (week, user) dedup is the data-sized
+    * work; new/retained/resurrected classify each active row by a
+    * self-join on (week−1, user) plus the per-user first week (both
+    * keyed on user — the exchange is shared), churn is the same join
+    * reversed. All-integer output; identities new + retained +
+    * resurrected = active and retained + churned = last week's active
+    * hold by construction (spec-checked). */
+  def churn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val uw = Tables.events(spark, sfDir)
+      .select(expr("datediff(CAST(ts AS DATE), DATE'2024-01-01') DIV 7").as("wk"),
+        $"user_id")
+      .distinct()
+    val first = uw.groupBy($"user_id").agg(min($"wk").as("fw"))
+    val prev = uw.select(($"wk" + 1).as("wk"), $"user_id", lit(1).as("p"))
+    val cur = uw.join(first, Seq("user_id"))
+      .join(prev, Seq("wk", "user_id"), "left")
+      .groupBy($"wk")
+      .agg(count(lit(1)).as("active"),
+        sum(when($"fw" === $"wk", 1L).otherwise(0L)).as("new_users"),
+        sum(when($"p".isNotNull, 1L).otherwise(0L)).as("retained"),
+        sum(when($"fw" < $"wk" && $"p".isNull, 1L).otherwise(0L)).as("resurrected"))
+    val churned = prev.join(uw.select($"wk", $"user_id", lit(1).as("c")),
+        Seq("wk", "user_id"), "left")
+      .where($"c".isNull)
+      .groupBy($"wk").agg(count(lit(1)).as("churned"))
+    // cur only carries OBSERVED weeks, so prev's phantom week
+    // (last + 1) drops out of the join by construction
+    cur.join(churned, Seq("wk"), "left")
+      .select($"wk", $"active", $"new_users", $"retained", $"resurrected",
+        coalesce($"churned", lit(0L)).as("churned"))
+      .orderBy($"wk")
+  }
+
+  /** X147: last-touch revenue attribution — every purchase's value is
+    * credited to the latest PRECEDING view/click in the user's
+    * timeline (the marketing-attribution baseline; the window form
+    * generalizes to linear/time-decay by swapping the credit rule).
+    * One `last(..., ignoreNulls)` window over the shared (user_id,
+    * (ts, event_id)) sort with a strictly-before ROWS frame — the
+    * event_id tiebreak makes tied timestamps deterministic in both
+    * engines — then a |touch types|+1-bounded
+    * aggregate with exact DECIMAL value sums; purchases with no prior
+    * touch land in the explicit 'none' bucket. */
+  def lastTouchAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type",
+        $"value".cast("decimal(18,2)").as("v"))
+      .withColumn("touch", last(
+        when($"event_type".isin("view", "click"), $"event_type"),
+        ignoreNulls = true).over(w))
+      .where($"event_type" === "purchase")
+      .groupBy(coalesce($"touch", lit("none")).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"v").cast("double").as("revenue"))
+      .orderBy($"touch")
+  }
+
   /** X142: conversion-latency deciles — for every user whose first
     * view is followed by a later purchase, the minutes between, tiled
     * into a decile distribution (min/max/count per decile). The

@@ -418,6 +418,31 @@ object Search {
     *
     * Returns the k best (doc_id, score), score descending, doc_id
     * ascending on ties. */
+  /** X148: synonym-expanded term search — the query-time alias layer
+    * (thesaurus, stemming table, product-name aliases) every search
+    * deployment bolts on: each canonical term matches any of its
+    * variants, reported as distinct-doc reach plus raw variant hits.
+    * The variant→canonical map is a broadcast table joined against
+    * the per-doc DISTINCT token explode, so only vocabulary hits —
+    * not the token stream — reach the canonical rollup, keyed by
+    * (canonical, doc) with map-side partial dedup. */
+  def synonymSearch(docs: DataFrame, synonyms: Map[String, Seq[String]],
+                    textCol: String = "text"): DataFrame = {
+    require(synonyms.nonEmpty)
+    val spark = docs.sparkSession
+    val pairs = synonyms.toSeq.flatMap { case (canon, vs) =>
+      (vs :+ canon).distinct.map(v => (v.toLowerCase, canon.toLowerCase))
+    }
+    val syn = broadcast(spark.createDataFrame(pairs).toDF("term", "canonical"))
+    docs.select(col("doc_id"),
+        explode(array_distinct(searchTokens(col(textCol)))).as("term"))
+      .join(syn, "term")
+      .groupBy(col("canonical"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_variant_hits"))
+      .orderBy(col("canonical"))
+  }
+
   /** X133: faceted search — run a conjunctive term query and roll the
     * matching docs up by each requested metadata facet (the sidebar
     * counts every search UI shows next to results). The match

@@ -98,6 +98,113 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonality: cells and per-type shares match brute force; shares sum to 1") {
+    val epoch = java.time.LocalDate.of(2024, 1, 1)
+    val got = SparkEntry.queries("q_seasonality")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val cells = ev.map(e => (java.time.temporal.ChronoUnit.DAYS.between(epoch,
+      e._2.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate) % 7, e._4))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val typeTot = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    assert(got.keySet == cells.keySet && got.nonEmpty)
+    cells.foreach { case (k, n) =>
+      assert(got(k)._1 == n)
+      assert(math.abs(got(k)._2 - n.toDouble / typeTot(k._2)) < 1e-6)
+    }
+    got.toSeq.groupBy(_._1._2).values.foreach { rows =>
+      assert(math.abs(rows.map(_._2._2).sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("movers: deltas, pct, and |delta| rank match brute force") {
+    val epoch = java.time.LocalDate.of(2024, 1, 1)
+    val got = SparkEntry.queries("q_top_movers")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6)))).toMap
+    val wk = ev.map(e => (java.time.temporal.ChronoUnit.DAYS.between(epoch,
+      e._2.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate) / 7, e._4))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = wk.toSeq.flatMap { case ((w, t), n) =>
+      wk.get((w - 1, t)).map(p => (w, t) -> ((n, p, n - p)))
+    }.toMap
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    expect.foreach { case (k, (n, p, d)) =>
+      assert(got(k)._1 == n && got(k)._2 == p && got(k)._3 == d)
+      assert(math.abs(got(k)._4 - d.toDouble / p) < 1e-6)
+    }
+    // per-week ranks are a permutation of 1..types ordered by |delta|
+    expect.keys.groupBy(_._1).foreach { case (w, ks) =>
+      val ranked = ks.toSeq.sortBy(k => (-math.abs(expect(k)._3), k._2))
+      ranked.zipWithIndex.foreach { case (k, i) =>
+        assert(got(k)._5 == i + 1, s"rank $k")
+      }
+    }
+  }
+
+  test("overlap: intersections and jaccard match brute-force user sets") {
+    val got = SparkEntry.queries("q_overlap_users")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val sets = ev.map(e => (e._4, e._1)).distinct.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val types = sets.keys.toSeq.sorted
+    val expect = (for {
+      a <- types; b <- types if a < b
+    } yield (a, b) -> ((sets(a) & sets(b)).size.toLong,
+      sets(a).size.toLong, sets(b).size.toLong)).toMap
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    expect.foreach { case (k, (i, na, nb)) =>
+      assert(got(k)._1 == i && got(k)._2 == na && got(k)._3 == nb)
+      assert(math.abs(got(k)._4 - i.toDouble / (na + nb - i)) < 1e-6)
+    }
+  }
+
+  test("churn: partition identities hold and cells match brute force") {
+    val got = SparkEntry.queries("q_churn")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val epoch = java.time.LocalDate.of(2024, 1, 1)
+    val uw = ev.map(e => (java.time.temporal.ChronoUnit.DAYS.between(epoch,
+      e._2.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate) / 7, e._1)).distinct
+    val byWeek = uw.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val firstWk = uw.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    assert(got.keySet == byWeek.keySet && got.nonEmpty)
+    byWeek.foreach { case (w, us) =>
+      val prev = byWeek.getOrElse(w - 1, Set.empty[Long])
+      val (active, nu, ret, res, chu) = got(w)
+      assert(active == us.size)
+      assert(nu == us.count(firstWk(_) == w))
+      assert(ret == us.count(prev))
+      assert(res == us.count(u => firstWk(u) < w && !prev(u)))
+      assert(chu == prev.count(!us(_)))
+      assert(nu + ret + res == active && ret + chu == prev.size, s"week $w")
+    }
+  }
+
+  test("attribution: per-touch credit matches a driver-side replay; revenue conserved") {
+    val got = SparkEntry.queries("q_attribution")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def bd(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val credited = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2.getTime, e._3))
+      sorted.zipWithIndex.collect { case (e, i) if e._4 == "purchase" =>
+        val touch = sorted.take(i).reverse
+          .find(p => p._4 == "view" || p._4 == "click").map(_._4).getOrElse("none")
+        (touch, bd(e._5))
+      }
+    }.toSeq
+    val expect = credited.groupBy(_._1).view.mapValues { xs =>
+      (xs.size.toLong, xs.map(_._2).sum.toDouble)
+    }.toMap
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    expect.foreach { case (t, (n, rev)) =>
+      assert(got(t)._1 == n)
+      assert(math.abs(got(t)._2 - rev) < 1e-6, s"touch $t")
+    }
+    // every purchase is credited exactly once
+    assert(got.values.map(_._1).sum == ev.count(_._4 == "purchase"))
+  }
+
   test("conversion latency: deciles tile the converting users; bounds match brute force") {
     val got = SparkEntry.queries("q_conv_latency")(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))

@@ -7,6 +7,21 @@ import graft.multimodal.Multimodal
 class MultimodalSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("X145: banded phash pairs equal the all-pairs Hamming join") {
+    val hashes = Multimodal.imageHashes(
+        Multimodal.mediaFromDocuments(spark, sf)).toDF()
+      .select("media_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val got = Multimodal.phashNearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = (for {
+      (a, pa) <- hashes; (b, pb) <- hashes if a < b
+      d = pa.zip(pb).count(t => t._1 != t._2).toLong if d <= 3
+    } yield (a, b) -> d).toMap
+    assert(got == expect)
+    assert(got.nonEmpty, "stub corpus should contain near-identical images")
+  }
+
   test("X136: pair stats match a driver-side join + norm recompute") {
     val docs = Tables.documents(spark, sf)
     val emb = Tables.embeddings(spark, sf)

@@ -293,6 +293,20 @@ class SearchSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expect)
   }
 
+  test("synonym search: canonical reach and variant hits match brute force") {
+    val syn = Map("fast" -> Seq("quick", "rapid"), "index" -> Seq("lookup", "catalog"),
+      "spark" -> Seq("flame"))
+    val got = Search.synonymSearch(docs, syn).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val variants = syn.map { case (c, vs) => c -> (vs :+ c).map(_.toLowerCase).toSet }
+    val expect = variants.flatMap { case (c, vs) =>
+      val hits = texts.toSeq.map { case (_, t) => t.toSet.intersect(vs).size }
+      val reach = hits.count(_ > 0).toLong
+      if (reach == 0) None else Some(c -> ((reach, hits.map(_.toLong).sum)))
+    }
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("wand: pruned top-k equals unpruned bm25 exactly; the UB gate actually prunes") {
     val q = Seq("spark", "vector", "slow")
     val wand = Search.wandTopK(docs, q, 20).collect()
