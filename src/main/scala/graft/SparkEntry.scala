@@ -221,6 +221,44 @@ object SparkEntry {
     * Search.bm25TopK — interpolated constants go through
     * CAST('…' AS DOUBLE) so DuckDB's strtod reproduces the exact
     * Scala doubles (decimal-literal arithmetic would diverge). */
+  /** PageRank twin: the mutual-kNN edge closure, then `iters` UNROLLED
+    * damped power-iteration CTEs (DuckDB's recursive term cannot
+    * aggregate). Literal arithmetic is forced to DOUBLE — DuckDB's
+    * bare 0.85 is DECIMAL, and (1 - 0.85) would be EXACT where
+    * Scala's 1.0 - 0.85 is not — so both engines iterate on identical
+    * doubles; the per-iteration round(_, 9) absorbs summation order. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         | SELECT e.b AS vtx,
+         |  round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+         |        CAST(0.85 AS DOUBLE) * sum(p.r / d.outdeg), 9) AS r
+         | FROM sym e JOIN r${i - 1} p ON e.a = p.vtx
+         |  JOIN deg d ON d.vtx = p.vtx CROSS JOIN nn
+         | GROUP BY e.b, nn.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |scored AS (
+       | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |        list_cosine_similarity(a.ev, b.ev) AS s
+       | FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+       |ranked AS (
+       | SELECT q_id, c_id,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
+       | FROM scored),
+       |top AS (SELECT q_id, c_id FROM ranked WHERE rank <= 10),
+       |me AS (SELECT t.q_id AS a, t.c_id AS b
+       |       FROM top t JOIN top r ON r.q_id = t.c_id AND r.c_id = t.q_id
+       |       WHERE t.q_id < t.c_id),
+       |sym AS (SELECT a, b FROM me UNION ALL SELECT b, a FROM me),
+       |deg AS (SELECT a AS vtx, count(*) AS outdeg FROM sym GROUP BY a),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT vtx, round(CAST(1.0 AS DOUBLE) / nn.n, 9) AS r
+       |       FROM deg CROSS JOIN nn),
+       |$rounds
+       |SELECT vtx AS vec_id, r AS pagerank FROM r$iters ORDER BY vec_id""".stripMargin
+  }
+
   private def bm25OracleSql(terms: Seq[String], k: Int,
                             k1: Double = 1.2, b: Double = 0.75): String = {
     val termValues = terms.map(t => s"('$t')").mkString(", ")
@@ -1225,6 +1263,18 @@ object SparkEntry {
     "q_top_movers" -> (EventAnalytics.topMovers _),
     // X151: audience-overlap Jaccard matrix between event types
     "q_overlap_users" -> (EventAnalytics.audienceOverlap _),
+    // X152: triangle counts + clustering coefficients over the
+    // mutual-kNN graph — structure as a data-quality signal
+    "graph_triangles" -> ((s, dir) =>
+      Graph.triangleStats(Tables.embeddings(s, dir), 10)),
+    // X153: PageRank centrality over the mutual-kNN graph — canonical
+    // exemplars rank high; per-iteration round(9) pins both engines
+    // to identical doubles
+    "graph_pagerank" -> ((s, dir) =>
+      Graph.pageRank(Tables.embeddings(s, dir), 10, iters = 5)),
+    // X154: common-neighbor link prediction over the mutual-kNN graph
+    "graph_link_pred" -> ((s, dir) =>
+      Graph.linkPrediction(Tables.embeddings(s, dir), 10)),
   )
 
   /** DuckDB-dialect twins of `queries`, identical column names and
@@ -3316,6 +3366,67 @@ object SparkEntry {
         | round((2.0 * CAST(s1 AS DOUBLE) - (n + 1) * CAST(s0 AS DOUBLE))
         |       / (n * CAST(s0 AS DOUBLE)), 6) AS gini
         |FROM a ORDER BY event_type""".stripMargin,
+    "graph_pagerank" -> pageRankOracleSql(5),
+    // link-pred twin: wedge count = |N(a) ∩ N(c)|, anti-join edges,
+    // Jaccard on the rounded column with (x, y) tiebreaks
+    "graph_link_pred" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |scored AS (
+        | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+        |        list_cosine_similarity(a.ev, b.ev) AS s
+        | FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+        |ranked AS (
+        | SELECT q_id, c_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
+        | FROM scored),
+        |top AS (SELECT q_id, c_id FROM ranked WHERE rank <= 10),
+        |me AS (SELECT t.q_id AS a, t.c_id AS b
+        |       FROM top t JOIN top r ON r.q_id = t.c_id AND r.c_id = t.q_id
+        |       WHERE t.q_id < t.c_id),
+        |sym AS (SELECT a, b FROM me UNION ALL SELECT b, a FROM me),
+        |deg AS (SELECT a AS vtx, count(*) AS d FROM sym GROUP BY a),
+        |w AS (SELECT l.a AS x, r.b AS y, count(*) AS common
+        |      FROM sym l JOIN sym r ON l.b = r.a AND l.a < r.b
+        |      GROUP BY x, y),
+        |nc AS (SELECT w.x, w.y, w.common
+        |       FROM w LEFT JOIN me ON w.x = me.a AND w.y = me.b
+        |       WHERE me.a IS NULL)
+        |SELECT x, y, CAST(common AS BIGINT) AS common,
+        | round(common / (dx.d + dy.d - common), 6) AS jaccard
+        |FROM nc JOIN deg dx ON nc.x = dx.vtx JOIN deg dy ON nc.y = dy.vtx
+        |ORDER BY jaccard DESC, x, y LIMIT 50""".stripMargin,
+    // triangle twin: the knn_graph top-k closure, mutual undirected
+    // edges, oriented wedge join + closing edge, per-corner explode
+    "graph_triangles" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |scored AS (
+        | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+        |        list_cosine_similarity(a.ev, b.ev) AS s
+        | FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+        |ranked AS (
+        | SELECT q_id, c_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
+        | FROM scored),
+        |top AS (SELECT q_id, c_id FROM ranked WHERE rank <= 10),
+        |me AS (SELECT t.q_id AS a, t.c_id AS b
+        |       FROM top t JOIN top r ON r.q_id = t.c_id AND r.c_id = t.q_id
+        |       WHERE t.q_id < t.c_id),
+        |deg AS (SELECT vtx, count(*) AS degree
+        |        FROM (SELECT a AS vtx FROM me UNION ALL SELECT b FROM me)
+        |        GROUP BY vtx),
+        |tri AS (SELECT ab.a AS ta, ab.b AS tb, bc.b AS tc
+        |        FROM me ab JOIN me bc ON ab.b = bc.a
+        |        JOIN me ac ON ac.a = ab.a AND ac.b = bc.b),
+        |pn AS (SELECT vtx, count(*) AS n_triangles
+        |       FROM (SELECT ta AS vtx FROM tri UNION ALL
+        |             SELECT tb FROM tri UNION ALL SELECT tc FROM tri)
+        |       GROUP BY vtx)
+        |SELECT deg.vtx AS vec_id, CAST(degree AS BIGINT) AS degree,
+        | CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+        | CASE WHEN degree >= 2
+        |  THEN round(2.0 * coalesce(n_triangles, 0) / (degree * (degree - 1)), 6)
+        |  ELSE 0.0 END AS cc
+        |FROM deg LEFT JOIN pn ON deg.vtx = pn.vtx ORDER BY vec_id""".stripMargin,
     // knn-graph twin: the ann_bruteforce ranking for EVERY vector plus
     // the reverse-edge mutual flag via a self-join of the top-k set
     "knn_graph" ->

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the similarity graph (X152): once embeddings
+  * become a mutual-kNN graph (Similarity.knnGraph), its STRUCTURE is a
+  * data-quality signal — triangle-dense neighborhoods are coherent
+  * topics, triangle-free hubs are boilerplate/outliers, and the
+  * clustering coefficient ranks them. This is the standard
+  * oriented-edge distributed triangle count (each triangle counted
+  * once via a < b < c), the shape every vertex-centric framework
+  * compiles to joins anyway — done directly in DataFrames.
+  *
+  * Scale shape: with degree ≤ k the oriented edge list is ≤ kN rows;
+  * the wedge join (ab ⋈ bc on b) produces ≤ Σ deg² wedges — k²N with
+  * a degree cap, never N² — and the closing join back to the edge
+  * list is a plain hash join on (a, c). Per-node counts ride an
+  * explode of the 3 triangle corners. Every output column is an
+  * integer or one integer division. */
+object Graph {
+
+  /** Undirected mutual edges (a < b) of the k-NN graph. */
+  def mutualEdges(vectors: DataFrame, k: Int,
+                  vecCol: String = "embedding",
+                  idCol: String = "vec_id"): DataFrame =
+    Similarity.knnGraph(vectors, k, vecCol, idCol)
+      .where(col("mutual") && col("q_id") < col("c_id"))
+      .select(col("q_id").as("a"), col("c_id").as("b"))
+
+  /** X153: PageRank over the mutual-kNN graph — the global importance
+    * score (centrality ≈ representativeness in a similarity graph;
+    * high-rank nodes are canonical exemplars, low-rank the fringe).
+    * Classic damped power iteration as repeated join + keyed
+    * aggregation — the only data-sized exchange per round keys on the
+    * destination vertex. Cross-engine determinism: every iteration's
+    * rank is rounded to 9 dp, which absorbs float-summation ORDER
+    * differences (in-neighbor sums differ by ~1e-18, the rounding
+    * grid is 5e-10) so both engines iterate on IDENTICAL doubles;
+    * the symmetric edge set has no dangling nodes by construction.
+    * Lineage is fenced per round (conf-routed checkpoint) exactly
+    * like ConnectedComponents. */
+  def pageRank(vectors: DataFrame, k: Int, iters: Int = 5,
+               damping: Double = 0.85,
+               vecCol: String = "embedding",
+               idCol: String = "vec_id"): DataFrame = {
+    val e = mutualEdges(vectors, k, vecCol, idCol)
+    val sym = Checkpoints.fence(
+      e.unionAll(e.select(col("b").as("a"), col("a").as("b"))))
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("outdeg"))
+    val n = deg.count() // |vertices|, bounded scalar
+    val withDeg = Checkpoints.fence(sym.join(deg, "a"))
+    val teleport = lit(1.0 - damping) / lit(n.toDouble)
+    var ranks = deg.select(col("a").as("vtx"),
+      round(lit(1.0) / lit(n.toDouble), 9).as("r"))
+    (1 to iters).foreach { _ =>
+      ranks = Checkpoints.fence(withDeg
+        .join(ranks, col("a") === col("vtx"))
+        .select(col("b"), (col("r") / col("outdeg")).as("c"))
+        .groupBy(col("b")).agg(sum(col("c")).as("s"))
+        .select(col("b").as("vtx"),
+          round(teleport + lit(damping) * col("s"), 9).as("r")))
+    }
+    ranks.select(col("vtx").as("vec_id"), col("r").as("pagerank"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** X154: common-neighbor link prediction — non-adjacent node pairs
+    * ranked by neighborhood Jaccard (the "should these be merged /
+    * are these the same topic" suggester on the similarity graph).
+    * The wedge join IS the intersection counter: the number of
+    * two-paths between a and c equals |N(a) ∩ N(c)|, so one
+    * dst-keyed count over the k²N-bounded wedge set, an anti-join
+    * against the edge list, and a degree join give the score —
+    * integer counts with one division per candidate pair. */
+  def linkPrediction(vectors: DataFrame, k: Int, topN: Int = 50,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    val e = mutualEdges(vectors, k, vecCol, idCol)
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+    val wedges = sym.as("l").join(sym.as("r"),
+        col("l.b") === col("r.a") && col("l.a") < col("r.b"))
+      .select(col("l.a").as("x"), col("r.b").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("common"))
+    wedges
+      .join(e, wedges("x") === e("a") && wedges("y") === e("b"), "left_anti")
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), "y")
+      .select(col("x"), col("y"), col("common"),
+        round(col("common") / (col("dx") + col("dy") - col("common")), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("x"), col("y"))
+      .limit(topN)
+  }
+
+  /** Per-node triangle participation + degree + local clustering
+    * coefficient over the mutual-kNN graph; nodes with degree < 2
+    * have undefined coefficient and report 0 triangles, cc = 0. */
+  def triangleStats(vectors: DataFrame, k: Int,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val e = mutualEdges(vectors, k, vecCol, idCol)
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .join(e.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .select(col("ab.a").as("ta"), col("ab.b").as("tb"), col("bc.b").as("tc"))
+    val perNode = tri
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v").as("vec_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("cc", when(col("degree") >= 2,
+        round(lit(2.0) * col("n_triangles") /
+          (col("degree") * (col("degree") - 1)), 6)).otherwise(lit(0.0)))
+      .orderBy(col("vec_id"))
+  }
+}

@@ -207,6 +207,85 @@ class SimilaritySpec extends AnyFunSuite {
       }
   }
 
+  test("X152: triangle counts and clustering coefficients match the brute force") {
+    val got = operators.Graph.triangleStats(emb, 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val topk = vecs.keys.map { q =>
+      q -> vecs.keys.filter(_ != q).map(c => (c, cosine(vecs(q), vecs(c))))
+        .toSeq.sortBy { case (c, s) => (-s, c) }.take(5).map(_._1).toSet
+    }.toMap
+    val edges = (for {
+      a <- vecs.keys; b <- topk(a) if a < b && topk(b).contains(a)
+    } yield (a, b)).toSet
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = adj.map { case (v, ns) =>
+      val t = ns.toSeq.combinations(2).count { case Seq(x, y) => adj(x).contains(y) }
+      val cc = if (ns.size >= 2)
+        BigDecimal(2.0 * t / (ns.size.toLong * (ns.size - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      v -> ((ns.size.toLong, t.toLong, cc))
+    }
+    assert(got == expect && got.nonEmpty)
+    assert(got.values.exists(_._2 > 0), "test graph should contain triangles")
+  }
+
+  test("X153: pagerank matches a driver-side power iteration; mass is conserved") {
+    val got = operators.Graph.pageRank(emb, 5, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val topk = vecs.keys.map { q =>
+      q -> vecs.keys.filter(_ != q).map(c => (c, cosine(vecs(q), vecs(c))))
+        .toSeq.sortBy { case (c, s) => (-s, c) }.take(5).map(_._1).toSet
+    }.toMap
+    val und = (for {
+      a <- vecs.keys; b <- topk(a) if a < b && topk(b).contains(a)
+    } yield (a, b)).toSet
+    val sym = (und ++ und.map(e => (e._2, e._1))).toSeq
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = adj.size
+    def rnd(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var r = adj.keys.map(_ -> rnd(1.0 / n)).toMap
+    (1 to 5).foreach { _ =>
+      r = adj.keys.map { v =>
+        val in = sym.collect { case (u, t) if t == v => r(u) / adj(u).size }
+        v -> rnd((1.0 - 0.85) / n + 0.85 * in.sum)
+      }.toMap
+    }
+    assert(got.keySet == r.keySet && got.nonEmpty)
+    r.foreach { case (v, x) => assert(math.abs(got(v) - x) < 1e-8, s"node $v") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-3, "rank mass approximately conserved")
+  }
+
+  test("X154: link prediction scores non-edges by common-neighbor Jaccard") {
+    val got = operators.Graph.linkPrediction(emb, 5, topN = 20).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getDouble(3)))
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val topk = vecs.keys.map { q =>
+      q -> vecs.keys.filter(_ != q).map(c => (c, cosine(vecs(q), vecs(c))))
+        .toSeq.sortBy { case (c, s) => (-s, c) }.take(5).map(_._1).toSet
+    }.toMap
+    val und = (for {
+      a <- vecs.keys; b <- topk(a) if a < b && topk(b).contains(a)
+    } yield (a, b)).toSet
+    val adj = (und ++ und.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got.foreach { case ((x, y), common, j) =>
+      assert(!und.contains((x, y)), s"($x,$y) is already an edge")
+      val inter = adj(x).intersect(adj(y)).size
+      assert(common == inter)
+      assert(math.abs(j - inter.toDouble /
+        (adj(x).size + adj(y).size - inter)) < 1e-6)
+    }
+    assert(got.nonEmpty && got.map(_._3).toSeq == got.map(_._3).toSeq.sorted.reverse)
+  }
+
   test("X132: knn graph edges equal per-query brute force; mutual = reverse edge present") {
     val k = 5
     val got = Similarity.knnGraph(emb, k).collect()
