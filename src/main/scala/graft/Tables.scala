@@ -11,21 +11,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   import org.apache.spark.sql.functions._
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events parquet stores TIMESTAMP(NANOS); under
-    * spark.sql.legacy.parquet.nanosAsLong (set by GraftSession) it
-    * scans as Long nanos, which we normalize to a micros timestamp —
-    * column pruning/pushdown still reach the scan untouched.
-    * Integral DIV, not `/`: epoch nanos (~1.7e18) exceed a double's
-    * 2^53 mantissa, so float division silently loses microseconds. */
+  /** Event-time normalization to session-TZ (UTC) TIMESTAMP — the
+    * type every event-time operator (unix_micros, watermarks, window)
+    * expects — from whichever physical type the driver-generated
+    * parquet carries:
+    *  - TIMESTAMP(NANOS): under spark.sql.legacy.parquet.nanosAsLong
+    *    (set by GraftSession) it scans as Long nanos; integral DIV,
+    *    not `/` — epoch nanos (~1.7e18) exceed a double's 2^53
+    *    mantissa, so float division silently loses microseconds;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): scans as
+    *    TIMESTAMP_NTZ; the cast reinterprets the wall clock in the
+    *    session TZ, which GraftSession pins to UTC — value-preserving
+    *    on epoch micros and identical to DuckDB's naive reading.
+    * Column pruning/pushdown still reach the scan untouched. */
   private def normalizeTs(df: DataFrame): DataFrame =
-    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Some(TimestampNTZType) => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")

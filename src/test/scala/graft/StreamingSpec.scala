@@ -2,11 +2,20 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 import graft.streaming.EventStream
 
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
+
+  /** Same event-time normalization as Tables.normalizeTs, for the
+    * staged streaming source (nanos-as-long OR micros-NTZ parquet). */
+  private def normTs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** FileStreamSource wants a directory; stage the single events file
     * into a temp dir. */
@@ -21,10 +30,7 @@ class StreamingSpec extends AnyFunSuite {
   test("L13: streaming windowed aggregation matches the batch twin") {
     val path = eventsDir
     val batchSchema = spark.read.parquet(path).schema
-    var stream = spark.readStream.schema(batchSchema).parquet(path)
-    // events carries TIMESTAMP(NANOS) -> long under nanosAsLong; normalize
-    if (stream.schema("ts").dataType == LongType)
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = normTs(spark.readStream.schema(batchSchema).parquet(path))
 
     val agg = EventStream.windowedCounts(stream)
     val queryName = "graft_stream_smoke"
@@ -48,9 +54,7 @@ class StreamingSpec extends AnyFunSuite {
   test("L13: streaming SLIDING windows match the batch twin (4x overlap fan-out)") {
     val path = eventsDir
     val batchSchema = spark.read.parquet(path).schema
-    var stream = spark.readStream.schema(batchSchema).parquet(path)
-    if (stream.schema("ts").dataType == LongType)
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = normTs(spark.readStream.schema(batchSchema).parquet(path))
 
     val agg = EventStream.slidingWindowedCounts(stream)
     val queryName = "graft_stream_sliding"
@@ -140,9 +144,7 @@ class StreamingSpec extends AnyFunSuite {
   test("L13: the plan carries a watermark bounding state") {
     val path = eventsDir
     val batchSchema = spark.read.parquet(path).schema
-    var stream = spark.readStream.schema(batchSchema).parquet(path)
-    if (stream.schema("ts").dataType == LongType)
-      stream = stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = normTs(spark.readStream.schema(batchSchema).parquet(path))
     val plan = EventStream.windowedCounts(stream).queryExecution.logical.toString
     assert(plan.contains("EventTimeWatermark"),
       s"expected a watermark node in:\n$plan")

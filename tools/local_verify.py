@@ -50,5 +50,15 @@ for name in sorted(os.listdir(out_dir)):
         print(f"  [ok] {name}: {len(g)} rows")
     else:
         fails += 1
+# an entry whose Spark dump FAILED leaves no directory — without this
+# check a crashed query silently vanishes from the report (the driver's
+# gate records err per queries key; mimic that)
+dumped = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+attempted_path = os.path.join(out_dir, "attempted.json")
+attempted = set(json.load(open(attempted_path))) if os.path.exists(attempted_path) \
+    else set(oracle)
+for name in sorted(attempted - dumped):
+    print(f"FAIL {name}: no Spark dump (query failed at Verify time?)")
+    fails += 1
 print(f"{'ALL OK' if fails == 0 else f'{fails} FAILURES'}")
 sys.exit(1 if fails else 0)
