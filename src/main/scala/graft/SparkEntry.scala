@@ -286,6 +286,109 @@ object SparkEntry {
        |FROM scored ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Hybrid-RRF twin: the bm25 scored CTE and a brute-force vector
+    * leg, each ranked (score DESC, id) and cut to its own top-k, fused
+    * by 1/(κ+rank) with a missing leg contributing 0 — identical
+    * double sequence to Search.hybridRrf. */
+  private def hybridRrfOracleSql(terms: Seq[String], qVecId: Long, k: Int,
+                                 kappa: Int = 60,
+                                 k1: Double = 1.2, b: Double = 0.75): String = {
+    val termValues = terms.map(t => s"('$t')").mkString(", ")
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    s"""WITH toks AS (
+       | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS t
+       | FROM documents),
+       |base AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+       |tf AS (
+       | SELECT doc_id, dl, term, len(list_filter(t, x -> x = term)) AS tf
+       | FROM base CROSS JOIN (VALUES $termValues) q(term)
+       | WHERE len(list_filter(t, x -> x = term)) > 0),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       | SELECT doc_id,
+       |  sum(ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+       |      (CAST(tf AS DOUBLE) * CAST('$k1p1' AS DOUBLE)) /
+       |      (CAST(tf AS DOUBLE) + CAST('$k1' AS DOUBLE) *
+       |       (CAST('$oneMinusB' AS DOUBLE) + CAST('$b' AS DOUBLE) * dl / avgdl))) AS score
+       | FROM tf JOIN dft USING (term) CROSS JOIN stats
+       | GROUP BY doc_id),
+       |tr AS (
+       | SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_text
+       | FROM scored ORDER BY score DESC, doc_id LIMIT $k),
+       |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = $qVecId),
+       |vscored AS (
+       | SELECT vec_id AS doc_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv.e) AS s
+       | FROM embeddings CROSS JOIN qv WHERE vec_id <> $qVecId),
+       |vr AS (
+       | SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS r_vec
+       | FROM vscored ORDER BY s DESC, doc_id LIMIT $k),
+       |fused AS (
+       | SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id, r_text, r_vec,
+       |  round(coalesce(CAST(1 AS DOUBLE) / ($kappa + r_text), 0) +
+       |        coalesce(CAST(1 AS DOUBLE) / ($kappa + r_vec), 0), 6) AS rrf
+       | FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
+       |SELECT doc_id, r_text, r_vec, rrf
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** embed_pca twin: the X161 covariance CTEs feed `iters` unrolled
+    * power-iteration rounds run on INTEGERS (cov at 1e-6, the vector
+    * at 1e-9 — every matvec and norm an exact order-free sum; the
+    * only floating steps are sqrt and the rounds, identical double
+    * ops in both engines), then the per-row integer dot projection. */
+  private def pcaOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH dims AS (
+        | SELECT id, CAST(pos AS BIGINT) - 1 AS i,
+        |  CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS DECIMAL(38,0)) AS xq
+        | FROM (SELECT vec_id AS id, unnest(embedding) AS x,
+        |              unnest(range(1, len(embedding)+1)) AS pos FROM embeddings)),
+        |marg AS (SELECT i, sum(xq) AS sx, count(*) AS n FROM dims GROUP BY i),
+        |p AS (
+        | SELECT a.i AS i, b.i AS j, sum(a.xq * b.xq) AS sxy
+        | FROM dims a JOIN dims b ON a.id = b.id AND a.i <= b.i
+        | GROUP BY 1, 2),
+        |covq AS (
+        | SELECT p.i, p.j,
+        |  CAST(round((round((CAST(ma.n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |        CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE)) /
+        |       (CAST(ma.n AS DOUBLE) * CAST(ma.n AS DOUBLE) * 1e12), 6) + 0) * 1e6, 0)
+        |    AS BIGINT) AS c
+        | FROM p JOIN marg ma ON ma.i = p.i JOIN marg mb ON mb.i = p.j),
+        |cfull AS (
+        | SELECT i, j, c FROM covq
+        | UNION ALL
+        | SELECT j AS i, i AS j, c FROM covq WHERE i < j),
+        |v0 AS (SELECT i, CASE WHEN i = 0 THEN CAST(1000000000 AS BIGINT)
+        |                      ELSE CAST(0 AS BIGINT) END AS m FROM marg)""".stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(
+        s""",
+           |w$k AS (SELECT f.i, sum(f.c * v.m) AS s
+           |        FROM cfull f JOIN v${k - 1} v ON v.i = f.j GROUP BY f.i),
+           |n$k AS (SELECT i, CAST(round(CAST(s AS DOUBLE) / 1e15 * 1e9, 0) AS BIGINT) AS n
+           |        FROM w$k),
+           |nr$k AS (SELECT sqrt(CAST(sum(n * n) AS DOUBLE) / 1e18) AS norm FROM n$k),
+           |v$k AS (SELECT i, CAST(round(round(CAST(n AS DOUBLE) / 1e9 / norm, 9) * 1e9, 0)
+           |          AS BIGINT) AS m
+           |        FROM n$k, nr$k)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT dq.id AS vec_id,
+         | round(CAST(sum(dq.q * vm.m) AS DOUBLE) / 1e15, 4) + 0 AS pc1
+         |FROM (SELECT id, CAST(pos AS BIGINT) - 1 AS i,
+         |       CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT) AS q
+         |      FROM (SELECT vec_id AS id, unnest(embedding) AS x,
+         |                   unnest(range(1, len(embedding)+1)) AS pos FROM embeddings)) dq
+         |JOIN v$iters vm ON vm.i = dq.i
+         |GROUP BY dq.id ORDER BY vec_id""".stripMargin)
+    sb.toString
+  }
+
   /** PRF twin: the bm25 formula applied twice — stage 1 over the
     * literal query terms, feedback = top-r (raw-score order), the
     * expansion CTE reproduces the (feedback-df DESC, corpus-df ASC,
@@ -472,6 +575,12 @@ object SparkEntry {
     "search_bm25" -> ((s, dir) =>
       Search.bm25TopK(Tables.documents(s, dir), Seq("spark", "vector", "slow"), 20)
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
+    // hybrid lexical⊕semantic retrieval: the BM25 leg and an exact
+    // vector leg (query = embedding 0; doc_id ≡ vec_id) fused by
+    // reciprocal-rank, κ=60 — rank-only fusion needs no calibration
+    "search_hybrid_rrf" -> ((s, dir) =>
+      Search.hybridRrf(Tables.documents(s, dir), Tables.embeddings(s, dir),
+        Seq("spark", "vector", "slow"), qVecId = 0L, k = 20)),
     // pseudo-relevance feedback: top-5 feedback docs expand the query
     // by 3 terms (feedback-df DESC, corpus-df ASC), then re-rank
     "search_bm25_prf" -> ((s, dir) =>
@@ -538,6 +647,11 @@ object SparkEntry {
     // 12-token paragraph, survivors reassembled in chunk order
     "dedup_paragraph" -> ((s, dir) =>
       Dedup.paragraphDedup(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+    // CCNet-style boilerplate strip: paragraphs in >= 3 distinct docs
+    // dropped from EVERY doc (vs dedup_paragraph's keep-first)
+    "text_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateRemoval(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
     // exact-substring duplication signal: spans duplicated anywhere in
     // the corpus, per-doc coverage by interval union
@@ -609,6 +723,14 @@ object SparkEntry {
       Decontaminate.contaminationHits(
           d.where(col("doc_id") % 17 =!= 0), d.where(col("doc_id") % 17 === 0))
         .orderBy(col("doc_id"))
+    }),
+    // semantic decontamination: per-train-vector max cosine to the
+    // (broadcast) benchmark subset — the paraphrase-leakage catcher
+    "decontaminate_semantic" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Decontaminate.semanticHits(
+          e.where(col("vec_id") % 23 =!= 0), e.where(col("vec_id") % 23 === 0))
+        .orderBy(col("vec_id"))
     }),
     // same decontamination on the Bloom-sketch path: corpus probes a
     // broadcast Bloom of the benchmark shingles, survivors take a
@@ -700,6 +822,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "text_repetition" -> ((s, dir) =>
       TextStats.ngramRepetition(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+    // BPE tokenizer training: 10 greedy merges learned on the
+    // distinct-word table; corpus is scanned exactly once
+    "text_bpe_train" -> ((s, dir) =>
+      Bpe.trainMerges(Tables.documents(s, dir), numMerges = 10)
+        .select(col("rank").cast("long").as("rank"), col("left_sym"),
+          col("right_sym"), col("merged"), col("pair_count"))
+        .orderBy(col("rank"))),
+    // tokenizer apply: the 10 learned merges re-encode the corpus as a
+    // literal replace() chain — per-doc whitespace vs BPE token counts
+    "text_bpe_apply" -> ((s, dir) =>
+      Bpe.trainAndEncode(Tables.documents(s, dir), numMerges = 10)
+        .orderBy(col("doc_id"))),
     // token unigram entropy + type-token ratio, one fused scan pass
     "text_entropy" -> ((s, dir) =>
       TextStats.tokenEntropy(Tables.documents(s, dir)).orderBy(col("doc_id"))),
@@ -725,6 +859,11 @@ object SparkEntry {
     "sample_reservoir" -> ((s, dir) =>
       Sampling.reservoirPerGroup(Tables.documents(s, dir), "lang", "doc_id", 10)
         .orderBy(col("lang"), col("rank"))),
+    // contrastive negative mining: 4 md5-chain candidate draws per
+    // anchor, kept only when exact cosine < 0.5 (false-negative guard)
+    "sample_negative" -> ((s, dir) =>
+      Sampling.negativeSample(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"), col("j"))),
     // incremental text dedup: new batch (doc_id%10=0) ranked into the
     // corpus order, only cross pairs verified — corpus x corpus never
     // recomputed (the text twin of dedup_incremental)
@@ -762,6 +901,14 @@ object SparkEntry {
     "embed_centroid" -> ((s, dir) =>
       EmbeddingStats.centroidCosine(Tables.embeddings(s, dir))
         .orderBy(col("vec_id"))),
+    // exact dim-covariance matrix: integer-quantized DECIMAL sums
+    // (order-independent), closed-form cov over exact sums
+    "embed_cov" -> ((s, dir) =>
+      EmbeddingStats.covarianceMatrix(Tables.embeddings(s, dir))),
+    // top-PC projection: integer power iteration on the d×d matrix
+    // (bounded metadata), per-row exact-long dot inside the scan
+    "embed_pca" -> ((s, dir) =>
+      EmbeddingStats.pcaProjection(Tables.embeddings(s, dir))),
     // scalar int8 quantization summary: codes pinned via saturation
     // count + code sum, plus the original↔dequantized cosine retention
     "embed_quantize" -> ((s, dir) =>
@@ -1384,6 +1531,28 @@ object SparkEntry {
         | md5(coalesce(
         |   string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '')) AS h_dedup
         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // boilerplate twin: same 12-token grid; df = distinct-doc count
+    // per paragraph, kept iff df < 3 (CCNet drop-everywhere policy)
+    "text_boilerplate" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |nch AS (
+        | SELECT doc_id, t,
+        |  CASE WHEN len(t) <= 12 THEN 1
+        |   ELSE CAST(ceil((len(t) - 12) / 12.0) AS INT) + 1 END AS nc
+        | FROM toks),
+        |par AS (SELECT doc_id, unnest(range(0, nc)) AS chunk_idx, t FROM nch),
+        |pp AS (
+        | SELECT doc_id, chunk_idx,
+        |  array_to_string(t[chunk_idx*12+1 : chunk_idx*12+12], ' ') AS chunk
+        | FROM par),
+        |dfq AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM pp GROUP BY chunk)
+        |SELECT doc_id, count(*) AS n_total,
+        | CAST(sum(CASE WHEN df < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | md5(coalesce(
+        |   string_agg(CASE WHEN df < 3 THEN chunk END, ' ' ORDER BY chunk_idx), '')) AS h_clean
+        |FROM pp JOIN dfq USING (chunk) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // substring twin: string 6-grams stand in for the engine's
     // xxhash64 span keys (same location multiplicities barring 64-bit
     // collisions); coverage is the identical sorted-starts lead
@@ -1487,6 +1656,7 @@ object SparkEntry {
         |  ',' ORDER BY doc_id, pos) AS postings
         |FROM p GROUP BY 1, 2 ORDER BY term, chunk""".stripMargin,
     "search_bm25" -> bm25OracleSql(Seq("spark", "vector", "slow"), 20),
+    "search_hybrid_rrf" -> hybridRrfOracleSql(Seq("spark", "vector", "slow"), 0L, 20),
     // wand twin: the UNPRUNED bm25 oracle — pruning must be
     // result-invisible, which is the entire correctness claim
     "search_wand" -> bm25OracleSql(Seq("spark", "vector", "slow"), 20),
@@ -1750,6 +1920,16 @@ object SparkEntry {
         | array_to_string(list_sort(list(id)), ',') AS members
         |FROM comp GROUP BY component ORDER BY component""".stripMargin,
     "decontaminate" -> decontaminateOracle,
+    // semantic twin: max benchmark cosine per train vector; the 0.3
+    // decimal literal casts to the identical double in both engines
+    "decontaminate_semantic" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |b AS (SELECT id, e FROM v WHERE id % 23 = 0),
+        |t AS (SELECT id, e FROM v WHERE id % 23 <> 0),
+        |m AS (SELECT t.id, max(list_cosine_similarity(t.e, b.e)) AS mc
+        |      FROM t, b GROUP BY t.id)
+        |SELECT id AS vec_id, round(mc, 4) AS max_cos, mc >= 0.3 AS contaminated
+        |FROM m ORDER BY vec_id""".stripMargin,
     // the Bloom path only PREFILTERS — the exact join decides, so the
     // oracle is the very same query
     "decontaminate_bloom" -> decontaminateOracle,
@@ -1906,6 +2086,11 @@ object SparkEntry {
         | round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_frac,
         | round(1 - CAST(count(*) AS DOUBLE) / sum(c), 4) AS dup_frac
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // BPE twin: 10 unrolled pair-count/argmax/replace iterations over
+    // the same marker-wrapped symbol strings (Bpe.oracleSql)
+    "text_bpe_train" -> Bpe.oracleSql(10),
+    // apply twin: training CTEs + nested replace() chain over b1..b10
+    "text_bpe_apply" -> Bpe.applyOracleSql(10),
     // entropy twin: per-(doc, token) counts, H = ln n − Σ c·ln c / n;
     // ln and the /n division agree across engines (BM25 precedent),
     // summation-order wobble dies at round(4)
@@ -2007,6 +2192,26 @@ object SparkEntry {
         |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
         | FROM documents)
         |WHERE rn <= 10 ORDER BY lang, rank""".stripMargin,
+    // negative-sampling twin: same md5-chain candidate ranks (hex →
+    // int via the 0x cast), row_number-1 rank→id map, cosine verify
+    "sample_negative" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |r AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS rank FROM v),
+        |n AS (SELECT count(*) AS cnt FROM v),
+        |cand AS (
+        | SELECT v.id AS vec_id, t.j,
+        |  CAST(concat('0x', substr(md5('neg:' || CAST(v.id AS VARCHAR) || ':' ||
+        |    CAST(t.j AS VARCHAR)), 1, 8)) AS BIGINT) % n.cnt AS cand_rank
+        | FROM v CROSS JOIN n, unnest(range(0, 4)) AS t(j)),
+        |m AS (
+        | SELECT c.vec_id, c.j, r.id AS neg_id
+        | FROM cand c JOIN r ON r.rank = c.cand_rank
+        | WHERE r.id <> c.vec_id)
+        |SELECT m.vec_id, m.j, m.neg_id,
+        | round(list_cosine_similarity(a.e, b.e), 4) + 0 AS cos
+        |FROM m JOIN v a ON a.id = m.vec_id JOIN v b ON b.id = m.neg_id
+        |WHERE list_cosine_similarity(a.e, b.e) < 0.5
+        |ORDER BY vec_id, j""".stripMargin,
     // incremental-SNM twin: dedup_snm's rank + window with a batch
     // flag, cross-membership pairs only, oriented new→old
     "dedup_snm_incremental" ->
@@ -2119,6 +2324,30 @@ object SparkEntry {
         |ctr AS (SELECT label, list(m ORDER BY pos) AS c FROM c GROUP BY label)
         |SELECT v.vec_id, v.label, round(list_cosine_similarity(v.e, ctr.c), 4) AS c_cos
         |FROM v JOIN ctr USING (label) ORDER BY vec_id""".stripMargin,
+    // covariance twin: identical round(x·1e6) integer quantization,
+    // exact DECIMAL sums, the same closed-form double formula; the
+    // trailing + 0 folds DuckDB's IEEE -0.0 into +0.0 (Spark's
+    // BigDecimal round never emits a signed zero)
+    "embed_cov" ->
+      """WITH dims AS (
+        | SELECT id, CAST(pos AS BIGINT) - 1 AS i,
+        |  CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS DECIMAL(38,0)) AS xq
+        | FROM (SELECT vec_id AS id, unnest(embedding) AS x,
+        |              unnest(range(1, len(embedding)+1)) AS pos FROM embeddings)),
+        |marg AS (SELECT i, sum(xq) AS sx, count(*) AS n FROM dims GROUP BY i),
+        |p AS (
+        | SELECT a.i AS i, b.i AS j, sum(a.xq * b.xq) AS sxy
+        | FROM dims a JOIN dims b ON a.id = b.id AND a.i <= b.i
+        | GROUP BY 1, 2)
+        |SELECT p.i, p.j,
+        | round((CAST(ma.n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |        CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE)) /
+        |       (CAST(ma.n AS DOUBLE) * CAST(ma.n AS DOUBLE) * 1e12), 6) + 0 AS cov
+        |FROM p JOIN marg ma ON ma.i = p.i JOIN marg mb ON mb.i = p.j
+        |ORDER BY p.i, p.j""".stripMargin,
+    // PCA twin: 8 unrolled integer power-iteration rounds + the
+    // integer dot projection (pcaOracleSql)
+    "embed_pca" -> pcaOracleSql(8),
     // int8 twin: same max-abs half-up quantization (identical double
     // op order: x/maxabs*127+0.5, then code·(maxabs/127)), then the
     // exact-top-k pipeline over the dequantized vectors

@@ -220,7 +220,45 @@ object StressBench {
       // two-phase distributed rank + batch-keyed reduce — same scale
       // shape as order_interleave, plus the batch tiling
       "order_batches" -> (() =>
-        operators.TrainingOrder.lengthBatches(docs, 32)))
+        operators.TrainingOrder.lengthBatches(docs, 32)),
+      // banded kNN graph (the 100 TB route): SRP bucket self-join is
+      // Σ bucket² ≤ maxBucket·N per band + exact rerank of candidates
+      // — must stay near-linear where the exact all-pairs scorer is
+      // inherently quadratic (which is why exact is NOT in this table)
+      "knn_graph_banded" -> (() => {
+        spark.conf.set("spark.graft.knn.banded", "true")
+        try operators.Similarity.knnGraph(emb, 10)
+        finally spark.conf.unset("spark.graft.knn.banded")
+      }),
+      // boilerplate strip: two stacked df aggs + doc reassembly, all
+      // keyed shuffles — token-linear like dedup_paragraph
+      "text_boilerplate" -> (() =>
+        operators.Dedup.boilerplateRemoval(docs)),
+      // BPE training: prefixed replicas grow the VOCAB ~N×; per-merge
+      // cost must track the distinct-word table, never the corpus
+      "text_bpe_train" -> (() =>
+        operators.Bpe.trainMerges(docs, numMerges = 5)),
+      // hybrid RRF: each leg keeps its own scale shape; fusion is
+      // k-bounded — growth must track the slower leg's scan
+      "search_hybrid_rrf" -> (() =>
+        operators.Search.hybridRrf(v, emb, Seq("spark", "vector", "slow"), 0L, 20)),
+      // semantic decontamination: broadcast bench, train-side scan +
+      // (id, max) aggregation — must be scan-linear
+      "decontaminate_semantic" -> (() =>
+        operators.Decontaminate.semanticHits(
+          emb.where(col("vec_id") % 23 =!= 0), emb.where(col("vec_id") % 23 === 0))),
+      // covariance: the d²-per-row generate is scan CPU, the exchange
+      // carries ≤ partitions × d(d+1)/2 rows — must be scan-linear
+      "embed_cov" -> (() =>
+        operators.EmbeddingStats.covarianceMatrix(emb)),
+      // PCA: driver iteration on bounded metadata + one per-row dot
+      // pass — must track the two scans (cov + project) linearly
+      "embed_pca" -> (() =>
+        operators.EmbeddingStats.pcaProjection(emb)),
+      // negative mining: rank map + k-per-anchor joins, all keyed —
+      // must be row-linear
+      "sample_negative" -> (() =>
+        operators.Sampling.negativeSample(emb)))
     // dev affordance: SPARK_GRAFT_STRESS_ONLY=a,b,c restricts the run
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.shingleHashes
+import graft.functions.TextFunctions.{cosine, shingleHashes}
 
 /** Benchmark decontamination — remove training documents that overlap
   * an evaluation/benchmark set (the standard n-gram-overlap rule used
@@ -54,6 +54,31 @@ object Decontaminate {
       .where(col("n_hits") >= minHits)
       .select(col("doc_id").as(idCol))
     corpus.join(hits, Seq(idCol), "left_anti")
+  }
+
+  /** Embedding-level decontamination — the semantic leg of the family:
+    * a train vector is contaminated when its cosine to ANY benchmark
+    * vector reaches `tau` (catches the paraphrased/translated
+    * benchmark leakage the n-gram rule cannot see; the complement of
+    * `contaminationHits`, same report shape).
+    *
+    * Scale shape mirrors the n-gram path: the benchmark side is tiny
+    * and BROADCAST; each train vector's max-benchmark-cosine is
+    * computed where the train rows live with the fused codegen cosine,
+    * and only (id, max) crosses the exchange — the corpus never
+    * shuffles, the join never materializes train×bench rows beyond the
+    * scan stage. Returns (vec_id, max_cos, contaminated) for every
+    * train vector. */
+  def semanticHits(train: DataFrame, benchmark: DataFrame, tau: Double = 0.3,
+                   vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val b = benchmark.select(col(idCol).cast("long").as("b_id"), col(vecCol).as("b_vec"))
+    val t = train.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("t_vec"))
+    t.crossJoin(broadcast(b))
+      .select(col("vec_id"), cosine(col("t_vec"), col("b_vec")).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("mc"))
+      .select(col("vec_id"), round(col("mc"), 4).as("max_cos"),
+        (col("mc") >= tau).as("contaminated"))
   }
 
   // ---- Bloom-prefiltered variant (the 100 TB escape hatch) -----------

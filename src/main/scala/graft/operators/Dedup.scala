@@ -467,6 +467,41 @@ object Dedup {
         md5(concat_ws(" ", transform(col("ks"), x => x.getField("chunk")))).as("h_dedup"))
   }
 
+  /** CCNet-style boilerplate removal (Wenzek et al. 2020,
+    * arXiv:1911.00359 — the pass that strips navigation chrome,
+    * cookie banners and footers): a paragraph appearing in `minDf`
+    * OR MORE distinct documents is boilerplate and is dropped from
+    * EVERY document — including the first occurrence, which is what
+    * separates this from `paragraphDedup`'s keep-first policy (a
+    * quoted block survives once there; a cookie banner survives
+    * nowhere here). Same token-grid paragraph boundary as
+    * paragraphDedup (the synthetic corpus has no newline structure).
+    *
+    * Scale shape: chunking rides the scan; the document-frequency
+    * table is two stacked hash aggregations — (paragraph, doc)
+    * dedup, then a paragraph-keyed count — both map-side combined
+    * with O(1) state per key (no count(DISTINCT) Expand); the df
+    * join is hash-co-partitioned with reassembly's doc-keyed
+    * shuffle. Nothing quadratic, no driver loop.
+    *
+    * Returns (doc_id, n_total, n_kept, h_clean) — h_clean hashes the
+    * surviving paragraphs joined in chunk order. */
+  def boilerplateRemoval(docs: DataFrame, minDf: Int = 3, window: Int = 12,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val p = Chunking.chunkTokens(docs, window, window, textCol, idCol)
+      .withColumn("h", md5(col("chunk")))
+    val dfreq = p.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val kept = col("df") < minDf
+    p.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(kept, struct(col("chunk_idx"), col("chunk"))))).as("ks"))
+      .select(col("doc_id"), col("n_total"), col("n_kept"),
+        md5(concat_ws(" ", transform(col("ks"), x => x.getField("chunk")))).as("h_clean"))
+  }
+
   /** Semantic dedup over EMBEDDINGS, the SemDeDup shape (Abbas et al.
     * 2023, arXiv:2303.09540 — cluster, then dedup within clusters):
     * assign every vector to its nearest fixed centroid (the

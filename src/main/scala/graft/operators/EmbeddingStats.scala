@@ -44,6 +44,105 @@ object EmbeddingStats {
       .select(col(idCol), col(groupCol),
         round(cosine(col(vecCol), col("centroid")), 4).as("c_cos"))
 
+  /** X161: exact dimension-covariance matrix — the PCA/whitening
+    * precursor (which dimensions co-vary tells you the embedding
+    * space's effective rank and feeds any downstream projection).
+    *
+    * Exactness strategy: components are quantized to integers
+    * (round(x·10⁶) — floats carry ~7 significant digits, nothing is
+    * lost) and every sum runs over DECIMAL — exact and ORDER-
+    * INDEPENDENT, so the result is partition-count-invariant and
+    * reproducible cross-engine (the stats_regression precedent; a
+    * double Σ would depend on accumulation order). Covariance is then
+    * closed-form double arithmetic over exact sums, rounded at 6 dp.
+    *
+    * Scale shape: the d²-per-row generate (pair of posexplodes) is
+    * scan-stage CPU, immediately partially aggregated — the exchange
+    * carries ≤ partitions × d(d+1)/2 rows, never rows × d². The
+    * marginal-sum table (d rows) broadcasts back. Exact-sum magnitude
+    * stays < 2⁵³ up to ~10⁹ unit-norm vectors; past that, raise the
+    * final division to DECIMAL too. Returns (i, j, cov) for i ≤ j. */
+  def covarianceMatrix(emb: DataFrame, vecCol: String = "embedding",
+                       idCol: String = "vec_id"): DataFrame = {
+    val dims = emb.select(col(idCol).cast("long").as("id"),
+        posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("id"), col("i").cast("long").as("i"),
+        round(col("x").cast("double") * 1e6, 0).cast("decimal(38,0)").as("xq"))
+    val marg = dims.groupBy(col("i"))
+      .agg(sum(col("xq")).as("sx"), count(lit(1)).as("n"))
+    val pairs = dims.as("a").join(dims.as("b"),
+        col("a.id") === col("b.id") && col("a.i") <= col("b.i"))
+      .select(col("a.i").as("i"), col("b.i").as("j"),
+        (col("a.xq") * col("b.xq")).as("xy"))
+      .groupBy(col("i"), col("j")).agg(sum(col("xy")).as("sxy"))
+    pairs
+      .join(broadcast(marg.select(col("i"), col("sx").as("sxi"), col("n"))), Seq("i"))
+      .join(broadcast(marg.select(col("i").as("j"), col("sx").as("sxj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        round((col("n").cast("double") * col("sxy").cast("double") -
+               col("sxi").cast("double") * col("sxj").cast("double")) /
+              (col("n").cast("double") * col("n").cast("double") * lit(1e12)), 6)
+          .as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** X163: top-principal-component projection — PCA's first axis over
+    * the X161 exact covariance matrix, the canonical embedding-space
+    * health check (how much variance one direction eats) and the
+    * projection every whitening/visualization step starts from.
+    *
+    * Determinism strategy: power iteration runs on INTEGERS end to
+    * end — covariance at 10⁻⁶ (exact from X161's rounded output),
+    * iterate v at 10⁻⁹ — so every matvec and norm is an exact
+    * integer sum (order-free); the only floating steps are the
+    * norm's sqrt and the final rounding, identical double ops in
+    * both engines. Fixed v₀ = e₀ and a fixed iteration count make
+    * the result (including the eigenvector's sign) reproducible
+    * everywhere.
+    *
+    * Scale shape: the d×d matrix is BOUNDED METADATA (the IVF
+    * centroid-collect precedent — 2080 rows at d=64), so the
+    * iteration runs driver-side in microseconds and the loadings
+    * broadcast back as literals; the actual data pass is the per-row
+    * integer dot product (one generate-free projection inside the
+    * scan, exact long arithmetic). Returns (vec_id, pc1). */
+  def pcaProjection(emb: DataFrame, iters: Int = 8,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val covRows = covarianceMatrix(emb, vecCol, idCol).collect()
+    val d = covRows.map(_.getLong(1)).max.toInt + 1
+    val c = Array.ofDim[Long](d, d)
+    covRows.foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      val v = BigDecimal(r.getDouble(2) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      c(i)(j) = v; c(j)(i) = v
+    }
+    var m = Array.tabulate(d)(i => if (i == 0) 1000000000L else 0L) // v₀ = e₀ at 1e-9
+    (1 to iters).foreach { _ =>
+      val s = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * m(j)).sum) // exact
+      val n = s.map(si => BigDecimal(si.toDouble / 1e15 * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val normSq = n.map(x => BigInt(x) * BigInt(x)).sum
+      val norm = math.sqrt(normSq.toDouble / 1e18)
+      m = n.map { ni =>
+        val v = BigDecimal(ni.toDouble / 1e9 / norm)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        BigDecimal(v * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    }
+    val loadings = array(m.map(lit): _*)
+    emb.select(col(idCol).cast("long").as("vec_id"),
+        aggregate(
+          zip_with(
+            transform(col(vecCol), x => round(x.cast("double") * 1e6, 0).cast("long")),
+            loadings, (q, l) => q * l),
+          lit(0L), (acc, x) => acc + x).as("__dot"))
+      .select(col("vec_id"),
+        round(col("__dot").cast("double") / 1e15, 4).as("pc1"))
+      .orderBy(col("vec_id"))
+  }
+
   /** X144: embedding drift — per-group centroid agreement between two
     * deterministic halves of the corpus (even/odd ids stand in for
     * snapshot A/B; with real snapshots the split column is the

@@ -115,4 +115,40 @@ object Sampling {
       .select(col(groupCol), (col("rank0") + 1).cast("long").as("rank"),
         col("t.id").as(keyCol))
   }
+
+  /** X162: deterministic negative sampling for contrastive training —
+    * every anchor draws k pseudo-random candidate partners from the
+    * md5 chain (engine-portable like every sampler here), and a
+    * candidate survives only if its exact cosine to the anchor stays
+    * BELOW `tau` (too-similar candidates are false negatives that
+    * poison a contrastive loss — the verification IS the operator).
+    *
+    * Scale shape: the rank→id map comes from the two-phase
+    * distributed rank (no single-partition window; the offset table
+    * is partition-count-bounded); candidate ranks are a per-row
+    * expression; resolution + both vector gathers are keyed hash
+    * joins moving k rows per anchor; verification is per-row. Returns
+    * (vec_id, j, neg_id, cos) for surviving draws. */
+  def negativeSample(emb: DataFrame, k: Int = 4, tau: Double = 0.5,
+                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val v = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val ranked = Dedup.globalRank(v.select(col("id")), Seq("id"))
+    val cnt = ranked.agg(count(lit(1)).as("__n"))
+    val cand = v.select(col("id").as("vec_id"))
+      .crossJoin(broadcast(cnt))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(k - 1))).as("j0"), col("__n"))
+      .select(col("vec_id"), col("j0").cast("long").as("j"),
+        (conv(substring(md5(concat(lit("neg:"), col("vec_id").cast("string"),
+          lit(":"), col("j0").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % col("__n")).as("cand_rank"))
+    cand
+      .join(ranked.select(col("rank").as("cand_rank"), col("id").as("neg_id")), "cand_rank")
+      .where(col("neg_id") =!= col("vec_id"))
+      .join(v.select(col("id").as("vec_id"), col("vec").as("__av")), "vec_id")
+      .join(v.select(col("id").as("neg_id"), col("vec").as("__nv")), "neg_id")
+      .select(col("vec_id"), col("j"), col("neg_id"),
+        graft.functions.TextFunctions.cosine(col("__av"), col("__nv")).as("__c"))
+      .where(col("__c") < tau)
+      .select(col("vec_id"), col("j"), col("neg_id"), round(col("__c"), 4).as("cos"))
+  }
 }

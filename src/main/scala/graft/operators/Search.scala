@@ -657,4 +657,37 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Hybrid retrieval: BM25 text ranking ⊕ exact vector ranking for
+    * the same query, fused by reciprocal-rank fusion
+    * (Cormack et al. SIGIR'09: score = Σ 1/(κ + rank), κ = 60) — the
+    * standard way modern search stacks combine lexical and semantic
+    * recall without score calibration, since RRF consumes only RANKS.
+    * doc_id ≡ vec_id joins the two modalities of the same corpus (the
+    * dedup_hybrid precedent).
+    *
+    * Scale shape: each leg is the already-scale-shaped operator (BM25
+    * broadcast stats, ANN broadcast query + bounded heap); fusion
+    * touches 2k rows — the rank windows run AFTER each leg's LIMIT k,
+    * so the unpartitioned window sorts k rows, not the corpus. Missing
+    * membership in one leg contributes 0, the paper's convention.
+    * Returns the top-k (doc_id, r_text, r_vec, rrf). */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, query: Seq[String],
+                qVecId: Long, k: Int = 20, kappa: Int = 60,
+                textCol: String = "text", idCol: String = "doc_id",
+                vecCol: String = "embedding", vecIdCol: String = "vec_id"): DataFrame = {
+    val t = bm25TopK(docs, query, k, textCol = textCol, idCol = idCol)
+      .select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("long").as("r_text"))
+    val v = Similarity.bruteForceTopK(
+        emb.where(col(vecIdCol) === qVecId), emb, k, vecCol, vecIdCol)
+      .select(col("c_id").as("doc_id"), col("rank").cast("long").as("r_vec"))
+    t.join(v, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_text"), col("r_vec"),
+        round(coalesce(lit(1.0) / (lit(kappa) + col("r_text")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(kappa) + col("r_vec")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -311,14 +311,84 @@ object Similarity {
     * substrate for agglomerative/density clustering of embeddings).
     * Exactness baseline scores all pairs with the same
     * candidates-stay-put / bounded-heap shape as bruteForceTopK; at
-    * corpus scale the all-pairs score is inherently quadratic, so the
-    * 100 TB route swaps the scorer for the SRP-banded candidate
-    * generator (`lshTopK`) and reranks — the graph step (the self-join
+    * corpus scale the all-pairs score is inherently quadratic, so
+    * `spark.graft.knn.banded=true` (the 100 TB default) swaps the
+    * scorer for `bandedSelfTopK` — SRP-banded candidate generation
+    * with exact-cosine rerank — while the graph step (the self-join
     * marking mutual edges) is k·N-bounded either way and joins on
     * (q_id, c_id), a key both sides already carry. */
   def knnGraph(vectors: DataFrame, k: Int,
                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val edges = bruteForceTopK(vectors, vectors, k, vecCol, idCol)
+    val conf = vectors.sparkSession.conf
+    val banded = conf.getOption("spark.graft.knn.banded").exists(_.toBoolean)
+    val edges =
+      if (banded) bandedSelfTopK(vectors, k, vecCol, idCol,
+        numPlanes = conf.getOption("spark.graft.knn.numPlanes").map(_.toInt).getOrElse(0),
+        bands = conf.getOption("spark.graft.knn.bands").map(_.toInt).getOrElse(8),
+        maxBucket = conf.getOption("spark.graft.knn.maxBucket").map(_.toInt).getOrElse(2000))
+      else bruteForceTopK(vectors, vectors, k, vecCol, idCol)
+    markMutual(edges)
+  }
+
+  /** The kNN graph's 100 TB candidate generator: top-k per vector
+    * restricted to SRP-band collisions. Unlike `lshTopK` (which
+    * broadcasts its query probes — right when queries are FEW), here
+    * every vector is a query, so candidates come from a SYMMETRIC
+    * bucket self-join: band once, count buckets, drop boilerplate
+    * buckets hotter than `maxBucket` (the same capped-bucket policy as
+    * the LSH dedup family — one degenerate bucket cannot go
+    * quadratic), pair within buckets, exact-cosine rerank, bounded
+    * heap per query. Cost is Σ bucket² ≤ maxBucket·N per band instead
+    * of N²; recall < 1 is the documented trade (missed neighbors are
+    * pairs agreeing on NO band), recovered by raising numPlanes/bands
+    * like any SRP pipeline.
+    *
+    * numPlanes ≤ 0 selects AUTO banding: bits-per-band =
+    * round(log₂(n / 100)) clamped to [2, 8] from one count() (bounded
+    * metadata job), holding the EXPECTED bucket size near 100 as the
+    * corpus grows — candidate volume stays ≈ 100·n per band instead
+    * of (n/buckets)²·buckets, which is what makes the route scale
+    * near-linearly (a FIXED band width re-grows buckets, and with
+    * them Σ bucket², linearly with n). Returns
+    * (q_id, rank, c_id, score). */
+  def bandedSelfTopK(vectors: DataFrame, k: Int,
+                     vecCol: String = "embedding", idCol: String = "vec_id",
+                     numPlanes: Int = 0, bands: Int = 8,
+                     maxBucket: Int = 2000): DataFrame = {
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else {
+        val n = vectors.count()
+        val bits = math.max(2, math.min(8,
+          math.round(math.log(math.max(1.0, n / 100.0)) / math.log(2.0)).toInt))
+        bands * bits
+      }
+    val banded = srpBanded(vectors, vecCol, idCol, planes, bands)
+    val ok = banded.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("bn"))
+      .where(col("bn") >= 2 && col("bn") <= maxBucket)
+      .select(col("band"), col("bhash"))
+    val inB = banded.join(ok, Seq("band", "bhash"))
+    val pairs = inB.as("l").join(inB.as("r"),
+        col("l.band") === col("r.band") && col("l.bhash") === col("r.bhash") &&
+          col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("q_id"), col("r.id").as("c_id"))
+      .distinct()
+    val v = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    pairs
+      .join(v.select(col("id").as("q_id"), col("vec").as("q_vec")), "q_id")
+      .join(v.select(col("id").as("c_id"), col("vec").as("c_vec")), "c_id")
+      .select(col("q_id"), col("c_id"), cosine(col("q_vec"), col("c_vec")).as("score"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("c_id"), col("score"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rank0", "t")))
+      .select(col("q_id"), (col("rank0") + 1).as("rank"),
+        col("t.id").as("c_id"), col("t.score").as("score"))
+  }
+
+  /** Mark each directed (q_id, c_id) edge `mutual` iff its reverse is
+    * also an edge — one (q_id, c_id)-keyed self-join, k·N rows. */
+  private def markMutual(edges: DataFrame): DataFrame = {
     val reverse = edges.select(col("q_id").as("c_id"), col("c_id").as("q_id"))
       .withColumn("mutual", lit(true))
     edges.join(reverse, Seq("q_id", "c_id"), "left")

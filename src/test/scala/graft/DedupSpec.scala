@@ -185,6 +185,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 0L, h(""))), "doc 3 is entirely deduplicated away")
   }
 
+  test("boilerplate removal: df >= minDf paragraphs drop EVERYWHERE, including first occurrence") {
+    import spark.implicits._
+    // window=3: A appears in docs 1,2,3 (df=3 -> boilerplate), B in
+    // docs 1,2 (df=2 -> kept both places), C unique to doc 2
+    val a = "p q r"; val b = "s t u"; val c = "v w x"
+    val df = Seq((1L, s"$a $b"), (2L, s"$a $b $c"), (3L, a)).toDF("doc_id", "text")
+    val got = Dedup.boilerplateRemoval(df, minDf = 3, window = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((2L, 1L, h(b))), "doc 1 loses A (even as first occurrence), keeps B")
+    assert(got(2L) == ((3L, 2L, h(s"$b $c"))), "doc 2 keeps B and C in order")
+    assert(got(3L) == ((1L, 0L, h(""))), "doc 3 was pure boilerplate")
+    // contrast with paragraphDedup: the keep-first policy KEEPS doc 1's A
+    val kf = Dedup.paragraphDedup(df, window = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(kf(1L) == 2L, "keep-first retains the first occurrence boilerplate drops")
+  }
+
+  test("boilerplate removal: two-stage df aggregation, no count-distinct Expand") {
+    val plan = Dedup.boilerplateRemoval(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"df must be two stacked aggs, not count(DISTINCT):\n$plan")
+  }
+
   test("paragraph dedup: testdata contains cross-document paragraph repeats") {
     val r = Dedup.paragraphDedup(docs).agg(
       sum(col("n_total")).as("t"), sum(col("n_kept")).as("k")).collect().head

@@ -90,4 +90,56 @@ class EmbeddingStatsSpec extends AnyFunSuite {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-9, s"vec $id")
     }
   }
+
+  test("X161: covariance matrix equals the brute force over quantized components") {
+    val emb = Tables.embeddings(spark, sf)
+    val vecs = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray)
+    val d = vecs.head.length
+    val n = vecs.length.toDouble
+    val got = graft.operators.EmbeddingStats.covarianceMatrix(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == d * (d + 1) / 2, "one row per unordered dim pair")
+    // exact integer sums brute-forced, then the identical double formula
+    val sx = Array.tabulate(d)(i => vecs.map(_(i)).sum)
+    for (i <- 0 until d; j <- i until d if (i * 31 + j) % 97 < 6) { // sampled pairs
+      val sxy = vecs.map(v => v(i) * v(j)).sum
+      val expect = BigDecimal((n * sxy - sx(i) * sx(j)) / (n * n * 1e12))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got((i.toLong, j.toLong)) - expect) <= 1e-12, s"cov($i,$j)")
+    }
+    // diagonal entries are variances: non-negative
+    (0 until d).foreach(i => assert(got((i.toLong, i.toLong)) >= 0.0))
+  }
+
+  test("X163: pc1 projection equals a driver-side double power iteration within rounding") {
+    val emb = Tables.embeddings(spark, sf)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val d = vecs.head._2.length
+    val n = vecs.size.toDouble
+    // plain-double covariance + power iteration (no quantization) —
+    // the operator's integer pipeline must land within quantization
+    // distance of the analytic result
+    val mean = Array.tabulate(d)(i => vecs.values.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      vecs.values.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n)
+    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    (1 to 8).foreach { _ =>
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / norm)
+    }
+    val got = graft.operators.EmbeddingStats.pcaProjection(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == vecs.size)
+    vecs.foreach { case (id, x) =>
+      val expect = (0 until d).map(i => x(i) * v(i)).sum
+      assert(math.abs(got(id) - expect) < 1e-3,
+        s"vec $id: got ${got(id)}, analytic $expect")
+    }
+    // the projection is non-degenerate: spread across vectors
+    assert(got.values.toSet.size > vecs.size / 10)
+  }
 }

@@ -78,6 +78,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(clean == Seq(2L))
   }
 
+  test("negative sampling: md5-chain draws resolved by rank, verified, deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Sampling.negativeSample(emb, k = 4, tau = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // verification gate: every surviving draw is a TRUE negative
+    assert(got.forall(_._4 < 0.5) && got.forall(t => t._1 != t._3))
+    assert(got.forall(t => t._2 >= 0 && t._2 < 4))
+    // brute-force the candidate chain for a few anchors
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val byRank = ids.zipWithIndex.map { case (id, r) => r.toLong -> id }.toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val gotSet = got.map(t => (t._1, t._2, t._3)).toSet
+    ids.take(5).foreach { a =>
+      (0 until 4).foreach { j =>
+        val rank = java.lang.Long.parseLong(md5hex(s"neg:$a:$j").take(8), 16) % ids.length
+        val neg = byRank(rank)
+        if (neg != a && gotSet.exists(t => t._1 == a && t._2 == j))
+          assert(gotSet.contains((a, j.toLong, neg)), s"anchor $a draw $j should hit $neg")
+      }
+    }
+    // deterministic across runs
+    val again = Sampling.negativeSample(emb, k = 4, tau = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet == again.toSet)
+  }
+
+  test("semantic decontamination: planted paraphrase vector flagged, orthogonal ones kept") {
+    import spark.implicits._
+    // bench = one unit vector along dim 0; train: id 1 ≈ bench
+    // (cos ≈ 0.999), id 2 orthogonal, id 3 anti-parallel
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val bench = Seq((100L, vec(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, vec(0.999, 0.04, 0, 0)),
+      (2L, vec(0, 0, 1, 0)),
+      (3L, vec(-1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val got = Decontaminate.semanticHits(train, bench, tau = 0.3)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(got(1L)._2 && got(1L)._1 > 0.99)
+    assert(!got(2L)._2 && math.abs(got(2L)._1) < 1e-9)
+    assert(!got(3L)._2 && got(3L)._1 == -1.0)
+    // report covers EVERY train vector, contaminated or not
+    assert(got.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("semantic decontamination benchmark side broadcasts; train never shuffles vectors") {
+    val e = Tables.embeddings(spark, sf)
+    val plan = Decontaminate.semanticHits(
+        e.where(col("vec_id") % 23 =!= 0), e.where(col("vec_id") % 23 === 0))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side must broadcast:\n$plan")
+  }
+
   test("decontamination corpus side never shuffles document rows (broadcast probe)") {
     val docs = Tables.documents(spark, sf)
     val bench = docs.where(col("doc_id") % 17 === 0)

@@ -410,4 +410,31 @@ class SearchSpec extends AnyFunSuite {
     // at least one match near a document edge exercises the clamping
     assert(expect.exists(_._2 <= 3), "need an edge-clamped snippet in testdata")
   }
+
+  test("hybrid RRF equals driver-side fusion of the two independently-tested legs") {
+    val emb = Tables.embeddings(spark, sf)
+    val terms = Seq("spark", "vector", "slow")
+    val k = 20
+    val tRanks = Search.bm25TopK(docs, terms, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val vRanks = graft.operators.Similarity.bruteForceTopK(
+        emb.where(col("vec_id") === 0L), emb, k).collect()
+      .map(r => r.getLong(2) -> r.getInt(1).toLong).toMap
+    def rrf(id: Long): Double = {
+      val raw = tRanks.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        vRanks.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = (tRanks.keySet ++ vRanks.keySet).toSeq
+      .map(id => (id, rrf(id))).sortBy { case (id, s) => (-s, id) }.take(k)
+    val got = Search.hybridRrf(docs, emb, terms, qVecId = 0L, k = k).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got == expect, s"\ngot:    $got\nexpect: $expect")
+    // both legs actually contribute: some fused doc is text-only, some vec-only
+    val gotIds = got.map(_._1).toSet
+    assert(gotIds.exists(id => tRanks.contains(id) && !vRanks.contains(id)))
+    assert(gotIds.exists(id => vRanks.contains(id) && !tRanks.contains(id)))
+  }
 }

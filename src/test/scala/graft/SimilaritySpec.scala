@@ -305,4 +305,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.exists(_._4) && got.exists(!_._4),
       "test corpus should have both mutual and one-way edges")
   }
+
+  test("X132 banded route: conf-gated SRP candidates, exact scores, bounded recall loss") {
+    val k = 5
+    val exact = Similarity.knnGraph(emb, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    spark.conf.set("spark.graft.knn.banded", "true")
+    val banded = try Similarity.knnGraph(emb, k) finally
+      spark.conf.unset("spark.graft.knn.banded")
+    val rows = banded.collect()
+    assert(banded.columns.toSeq ==
+      Seq("q_id", "rank", "c_id", "score", "mutual"), "route must keep the schema")
+    // every banded edge's score is the TRUE cosine (rerank is exact)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) - cosine(vecs(r.getLong(0)), vecs(r.getLong(2)))) < 1e-9)
+    }
+    // mutual flag is internally consistent on the banded edge set
+    val edgeSet = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == edgeSet.contains((r.getLong(2), r.getLong(0))))
+    }
+    // recall vs the exact graph: missed edges are pairs agreeing on no
+    // band — bounded, not catastrophic, on the real test embeddings
+    val hit = exact.count(e => edgeSet.contains(e))
+    val recall = hit.toDouble / exact.length
+    assert(recall >= 0.5, s"banded kNN recall $recall collapsed (< 0.5)")
+    // and within each query's list ranks are 1..m contiguous
+    rows.groupBy(_.getLong(0)).foreach { case (q, es) =>
+      assert(es.map(_.getInt(1)).sorted.toSeq == (1 to es.length).toSeq, s"ranks broken for $q")
+    }
+  }
 }
