@@ -95,6 +95,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder"),
       (args: Seq[Expression]) => ZOrder2(args(0), args(1))),
+    (FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[Hilbert2].getName, "graft_hilbert"),
+      (args: Seq[Expression]) => Hilbert2(args(0), args(1))),
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (args: Seq[Expression]) =>

@@ -640,6 +640,19 @@ object SparkEntry {
                 col("l_suppkey"), col("l_extendedprice"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    // Hilbert-clustered layout: same box query, same result (the
+    // oracle is layout-blind); the curve changes only what row groups
+    // the scan touches — pruning proven in ZOrderSpec
+    "hilbert_scan" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_hilbert_${dir.hashCode.abs}"
+      graft.sources.ClusteredParquet.writeHilbert(
+        Tables.lineitem(s, dir), path, "l_partkey", "l_orderkey", numFiles = 8)
+      graft.sources.ClusteredParquet.read(s, path)
+        .where(col("l_partkey").between(100, 299) && col("l_orderkey").between(1000, 3999))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+                col("l_suppkey"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     // §2.3 LLM-data-pipeline operators
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir)).orderBy(col("h"))),
@@ -2755,6 +2768,13 @@ object SparkEntry {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN ($iiDocIdsSql) ORDER BY doc_id""".stripMargin,
     "zorder_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 299 AND l_orderkey BETWEEN 1000 AND 3999
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // hilbert twin: identical to the zorder twin — the curve is a
+    // physical layout, the query result is layout-invariant
+    "hilbert_scan" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
         |FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 299 AND l_orderkey BETWEEN 1000 AND 3999

@@ -85,4 +85,46 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zScan < (onedScan * 9) / 10,
       s"z-order ($zScan) should prune well beyond the 1-d layout ($onedScan)")
   }
+
+  test("hilbert kernel is a bijection whose consecutive keys are grid neighbors") {
+    // exhaustively over the first 2^16 curve positions of the 2^24
+    // grid: d -> (x,y) inverts back, and d, d+1 are manhattan-adjacent
+    var d = 0L
+    var prev = ZOrderKernels.hilbertInverse(0L)
+    assert(ZOrderKernels.hilbert2(prev._1, prev._2) == 0L)
+    while (d < 65535L) {
+      val next = ZOrderKernels.hilbertInverse(d + 1)
+      assert(ZOrderKernels.hilbert2(next._1, next._2) == d + 1, s"xy2d(d2xy(${d + 1}))")
+      val manhattan = math.abs(next._1 - prev._1) + math.abs(next._2 - prev._2)
+      assert(manhattan == 1, s"positions $d and ${d + 1} are not adjacent")
+      prev = next
+      d += 1
+    }
+    // coordinates beyond the order are taken mod 2^24 like the Z path
+    assert(ZOrderKernels.hilbert2(1L << 24 | 5L, 3L) == ZOrderKernels.hilbert2(5L, 3L))
+  }
+
+  test("graft_hilbert SQL function evaluates the kernel") {
+    val r = spark.sql("SELECT graft_hilbert(CAST(5 AS BIGINT), CAST(3 AS BIGINT)) AS h")
+      .collect().head.getLong(0)
+    assert(r == ZOrderKernels.hilbert2(5L, 3L))
+  }
+
+  test("hilbert layout prunes the 2-d box and matches the source-table result") {
+    val li = Tables.lineitem(spark, sf)
+    val boxFilter = col("l_partkey").between(20, 59) && col("l_orderkey").between(100, 399)
+    val hPath = s"$tmp/h"
+    ClusteredParquet.writeHilbert(li, hPath, "l_partkey", "l_orderkey",
+      numFiles = 4, rowGroupBytes = 1024)
+    val total = li.count()
+    val hScan = ClusteredParquet.scanOutputRows(
+      ClusteredParquet.read(spark, hPath).where(boxFilter))
+    assert(hScan < total / 2, s"hilbert should prune most row groups ($hScan of $total)")
+    val expect = li.where(boxFilter).select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = ClusteredParquet.read(spark, hPath).where(boxFilter)
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(expect.nonEmpty && got == expect)
+  }
 }
