@@ -592,6 +592,11 @@ object SparkEntry {
     "search_fuzzy" -> ((s, dir) =>
       Search.fuzzySearch(Tables.documents(s, dir), Seq("spak", "strem", "jion"), maxDist = 2)
         .orderBy(col("q"), col("dist"), col("term"))),
+    // did-you-mean: fuzzy candidates ranked (dist, df DESC, term),
+    // top-3 corrections per misspelled probe
+    "search_suggest" -> ((s, dir) =>
+      Search.suggestTerms(Tables.documents(s, dir), Seq("spak", "strem", "jion"))
+        .orderBy(col("q"), col("rank"))),
     "search_prefix" -> ((s, dir) =>
       Search.prefixSearch(Tables.documents(s, dir), "s")
         .orderBy(col("term"))),
@@ -1798,6 +1803,28 @@ object SparkEntry {
         |FROM v CROSS JOIN q
         |WHERE abs(len(term) - len(q)) <= 2 AND levenshtein(q, term) <= 2
         |ORDER BY q, dist, term""".stripMargin,
+    // suggest twin: the fuzzy candidate set + per-probe rank window
+    // (dist, df DESC, term), top 3
+    "search_suggest" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |v AS (
+        | SELECT term, count(*) AS df
+        | FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks)
+        | GROUP BY term),
+        |q AS (SELECT unnest(['spak', 'strem', 'jion']) AS q),
+        |cand AS (
+        | SELECT q, term, CAST(levenshtein(q, term) AS BIGINT) AS dist, df
+        | FROM v CROSS JOIN q
+        | WHERE abs(len(term) - len(q)) <= 2 AND levenshtein(q, term) <= 2),
+        |rk AS (
+        | SELECT q, term, dist, df,
+        |  CAST(row_number() OVER (PARTITION BY q
+        |    ORDER BY dist, df DESC, term) AS BIGINT) AS rank
+        | FROM cand)
+        |SELECT q, rank, term, dist, df FROM rk
+        |WHERE rank <= 3 ORDER BY q, rank""".stripMargin,
     "search_prefix" ->
       """WITH toks AS (
         | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t

@@ -237,6 +237,23 @@ object Search {
       .select(col("q"), col("term"), dist.cast("long").as("dist"), col("df"))
   }
 
+  /** Did-you-mean suggestion: the fuzzy candidate set ranked per query
+    * term by (edit distance, corpus df DESC, term) and cut to `topN` —
+    * the query-correction layer every search box puts in front of the
+    * index (a frequent word at distance 1 beats a rare word at
+    * distance 1 beats anything at distance 2). The rank window keys on
+    * the query term over the already-tiny candidate set (vocabulary
+    * within edit distance of |terms| probes), so it adds nothing to
+    * fuzzySearch's scale shape: vocab aggregation + broadcast probe. */
+  def suggestTerms(docs: DataFrame, terms: Seq[String], maxDist: Int = 2,
+                   topN: Int = 3, textCol: String = "text"): DataFrame =
+    fuzzySearch(docs, terms, maxDist, textCol)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q")).orderBy(col("dist"), col("df").desc, col("term"))))
+      .where(col("rank") <= topN)
+      .select(col("q"), col("rank").cast("long").as("rank"), col("term"),
+        col("dist"), col("df"))
+
   /** Regex search — the grep layer under the term-based family, for
     * queries a tokenized index can't answer (patterns spanning token
     * boundaries, alternations with context). A pure scan-stage

@@ -411,6 +411,30 @@ class SearchSpec extends AnyFunSuite {
     assert(expect.exists(_._2 <= 3), "need an edge-clamped snippet in testdata")
   }
 
+  test("suggest: top-3 corrections ranked by (dist, df desc, term), recomputed brute-force") {
+    val probes = Seq("spak", "strem", "jion")
+    val got = Search.suggestTerms(docs, probes).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // brute-force vocabulary + ranking from raw text
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val df = docs.select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).distinct)
+      .groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val expect = probes.flatMap { q =>
+      df.keys.toSeq.map(t => (t, lev(q, t)))
+        .filter { case (t, d) => math.abs(t.length - q.length) <= 2 && d <= 2 }
+        .sortBy { case (t, d) => (d, -df(t), t) }.take(3).zipWithIndex
+        .map { case ((t, d), i) => (q, (i + 1).toLong, t, d.toLong, df(t)) }
+    }.toSet
+    assert(got.toSet == expect && got.nonEmpty)
+  }
+
   test("hybrid RRF equals driver-side fusion of the two independently-tested legs") {
     val emb = Tables.embeddings(spark, sf)
     val terms = Seq("spark", "vector", "slow")
