@@ -1344,6 +1344,12 @@ object SparkEntry {
     // X126: weekly cohort retention — integer week arithmetic from the
     // corpus epoch, distinct users per (cohort, offset) cell
     "q_retention" -> (EventAnalytics.retention _),
+    // deterministic md5-coin A/B readout: exact-DECIMAL moments,
+    // closed-form Welch z per event type
+    "q_ab_test" -> (EventAnalytics.abTest _),
+    // cohort LTV: cumulative purchase revenue per signup cohort /
+    // week offset, per-user normalized
+    "q_cohort_ltv" -> (EventAnalytics.cohortLtv _),
     // X127: first-order Markov transition matrix over per-user event
     // sequences; probabilities are integer-count divisions
     "q_markov" -> (EventAnalytics.markovTransitions _),
@@ -3459,6 +3465,49 @@ object SparkEntry {
         |       CAST(count(DISTINCT ev.user_id) AS BIGINT) AS users
         |FROM ev JOIN fst ON ev.user_id = fst.user_id
         |GROUP BY cohort_week, wk - cohort_week
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    // A/B twin: same md5 coin, exact DECIMAL moments, identical
+    // closed-form mean/population-variance/Welch-z double sequence
+    "q_ab_test" ->
+      """WITH ev AS (
+        | SELECT event_type,
+        |  CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8) < '80000000'
+        |       THEN 'A' ELSE 'B' END AS arm,
+        |  CAST(value AS DECIMAL(18,2)) AS y
+        | FROM events),
+        |s AS (
+        | SELECT event_type, arm, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+        |  CAST(sum(y) AS DOUBLE) AS syd, CAST(sum(y*y) AS DOUBLE) AS syyd
+        | FROM ev GROUP BY 1, 2),
+        |m AS (SELECT event_type, arm, n, nd, syd / nd AS mean,
+        |       (nd * syyd - syd * syd) / (nd * nd) AS pvar FROM s)
+        |SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+        | round(a.mean, 4) AS mean_a, round(b.mean, 4) AS mean_b,
+        | round((a.mean - b.mean) / sqrt(a.pvar / a.nd + b.pvar / b.nd), 4) AS z
+        |FROM m a JOIN m b ON a.event_type = b.event_type
+        | AND a.arm = 'A' AND b.arm = 'B'
+        |ORDER BY a.event_type""".stripMargin,
+    // LTV twin: retention's cohort grid + exact DECIMAL revenue,
+    // running total over the (cohort, offset) frame, /users at the end
+    "q_cohort_ltv" ->
+      """WITH ev AS (
+        | SELECT user_id, event_type, value,
+        |  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+        | FROM events),
+        |fst AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id),
+        |sz AS (SELECT cohort_week, count(*) AS n_users FROM fst GROUP BY cohort_week),
+        |rev AS (
+        | SELECT f.cohort_week, e.wk - f.cohort_week AS week_offset,
+        |  sum(CAST(e.value AS DECIMAL(18,2))) AS rev
+        | FROM ev e JOIN fst f ON e.user_id = f.user_id
+        | WHERE e.event_type = 'purchase'
+        | GROUP BY 1, 2)
+        |SELECT CAST(r.cohort_week AS BIGINT) AS cohort_week,
+        | CAST(r.week_offset AS BIGINT) AS week_offset,
+        | CAST(sz.n_users AS BIGINT) AS n_users,
+        | round(CAST(sum(r.rev) OVER (PARTITION BY r.cohort_week ORDER BY r.week_offset)
+        |   AS DOUBLE) / sz.n_users, 4) AS ltv_per_user
+        |FROM rev r JOIN sz ON sz.cohort_week = r.cohort_week
         |ORDER BY cohort_week, week_offset""".stripMargin,
     // markov twin: same lag window with the event_id tiebreak (order
     // by epoch micros, not raw ns ts); BIGINT / BIGINT is float

@@ -447,6 +447,71 @@ object EventAnalytics {
     * (the corpus's native 2-dp prices/values), so both Σ terms
     * accumulate EXACTLY in any order; the only double arithmetic is
     * the final one-expression ratio per group. */
+  /** X166: deterministic A/B test readout — users split 50/50 by the
+    * md5 hash chain (the sampler family's engine-portable coin), then
+    * per (event_type, arm): n, mean, and a Welch z-score for the
+    * value-mean difference. All moments accumulate as exact
+    * DECIMAL(18,2)-derived sums (n, Σy, Σy² — order-free, the
+    * stats_regression discipline); mean/variance/z are closed-form
+    * doubles over those exact sums, so the readout is reproducible
+    * cross-engine. One map-side-combined aggregation keyed on
+    * (event_type, arm); the arm assignment is a scan-stage
+    * expression. Variance is population (/n), documented. */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type",
+        when(substring(md5(concat(lit("ab:"), $"user_id".cast("string"))), 1, 8)
+          < lit("80000000"), lit("A")).otherwise(lit("B")).as("arm"),
+        $"value".cast("decimal(18,2)").as("y"))
+    val sums = ev.groupBy($"event_type", $"arm")
+      .agg(count(lit(1)).as("n"), sum($"y").as("sy"), sum($"y" * $"y").as("syy"))
+      .select($"event_type", $"arm", $"n",
+        $"n".cast("double").as("nd"), $"sy".cast("double").as("syd"),
+        $"syy".cast("double").as("syyd"))
+      .withColumn("mean", $"syd" / $"nd")
+      .withColumn("pvar", ($"nd" * $"syyd" - $"syd" * $"syd") / ($"nd" * $"nd"))
+    val a = sums.where($"arm" === "A")
+      .select($"event_type", $"n".as("n_a"), $"mean".as("ma"), $"pvar".as("va"),
+        $"nd".as("nda"))
+    val b = sums.where($"arm" === "B")
+      .select($"event_type", $"n".as("n_b"), $"mean".as("mb"), $"pvar".as("vb"),
+        $"nd".as("ndb"))
+    a.join(b, "event_type")
+      .select($"event_type", $"n_a", $"n_b",
+        round($"ma", 4).as("mean_a"), round($"mb", 4).as("mean_b"),
+        round(($"ma" - $"mb") / sqrt($"va" / $"nda" + $"vb" / $"ndb"), 4).as("z"))
+      .orderBy($"event_type")
+  }
+
+  /** X167: cohort LTV curves — cumulative per-user purchase revenue by
+    * signup cohort (first-seen week) and week offset, the
+    * product-analytics readout `q_retention` counts users for. Revenue
+    * accumulates as exact DECIMAL per (cohort, offset) — one keyed
+    * aggregation over the purchase subset — and the running total
+    * rides a window over the tiny (cohorts × weeks) frame, never the
+    * event stream. Per-user normalization divides by the cohort size
+    * from the retention-style first-seen table. */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"value",
+        expr("datediff(CAST(ts AS DATE), DATE'2024-01-01') DIV 7").as("wk"))
+    val first = ev.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+    val sizes = first.groupBy($"cohort_week").agg(count(lit(1)).as("n_users"))
+    val rev = ev.join(first, Seq("user_id"))
+      .where($"event_type" === "purchase")
+      .groupBy($"cohort_week", ($"wk" - $"cohort_week").as("week_offset"))
+      .agg(sum($"value".cast("decimal(18,2)")).as("rev"))
+    val w = Window.partitionBy($"cohort_week").orderBy($"week_offset")
+    rev
+      .withColumn("cum_rev", sum($"rev").over(w))
+      .join(sizes, "cohort_week")
+      .select($"cohort_week", $"week_offset", $"n_users",
+        round($"cum_rev".cast("double") / $"n_users", 4).as("ltv_per_user"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
   def gini(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir)

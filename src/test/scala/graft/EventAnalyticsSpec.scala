@@ -318,4 +318,60 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(math.abs(got(k)._3 - math.pow(o - e, 2) / e) < 1e-6)
     }
   }
+
+  test("X166: A/B readout matches the brute-forced md5 split and Welch z") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def arm(u: Long) = if (md5hex(s"ab:$u").take(8) < "80000000") "A" else "B"
+    val got = graft.operators.EventAnalytics.abTest(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val byType = ev.groupBy(_._4)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (ty, es) =>
+      val (as, bs) = es.partition(e => arm(e._1) == "A")
+      def stats(xs: Seq[Double]) = {
+        // exact cents like the DECIMAL(18,2) route
+        val cents = xs.map(x => BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        val n = xs.size.toDouble
+        val sy = cents.sum.toDouble
+        val syy = cents.map(c => c * c).sum.toDouble
+        (n, sy / n, (n * syy - sy * sy) / (n * n))
+      }
+      val (na, ma, va) = stats(as.map(_._5))
+      val (nb, mb, vb) = stats(bs.map(_._5))
+      val (gNa, gNb, gMa, gMb, gZ) = got(ty)
+      assert(gNa == na.toLong && gNb == nb.toLong)
+      assert(math.abs(gMa - ma) < 1e-4 && math.abs(gMb - mb) < 1e-4)
+      assert(math.abs(gZ - (ma - mb) / math.sqrt(va / na + vb / nb)) < 1e-3)
+      // both arms populated — the md5 coin is actually balanced-ish
+      assert(na > 0 && nb > 0)
+    }
+  }
+
+  test("X167: cohort LTV is cumulative, per-user-normalized, purchase-only") {
+    val got = graft.operators.EventAnalytics.cohortLtv(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val dayZero = java.time.LocalDate.of(2024, 1, 1)
+    def wk(t: Timestamp): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        dayZero, t.toLocalDateTime.toLocalDate) / 7
+    val firstWk = ev.groupBy(_._1).view.mapValues(es => es.map(e => wk(e._2)).min).toMap
+    val cohortSize = firstWk.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rev = ev.filter(_._4 == "purchase")
+      .groupBy(e => (firstWk(e._1), wk(e._2) - firstWk(e._1)))
+      .view.mapValues(_.map(e => BigDecimal(e._5)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum).toMap
+    assert(got.keySet == rev.keySet && got.nonEmpty)
+    got.foreach { case ((c, off), (n, ltv)) =>
+      assert(n == cohortSize(c))
+      val cum = rev.filter { case ((cc, oo), _) => cc == c && oo <= off }.values.sum
+      assert(math.abs(ltv - (cum.toDouble / n)) < 1e-3, s"cohort $c offset $off")
+    }
+    // cumulative: non-decreasing along each cohort's offsets
+    got.keys.groupBy(_._1).foreach { case (c, ks) =>
+      val seq = ks.toSeq.sortBy(_._2).map(k => got(k)._2)
+      assert(seq.zip(seq.drop(1)).forall { case (x, y) => y >= x - 1e-9 })
+    }
+  }
 }
