@@ -597,6 +597,11 @@ object SparkEntry {
     "search_suggest" -> ((s, dir) =>
       Search.suggestTerms(Tables.documents(s, dir), Seq("spak", "strem", "jion"))
         .orderBy(col("q"), col("rank"))),
+    // infix wildcard via the trigram term index; oracle is the direct
+    // LIKE scan — the index path must be result-identical
+    "search_infix" -> ((s, dir) =>
+      Search.infixSearch(Tables.documents(s, dir), "park")
+        .orderBy(col("term"))),
     "search_prefix" -> ((s, dir) =>
       Search.prefixSearch(Tables.documents(s, dir), "s")
         .orderBy(col("term"))),
@@ -1809,6 +1814,18 @@ object SparkEntry {
         |FROM v CROSS JOIN q
         |WHERE abs(len(term) - len(q)) <= 2 AND levenshtein(q, term) <= 2
         |ORDER BY q, dist, term""".stripMargin,
+    // infix twin: the layout-blind direct scan — LIKE '%park%' over
+    // distinct tokens; the trigram index must change nothing
+    "search_infix" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> len(x) > 0) AS t
+        | FROM documents)
+        |SELECT term, count(*) AS df
+        |FROM (SELECT doc_id,
+        |       unnest(list_filter(list_distinct(t), x -> x LIKE '%park%')) AS term
+        |      FROM toks)
+        |GROUP BY term ORDER BY term""".stripMargin,
     // suggest twin: the fuzzy candidate set + per-probe rank window
     // (dist, df DESC, term), top 3
     "search_suggest" ->

@@ -243,10 +243,14 @@ object StressBench {
       "search_hybrid_rrf" -> (() =>
         operators.Search.hybridRrf(v, emb, Seq("spark", "vector", "slow"), 0L, 20)),
       // semantic decontamination: broadcast bench, train-side scan +
-      // (id, max) aggregation — must be scan-linear
+      // (id, max) aggregation. The BENCHMARK is constant-size at both
+      // scales (id < 500 selects the same vector COUNT under the
+      // replica id remap) — eval suites don't grow with the corpus;
+      // letting bench scale with N made the cross join honestly
+      // quadratic (first run printed 33x) and models nothing real
       "decontaminate_semantic" -> (() =>
         operators.Decontaminate.semanticHits(
-          emb.where(col("vec_id") % 23 =!= 0), emb.where(col("vec_id") % 23 === 0))),
+          emb.where(col("vec_id") >= 500), emb.where(col("vec_id") < 500))),
       // covariance: the d²-per-row generate is scan CPU, the exchange
       // carries ≤ partitions × d(d+1)/2 rows — must be scan-linear
       "embed_cov" -> (() =>

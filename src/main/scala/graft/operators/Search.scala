@@ -346,6 +346,39 @@ object Search {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
   }
 
+  /** X168: infix wildcard ('*park*') via a TRIGRAM term index — the
+    * pg_trgm technique: the VOCABULARY (never the corpus) explodes
+    * into character trigrams, the query's trigrams probe it, and a
+    * term qualifies when it carries ALL of them; a contains() check
+    * then verifies (trigram agreement is necessary, not sufficient —
+    * 'abcxbcd' has both grams of 'abcd' without containing it). The
+    * probe is a literal IN over a handful of grams, so at scale the
+    * trigram table is the persisted index and the query touches
+    * |q-grams| index keys instead of every vocabulary term — the
+    * leading-wildcard query class that prefix (sargable) and suffix
+    * (reversed-term) tricks cannot reach. Sub-trigram queries fall
+    * back to the direct vocabulary filter. Returns (term, df). */
+  def infixSearch(docs: DataFrame, infix: String,
+                  textCol: String = "text"): DataFrame = {
+    val q = infix.toLowerCase
+    val vocab = vocabulary(docs, textCol)
+    if (q.length < 3)
+      vocab.where(col("term").contains(q)).select(col("term"), col("df"))
+    else {
+      val qGrams = q.sliding(3).toSeq.distinct
+      vocab.where(length(col("term")) >= q.length)
+        .select(col("term"), col("df"),
+          explode(array_distinct(transform(
+            sequence(lit(0), length(col("term")) - 3),
+            i => col("term").substr(i + 1, lit(3))))).as("gram"))
+        .where(col("gram").isin(qGrams: _*))
+        .groupBy(col("term"), col("df"))
+        .agg(count(lit(1)).as("__hits"))
+        .where(col("__hits") === qGrams.length && col("term").contains(q))
+        .select(col("term"), col("df"))
+    }
+  }
+
   /** Proximity search: docs where `termA` and `termB` co-occur within
     * `maxDist` token positions, with the best (smallest) distance.
     * Entirely per-row — positions of the two query terms are extracted

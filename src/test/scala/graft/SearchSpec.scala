@@ -435,6 +435,27 @@ class SearchSpec extends AnyFunSuite {
     assert(got.toSet == expect && got.nonEmpty)
   }
 
+  test("infix trigram index equals the direct contains scan; false positives verified away") {
+    import spark.implicits._
+    // testdata route: indexed path == direct scan
+    val direct = Search.vocabulary(docs).where(col("term").contains("park"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val indexed = Search.infixSearch(docs, "park")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(indexed == direct && indexed.nonEmpty)
+    // planted trigram false positive: 'abcxbcd' carries grams
+    // abc+bcd of query 'abcd' but does not contain it
+    val planted = Seq((1L, "abcd hit"), (2L, "abcxbcd decoy"), (3L, "plain"))
+      .toDF("doc_id", "text")
+    val got = Search.infixSearch(planted, "abcd")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("abcd"), s"decoy must be verified away, got $got")
+    // sub-trigram query falls back to the direct filter
+    val short = Search.infixSearch(planted, "bc")
+      .collect().map(_.getString(0)).toSet
+    assert(short == Set("abcd", "abcxbcd"))
+  }
+
   test("hybrid RRF equals driver-side fusion of the two independently-tested legs") {
     val emb = Tables.embeddings(spark, sf)
     val terms = Seq("spark", "vector", "slow")
