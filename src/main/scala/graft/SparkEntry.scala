@@ -1398,6 +1398,9 @@ object SparkEntry {
     // X137: per-type Gini inequality over event values via the
     // distributed grouped rank
     "stats_gini" -> (EventAnalytics.gini _),
+    // Benford first-digit profile per event type: per-digit observed
+    // vs log10(1+1/d) expectation — the unit-mixing detector
+    "stats_benford" -> (EventAnalytics.benford _),
     // X138: WAND/MaxScore-pruned BM25 — result-identical to
     // search_bm25 (same oracle), but the scoring exchange only
     // carries docs passing the scan-stage upper-bound gate
@@ -3708,6 +3711,21 @@ object SparkEntry {
         | round((2.0 * CAST(s1 AS DOUBLE) - (n + 1) * CAST(s0 AS DOUBLE))
         |       / (n * CAST(s0 AS DOUBLE)), 6) AS gini
         |FROM a ORDER BY event_type""".stripMargin,
+    // Benford twin: identical floor/log10 digit extraction, per-digit
+    // rows so no cross-digit float summation exists
+    "stats_benford" ->
+      """WITH pos AS (SELECT event_type, value FROM events WHERE value > 0),
+        |d AS (SELECT event_type,
+        |       CAST(floor(value / power(10, floor(log10(value)))) AS BIGINT) AS digit
+        |      FROM pos),
+        |c AS (SELECT event_type, digit, count(*) AS n FROM d GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(n) AS total FROM c GROUP BY 1)
+        |SELECT c.event_type, c.digit, CAST(c.n AS BIGINT) AS n,
+        | round(CAST(t.total AS DOUBLE) * log10(1 + CAST(1 AS DOUBLE) / c.digit), 4)
+        |   AS exp_n,
+        | round(c.n / (CAST(t.total AS DOUBLE) * log10(1 + CAST(1 AS DOUBLE) / c.digit)), 4)
+        |   AS ratio
+        |FROM c JOIN t USING (event_type) ORDER BY event_type, digit""".stripMargin,
     "graph_pagerank" -> pageRankOracleSql(5),
     // link-pred twin: wedge count = |N(a) ∩ N(c)|, anti-join edges,
     // Jaccard on the rounded column with (x, y) tiebreaks

@@ -512,6 +512,34 @@ object EventAnalytics {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** X169: Benford first-significant-digit profile — the classic
+    * fabricated-data / unit-mixing detector: naturally-occurring
+    * multiplicative quantities put digit d first with probability
+    * log₁₀(1+1/d); a uniform or hand-entered column doesn't. Reported
+    * per (event_type, digit) with the expected count and the
+    * observed/expected ratio — one row per digit, so NO cross-digit
+    * float summation exists anywhere (a χ² total would sum nine
+    * doubles in engine-dependent order; the per-digit table carries
+    * the same information). Digit extraction is pure double floor/log
+    * arithmetic, identical in both engines; non-positive values are
+    * excluded by definition. One map-side-combined count aggregation. */
+  def benford(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.events(spark, sfDir)
+      .where($"value" > 0)
+      .select($"event_type",
+        floor($"value" / pow(lit(10.0), floor(log10($"value")))).cast("long").as("digit"))
+    val c = d.groupBy($"event_type", $"digit").agg(count(lit(1)).as("n"))
+    val t = c.groupBy($"event_type").agg(sum($"n").as("total"))
+    c.join(t, "event_type")
+      .select($"event_type", $"digit", $"n",
+        round($"total".cast("double") * log10(lit(1.0) + lit(1.0) / $"digit"), 4)
+          .as("exp_n"),
+        round($"n" / ($"total".cast("double") * log10(lit(1.0) + lit(1.0) / $"digit")), 4)
+          .as("ratio"))
+      .orderBy($"event_type", $"digit")
+  }
+
   def gini(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir)

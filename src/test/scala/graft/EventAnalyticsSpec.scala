@@ -319,6 +319,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("X169: Benford digits match the brute force; sub-1 values get their first significant digit") {
+    def digit(v: Double): Long =
+      math.floor(v / math.pow(10, math.floor(math.log10(v)))).toLong
+    assert(digit(0.5) == 5 && digit(123.4) == 1 && digit(9.99) == 9 && digit(0.001) == 1)
+    val got = graft.operators.EventAnalytics.benford(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val counts = ev.filter(_._5 > 0)
+      .groupBy(e => (e._4, digit(e._5))).view.mapValues(_.size.toLong).toMap
+    assert(got.keySet == counts.keySet && got.nonEmpty)
+    val totals = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    got.foreach { case ((ty, d), (n, expN, ratio)) =>
+      assert(n == counts((ty, d)))
+      assert(got((ty, d))._1 >= 1 && d >= 1 && d <= 9)
+      val e = totals(ty).toDouble * math.log10(1.0 + 1.0 / d)
+      assert(math.abs(expN - e) < 1e-3 && math.abs(ratio - n / e) < 1e-3)
+    }
+  }
+
   test("X166: A/B readout matches the brute-forced md5 split and Welch z") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
