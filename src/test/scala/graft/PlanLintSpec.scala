@@ -51,4 +51,37 @@ class PlanLintSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"text_tokens should read only (doc_id, text):\n$plan")
   }
+
+  private def shuffles(plan: String): Int =
+    "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+
+  test("bpe apply: the literal replace chain rides the scan — one doc-keyed exchange") {
+    val plan = SparkEntry.queries("text_bpe_apply")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 1,
+      s"encode must be scan-stage work, only the doc agg may shuffle:\n$plan")
+    assert(plan.contains("partial"), "doc agg must combine map-side")
+  }
+
+  test("pca projection: driver-side loadings, no hash exchange in the data pass") {
+    val plan = SparkEntry.queries("embed_pca")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 0,
+      s"the projection is per-row + final sort; no hash exchange belongs here:\n$plan")
+  }
+
+  test("hybrid RRF: corpus stats and the vector query broadcast") {
+    val plan = SparkEntry.queries("search_hybrid_rrf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"both legs' small sides must broadcast:\n$plan")
+  }
+
+  test("covariance: marginal table broadcasts back onto the pair aggregate") {
+    val plan = SparkEntry.queries("embed_cov")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"the d-row marginal join must broadcast:\n$plan")
+    assert(plan.contains("partial"), "pair sums must combine map-side")
+  }
 }
