@@ -1084,6 +1084,17 @@ object SparkEntry {
                 round(col("last_purchase"), 2).as("last_purchase"))
         .orderBy(col("event_id"))
     }),
+    // forward as-of: next purchase at-or-after each event — the
+    // mirrored one-exchange union+window, inclusive at equal ts
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.firstValueAsOfForward(ev, purchases, "user_id", "ts", "value", "next_purchase")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                round(col("next_purchase"), 2).as("next_purchase"))
+        .orderBy(col("event_id"))
+    }),
     "q_range_join" -> ((s, dir) => {
       val intervals = Tables.nation(s, dir).select(
         col("n_nationkey").cast("long").as("bucket"),
@@ -2711,6 +2722,14 @@ object SparkEntry {
         |FROM events l ASOF LEFT JOIN
         | (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
         | ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    // forward twin: DuckDB's native forward ASOF (l.ts <= r.ts picks
+    // the nearest following purchase), inclusive at equal ts
+    "q_asof_forward" ->
+      """SELECT l.event_id, l.user_id, l.event_type, round(r.value, 2) AS next_purchase
+        |FROM events l ASOF LEFT JOIN
+        | (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        | ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY l.event_id""".stripMargin,
     "q_range_join" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS bucket, count(*) AS n,

@@ -45,4 +45,31 @@ object AsOfJoin {
       .where(col(tag) === 1)
       .drop(tag, rv)
   }
+
+  /** Forward as-of: `outCol` = value of the EARLIEST `right` row
+    * at-or-after each `left` row's timestamp (null if none) — the
+    * next-quote-after-trade / next-restock-after-stockout direction.
+    * Mirror of `lastValueAsOf` with the same one-exchange shape: the
+    * frame runs (currentRow, unboundedFollowing) with an incremental
+    * `first(ignoreNulls)`, and at equal ts the right row sorts AFTER
+    * the left row so it falls INSIDE the left row's following frame —
+    * inclusive `right.ts >= left.ts`, matching ASOF `l.ts <= r.ts`. */
+  def firstValueAsOfForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+                            valueCol: String, outCol: String): DataFrame = {
+    val rv = "__asof_rv"
+    val tag = "__asof_tag"
+    val valueType = right.schema(valueCol).dataType
+    val l = left
+      .withColumn(tag, lit(0))
+      .withColumn(rv, lit(null).cast(valueType))
+    val r = right.select(col(key), col(ts), col(valueCol).as(rv))
+      .withColumn(tag, lit(1))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col(tag))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(outCol, first(col(rv), ignoreNulls = true).over(w))
+      .where(col(tag) === 0)
+      .drop(tag, rv)
+  }
 }

@@ -30,6 +30,27 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(got("d") == null, "key with no right rows -> null")
   }
 
+  test("forward as-of picks the earliest right row at-or-after each left ts") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "a"),
+      (1L, ts("2024-01-01 10:00:00"), "b"),  // exactly at a right row
+      (1L, ts("2024-01-01 11:30:00"), "c"),  // after the last right row
+      (2L, ts("2024-01-01 10:00:00"), "d"))  // user with no right rows
+      .toDF("user_id", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 20.0))
+      .toDF("user_id", "ts", "value")
+    val got = AsOfJoin.firstValueAsOfForward(left, right, "user_id", "ts", "value", "v")
+      .select("name", "v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got("a") == 10.0, "earliest following right row wins")
+    assert(got("b") == 10.0, "equal ts matches inclusively")
+    assert(got("c") == null, "past the last right row -> null")
+    assert(got("d") == null, "key with no right rows -> null")
+  }
+
   test("as-of join plans one key-shuffle and no cartesian") {
     val ev = Tables.events(spark, sf)
     val purchases = ev.where(col("event_type") === "purchase")
