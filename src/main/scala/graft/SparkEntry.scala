@@ -865,6 +865,10 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) =>
       TextStats.tfidfTopTerms(Tables.documents(s, dir), k = 5)
         .orderBy(col("doc_id"), col("rank"))),
+    // word2vec-style skip-gram co-occurrence: window-2 pairs counted
+    // corpus-wide, top-20 by count with lexicographic tiebreaks
+    "text_skipgrams" -> ((s, dir) =>
+      TextStats.skipgrams(Tables.documents(s, dir), window = 2, k = 20)),
     // unigram-LM mean negative log-likelihood (perplexity stand-in)
     "text_lm_score" -> ((s, dir) =>
       TextStats.unigramLogLoss(Tables.documents(s, dir))
@@ -2168,6 +2172,18 @@ object SparkEntry {
     "text_bpe_train" -> Bpe.oracleSql(10),
     // apply twin: training CTEs + nested replace() chain over b1..b10
     "text_bpe_apply" -> Bpe.applyOracleSql(10),
+    // skip-gram twin: per-position list slice pairs each token with
+    // its next 2 positions, integer counts, same tiebreaks
+    "text_skipgrams" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> len(x) > 0) AS t
+        | FROM documents WHERE text IS NOT NULL),
+        |pos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+        |p AS (SELECT t[i] AS a, unnest(t[i+1 : i+2]) AS b FROM pos)
+        |SELECT a, b, count(*) AS n
+        |FROM p GROUP BY a, b
+        |ORDER BY n DESC, a, b LIMIT 20""".stripMargin,
     // entropy twin: per-(doc, token) counts, H = ln n − Σ c·ln c / n;
     // ln and the /n division agree across engines (BM25 precedent),
     // summation-order wobble dies at round(4)

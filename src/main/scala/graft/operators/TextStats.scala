@@ -236,4 +236,27 @@ object TextStats {
         sum(when(fStop, 1L).otherwise(0L)).as("n_stop"),
         sum(when(fPunct, 1L).otherwise(0L)).as("n_punct"))
   }
+
+  /** X171: windowed skip-gram co-occurrence counts — the word2vec /
+    * GloVe preprocessing pass: every (token, following-token-within-
+    * `window`) pair counted corpus-wide, top-k by count. Pairs are
+    * generated INSIDE the row with array HOFs (each position pairs
+    * with its next `window` positions — the undirected-once
+    * representation), so the scan emits ≤ window·tokens pair rows
+    * straight into a map-side-combined count; the only shuffle keys
+    * on the pair. Top-k is TakeOrderedAndProject — k rows move, no
+    * full sort. Integer counts + lexicographic tiebreaks ⇒
+    * engine-exact. */
+  def skipgrams(docs: DataFrame, window: Int = 2, k: Int = 20,
+                textCol: String = "text"): DataFrame = {
+    val t = graft.functions.TextFunctions.tokens(lower(col(textCol)))
+    docs.where(col(textCol).isNotNull)
+      .select(explode(flatten(transform(t, (tok, i) =>
+        transform(slice(t, i + lit(2), lit(window)),
+          ctx => struct(tok.as("a"), ctx.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(k)
+  }
 }

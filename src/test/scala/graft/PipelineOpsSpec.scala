@@ -78,6 +78,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(clean == Seq(2L))
   }
 
+  test("X171: skipgram counts equal the brute force over window-2 pairs") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val got = TextStats.skipgrams(df, window = 2, k = 100).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val brute = Seq("a b c a b", "b c d").flatMap { t =>
+      val w = t.split(" ")
+      w.indices.flatMap(i => (i + 1 to math.min(i + 2, w.length - 1)).map(j => (w(i), w(j))))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == brute, s"\ngot:   $got\nbrute: $brute")
+  }
+
   test("negative sampling: md5-chain draws resolved by rank, verified, deterministic") {
     val emb = Tables.embeddings(spark, sf)
     val got = Sampling.negativeSample(emb, k = 4, tau = 0.5).collect()
