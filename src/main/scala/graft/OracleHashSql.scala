@@ -209,4 +209,48 @@ FROM cand c JOIN shs x ON x.doc_id = c.id1 JOIN shs y ON y.doc_id = c.id2
 WHERE $jac >= $threshold
 ORDER BY id1, id2"""
   }
+
+  /** The minhash pair set closed into connected components — the same
+    * HUGEINT signature chain as `minhashSql`, then the recursive
+    * reachability closure (min label = component id) the
+    * dedup_clusters twin uses. */
+  def minhashClustersSql(src: String = "documents", threshold: Double = 0.8,
+                         numHashes: Int = 128, bands: Int = 16,
+                         shingleSize: Int = 3, maxBucket: Int = 100): String = {
+    val r = numHashes / bands
+    val seeds = (0 until numHashes).map(j =>
+      s"($j, ${java.lang.Long.toUnsignedString(GraftHash.permSeed(j))}::UBIGINT)").mkString(", ")
+    val (grams, last, gram) = gramCtes(src, shingleSize, " WHERE text IS NOT NULL")
+    val jac = "CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / " +
+      "(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))"
+    val ctes = grams ++ Seq(
+      s"grams AS MATERIALIZED (SELECT DISTINCT id, $gram AS g FROM $last " +
+        s"UNION SELECT id, $foldAll FROM th WHERE len(hs) < $shingleSize)",
+      s"seeds(j, seed) AS (SELECT * FROM (VALUES $seeds))",
+      s"sv AS MATERIALIZED (SELECT id, j, ${smCols("xor(g, seed)", "sv")} " +
+        "FROM grams CROSS JOIN seeds)",
+      s"sig AS (SELECT id, j, min(${signed("svout")}) AS mv FROM sv GROUP BY id, j)",
+      s"sband AS MATERIALIZED (SELECT id, j // $r AS band, list(mv ORDER BY j) AS bkey " +
+        s"FROM sig GROUP BY id, j // $r)",
+      "bsz AS (SELECT band, bkey, count(*) AS n FROM sband GROUP BY band, bkey)",
+      "cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2 " +
+        "FROM sband a JOIN sband b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id " +
+        s"JOIN bsz s ON s.band = a.band AND s.bkey = a.bkey AND s.n <= $maxBucket)") ++
+      shingleCtes(shingleSize, src)
+    "WITH RECURSIVE " + ctes.mkString(",\n") +
+      s""",
+pairs AS (
+ SELECT c.id1, c.id2
+ FROM cand c JOIN shs x ON x.doc_id = c.id1 JOIN shs y ON y.doc_id = c.id2
+ WHERE $jac >= $threshold),
+edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+reach(id, rr) AS (
+ SELECT a, a FROM edges
+ UNION
+ SELECT reach.id, edges.b FROM reach JOIN edges ON reach.rr = edges.a),
+comp AS (SELECT id, min(rr) AS component FROM reach GROUP BY id)
+SELECT component, count(*) AS n_members,
+ array_to_string(list_sort(list(id)), ',') AS members
+FROM comp GROUP BY component ORDER BY component"""
+  }
 }

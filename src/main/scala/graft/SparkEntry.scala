@@ -726,6 +726,12 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       ConnectedComponents.clusters(Dedup.embeddingPairs(Tables.embeddings(s, dir)))
         .orderBy(col("component"))),
+    // TEXT-modality near-dup clusters: MinHash-LSH pairs closed into
+    // components — pairs→groups for the lexical leg, mirroring the
+    // embedding-leg dedup_clusters
+    "dedup_lsh_clusters" -> ((s, dir) =>
+      ConnectedComponents.clusters(Dedup.minhashLshPairs(Tables.documents(s, dir)))
+        .orderBy(col("component"))),
     // hybrid semantic dedup: a doc pair is a duplicate if EITHER the
     // texts are near-dups (SNM window + exact Jaccard) OR the
     // embeddings are (SRP-banded cosine); union of edges → clusters.
@@ -1478,6 +1484,9 @@ object SparkEntry {
     // reproduced in HUGEINT-mod-2^64 arithmetic (OracleHashSql), so
     // the LSH pipelines hash-compare end to end, not rows-only
     "dedup_minhash_lsh" -> OracleHashSql.minhashSql(),
+    // lsh-clusters twin: the same HUGEINT minhash chain + the
+    // recursive reachability closure dedup_clusters uses
+    "dedup_lsh_clusters" -> OracleHashSql.minhashClustersSql(),
     "dedup_simhash" -> OracleHashSql.simhashSql(),
     "text_fingerprint" -> OracleHashSql.fingerprintSql(),
     "ii_field_values" ->
