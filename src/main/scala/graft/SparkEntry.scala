@@ -1105,6 +1105,17 @@ object SparkEntry {
                 round(col("next_purchase"), 2).as("next_purchase"))
         .orderBy(col("event_id"))
     }),
+    // nearest as-of: closer of before/after purchase, backward ties —
+    // one sort serves both direction frames
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.nearestValueAsOf(ev, purchases, "user_id", "ts", "value", "nearest_purchase")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                round(col("nearest_purchase"), 2).as("nearest_purchase"))
+        .orderBy(col("event_id"))
+    }),
     "q_range_join" -> ((s, dir) => {
       val intervals = Tables.nation(s, dir).select(
         col("n_nationkey").cast("long").as("bucket"),
@@ -2747,6 +2758,24 @@ object SparkEntry {
         |FROM events l ASOF LEFT JOIN
         | (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
         | ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    // nearest twin: both ASOF directions chained, CASE on exact
+    // integer-microsecond distances, backward wins ties
+    "q_asof_nearest" ->
+      """SELECT l.event_id, l.user_id, l.event_type,
+        | round(CASE
+        |   WHEN b.ts IS NULL THEN f.value
+        |   WHEN f.ts IS NULL THEN b.value
+        |   WHEN epoch_us(l.ts) - epoch_us(b.ts) <= epoch_us(f.ts) - epoch_us(l.ts)
+        |     THEN b.value
+        |   ELSE f.value END, 2) AS nearest_purchase
+        |FROM events l
+        | ASOF LEFT JOIN
+        |  (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b
+        |  ON l.user_id = b.user_id AND l.ts >= b.ts
+        | ASOF LEFT JOIN
+        |  (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') f
+        |  ON l.user_id = f.user_id AND l.ts <= f.ts
         |ORDER BY l.event_id""".stripMargin,
     // forward twin: DuckDB's native forward ASOF (l.ts <= r.ts picks
     // the nearest following purchase), inclusive at equal ts

@@ -72,4 +72,45 @@ object AsOfJoin {
       .where(col(tag) === 0)
       .drop(tag, rv)
   }
+
+  /** Nearest as-of: the closer of the latest-before and
+    * earliest-after right rows (ties, including an exact-timestamp
+    * match at distance 0, go BACKWARD — pinned). ONE union and ONE
+    * sort serve both directions: right rows tag 0 sort before left
+    * rows at equal ts, so the preceding frame catches an equal-ts
+    * right row inclusively; the following frame then misses it — but
+    * backward already owns it at distance 0, so nearest semantics are
+    * unharmed. Both direction passes are incremental frames over the
+    * same (key, (ts, tag)) WindowExec sort; distances compare as
+    * exact integer microseconds. */
+  def nearestValueAsOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+                       valueCol: String, outCol: String): DataFrame = {
+    val rv = "__asof_rv"
+    val rt = "__asof_rt"
+    val tag = "__asof_tag"
+    val valueType = right.schema(valueCol).dataType
+    val l = left
+      .withColumn(tag, lit(1))
+      .withColumn(rv, lit(null).cast(valueType))
+      .withColumn(rt, lit(null).cast("long"))
+    val r = right.select(col(key), col(ts), col(valueCol).as(rv))
+      .withColumn(tag, lit(0))
+      .withColumn(rt, unix_micros(col(ts)))
+    val base = Window.partitionBy(col(key)).orderBy(col(ts), col(tag))
+    val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__bv", last(col(rv), ignoreNulls = true).over(back))
+      .withColumn("__bt", last(col(rt), ignoreNulls = true).over(back))
+      .withColumn("__fv", first(col(rv), ignoreNulls = true).over(fwd))
+      .withColumn("__ft", first(col(rt), ignoreNulls = true).over(fwd))
+      .where(col(tag) === 1)
+    u.withColumn(outCol,
+        when(col("__bt").isNull, col("__fv"))
+          .when(col("__ft").isNull, col("__bv"))
+          .when(unix_micros(col(ts)) - col("__bt") <= col("__ft") - unix_micros(col(ts)),
+            col("__bv"))
+          .otherwise(col("__fv")))
+      .drop(tag, rv, rt, "__bv", "__bt", "__fv", "__ft")
+  }
 }

@@ -51,6 +51,31 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(got("d") == null, "key with no right rows -> null")
   }
 
+  test("nearest as-of picks the closer side; ties (incl. exact hits) go backward") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:20:00"), "closerBack"),   // 20m after r1, 40m before r2
+      (1L, ts("2024-01-01 10:40:00"), "closerFwd"),    // 40m after r1, 20m before r2
+      (1L, ts("2024-01-01 10:30:00"), "tie"),          // 30m both ways -> backward
+      (1L, ts("2024-01-01 11:00:00"), "exact"),        // on r2 exactly
+      (1L, ts("2024-01-01 09:00:00"), "onlyFwd"),      // before all right rows
+      (1L, ts("2024-01-01 12:00:00"), "onlyBack"),     // after all right rows
+      (2L, ts("2024-01-01 10:00:00"), "none"))
+      .toDF("user_id", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 20.0))
+      .toDF("user_id", "ts", "value")
+    val got = AsOfJoin.nearestValueAsOf(left, right, "user_id", "ts", "value", "v")
+      .select("name", "v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got("closerBack") == 10.0 && got("closerFwd") == 20.0)
+    assert(got("tie") == 10.0, "equidistant -> backward wins")
+    assert(got("exact") == 20.0, "exact timestamp matches itself at distance 0")
+    assert(got("onlyFwd") == 10.0 && got("onlyBack") == 20.0)
+    assert(got("none") == null)
+  }
+
   test("as-of join plans one key-shuffle and no cartesian") {
     val ev = Tables.events(spark, sf)
     val purchases = ev.where(col("event_type") === "purchase")
