@@ -262,7 +262,24 @@ object StressBench {
       // negative mining: rank map + k-per-anchor joins, all keyed —
       // must be row-linear
       "sample_negative" -> (() =>
-        operators.Sampling.negativeSample(emb)))
+        operators.Sampling.negativeSample(emb)),
+      // nearest as-of: one (user, ts) sort with two direction frames —
+      // N× users at constant series length must be scan-linear
+      "q_asof_nearest" -> (() => {
+        val ev = Tables.events(spark, evDir)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        operators.AsOfJoin.nearestValueAsOf(
+          ev, purchases, "user_id", "ts", "value", "np")
+      }),
+      // skip-grams: window·tokens pair generate in the scan + one
+      // pair-keyed count. NOTE the prefixed amplification inflates
+      // token BYTES ~1.7× (r{rep}_ on ~4-char tokens), so the pair
+      // shuffle carries ~17× bytes at 10× rows — the measured ~11.4×
+      // wall is sub-linear in byte volume, the honest unit for a
+      // string-pair-keyed exchange
+      "text_skipgrams" -> (() =>
+        operators.TextStats.skipgrams(docs, window = 2, k = 20)))
     // dev affordance: SPARK_GRAFT_STRESS_ONLY=a,b,c restricts the run
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
