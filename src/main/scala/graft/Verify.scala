@@ -27,7 +27,8 @@ object Verify {
     // attempted entry with no dump as a FAILURE (a crashed query must
     // not silently vanish from the report)
     Files.writeString(Paths.get(s"$outDir/attempted.json"),
-      attempted.keys.toSeq.sorted.mkString("[\"", "\", \"", "\"]"))
+      if (attempted.isEmpty) "[]"
+      else attempted.keys.toSeq.sorted.mkString("[\"", "\", \"", "\"]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -21,6 +21,13 @@ import org.apache.spark.sql.expressions.Window
   *  - ties (right.ts == left.ts) resolve inclusively: the right row
   *    sorts before the left row at equal ts, matching ASOF's
   *    `left.ts >= right.ts`.
+  *
+  * Duplicate right (key, ts) rows: the window ordering carries the
+  * right VALUE as a final tiebreak, so the picked row is deterministic
+  * run-to-run (backward frames resolve to the greatest value at the
+  * tied timestamp, forward frames to the least). Cross-engine oracle
+  * agreement (DuckDB ASOF leaves its pick unspecified) still requires
+  * unique (key, ts) on the right side — the documented precondition.
   */
 object AsOfJoin {
 
@@ -38,7 +45,7 @@ object AsOfJoin {
     val r = right.select(col(key), col(ts), col(valueCol).as(rv))
       .withColumn(tag, lit(0))
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col(tag))
+      .orderBy(col(ts), col(tag), col(rv))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn(outCol, last(col(rv), ignoreNulls = true).over(w))
@@ -65,7 +72,7 @@ object AsOfJoin {
     val r = right.select(col(key), col(ts), col(valueCol).as(rv))
       .withColumn(tag, lit(1))
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col(tag))
+      .orderBy(col(ts), col(tag), col(rv))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn(outCol, first(col(rv), ignoreNulls = true).over(w))
@@ -96,7 +103,7 @@ object AsOfJoin {
     val r = right.select(col(key), col(ts), col(valueCol).as(rv))
       .withColumn(tag, lit(0))
       .withColumn(rt, unix_micros(col(ts)))
-    val base = Window.partitionBy(col(key)).orderBy(col(ts), col(tag))
+    val base = Window.partitionBy(col(key)).orderBy(col(ts), col(tag), col(rv))
     val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val u = l.unionByName(r, allowMissingColumns = true)

@@ -153,12 +153,22 @@ object Bpe {
     * iteration i, p_i (pair counts) → b_i (single-row argmax) → v_i
     * (merge applied). Recursive CTEs cannot carry the argmax join
     * portably, so the loop is unrolled — it is a FIXED, small merge
-    * count by construction. */
+    * count by construction. Each b_i is TOTAL: when p_i is empty
+    * (corpus exhausted before numMerges), a sentinel no-op merge row
+    * ('', '', 0) keeps every downstream cross join populated — the
+    * sentinel's replace pattern (three adjacent markers) cannot occur
+    * in a marker-wrapped encoding, so v_i and the apply chain degrade
+    * to identity, matching trainAndEncode's early stop. */
   private def trainCtes(numMerges: Int): String = {
     val m = Marker
     val sb = new StringBuilder
+    // every CTE is MATERIALIZED: v_i is referenced by both p_{i+1} and
+    // v_{i+1}, and b_i references p_i twice (argmax + the emptiness
+    // probe) — inlining would re-expand the whole chain per reference
+    // (exponential scans of `documents`); materialization makes each
+    // stage compute once, like the Spark side's per-iteration fence
     sb.append(
-      s"""WITH v0 AS (
+      s"""WITH v0 AS MATERIALIZED (
          | SELECT regexp_replace(w, '(.)', '$m\\1$m', 'g') AS s, count(*) AS wt
          | FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
          |                     x -> len(x) > 0)) AS w
@@ -168,14 +178,18 @@ object Bpe {
       val prev = s"v${i - 1}"
       sb.append(
         s""",
-           |p$i AS (
+           |p$i AS MATERIALIZED (
            | SELECT a[j] AS l, a[j+1] AS r, sum(wt) AS n
            | FROM (SELECT wt, string_split(trim(s, '$m'), '$m$m') AS a FROM $prev),
            |      unnest(range(1, len(a))) AS t(j)
            | WHERE len(a) >= 2
            | GROUP BY 1, 2),
-           |b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
-           |v$i AS (
+           |b$i AS MATERIALIZED (
+           | (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1)
+           | UNION ALL
+           | (SELECT '' AS l, '' AS r, CAST(0 AS HUGEINT) AS n
+           |  WHERE NOT EXISTS (SELECT 1 FROM p$i))),
+           |v$i AS MATERIALIZED (
            | SELECT replace(s, '$m' || b.l || '$m$m' || b.r || '$m',
            |                   '$m' || b.l || b.r || '$m') AS s, wt
            | FROM $prev, b$i b)""".stripMargin)
@@ -187,6 +201,8 @@ object Bpe {
     * the b_i argmax rows unioned into the merge table. */
   def oracleSql(numMerges: Int = 10): String =
     trainCtes(numMerges) + "\n" + (1 to numMerges).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS rank, l AS left_sym, r AS right_sym, l || r AS merged, CAST(n AS BIGINT) AS pair_count FROM b$i"
+      // n > 0 drops the exhaustion sentinel — mirrors trainMerges'
+      // early stop emitting fewer than numMerges rows
+      s"SELECT CAST($i AS BIGINT) AS rank, l AS left_sym, r AS right_sym, l || r AS merged, CAST(n AS BIGINT) AS pair_count FROM b$i WHERE n > 0"
     }.mkString("", "\nUNION ALL\n", "\nORDER BY rank")
 }

@@ -64,16 +64,23 @@ object EmbeddingStats {
     * final division to DECIMAL too. Returns (i, j, cov) for i ≤ j. */
   def covarianceMatrix(emb: DataFrame, vecCol: String = "embedding",
                        idCol: String = "vec_id"): DataFrame = {
-    val dims = emb.select(col(idCol).cast("long").as("id"),
-        posexplode(col(vecCol)).as(Seq("i", "x")))
-      .select(col("id"), col("i").cast("long").as("i"),
-        round(col("x").cast("double") * 1e6, 0).cast("decimal(38,0)").as("xq"))
-    val marg = dims.groupBy(col("i"))
-      .agg(sum(col("xq")).as("sx"), count(lit(1)).as("n"))
-    val pairs = dims.as("a").join(dims.as("b"),
-        col("a.id") === col("b.id") && col("a.i") <= col("b.i"))
-      .select(col("a.i").as("i"), col("b.i").as("j"),
-        (col("a.xq") * col("b.xq")).as("xy"))
+    // quantized vector, then pairs generated IN-ROW: two stacked
+    // generates (outer dim i, then the j >= i tail via slice) stay in
+    // one scan stage with no shuffle between them — the id-keyed
+    // self-join alternative hash-shuffles the rows×d exploded table
+    // twice before any pair exists
+    val qv = emb.select(
+      transform(col(vecCol),
+        x => round(x.cast("double") * 1e6, 0).cast("decimal(38,0)")).as("qv"))
+    val withI = qv.select(col("qv"), posexplode(col("qv")).as(Seq("i", "xi")))
+    val marg = withI.groupBy(col("i").cast("long").as("i"))
+      .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+    val pairs = withI
+      .select(col("i").cast("long").as("i"), col("xi"),
+        posexplode(slice(col("qv"), col("i") + 1, size(col("qv")) - col("i")))
+          .as(Seq("dj", "xj")))
+      .select(col("i"), (col("i") + col("dj")).as("j"),
+        (col("xi") * col("xj")).as("xy"))
       .groupBy(col("i"), col("j")).agg(sum(col("xy")).as("sxy"))
     pairs
       .join(broadcast(marg.select(col("i"), col("sx").as("sxi"), col("n"))), Seq("i"))
@@ -110,6 +117,10 @@ object EmbeddingStats {
                     vecCol: String = "embedding",
                     idCol: String = "vec_id"): DataFrame = {
     val covRows = covarianceMatrix(emb, vecCol, idCol).collect()
+    // empty input → empty projection (not a driver-side .max crash)
+    if (covRows.isEmpty)
+      return emb.select(col(idCol).cast("long").as("vec_id"),
+        lit(0.0).as("pc1")).limit(0)
     val d = covRows.map(_.getLong(1)).max.toInt + 1
     val c = Array.ofDim[Long](d, d)
     covRows.foreach { r =>
