@@ -53,6 +53,39 @@ object SparkEntry {
     }.mkString("\n UNION ALL ")
   }
 
+  /** Shared banded-kNN oracle prefix (WITH-clause body): SRP banding
+    * at pinned geometry, the bucket-cap filter, within-bucket pairs,
+    * exact-cosine rerank, top-k per query — ends at `top`
+    * (q_id, c_id, s, rank ≤ k). Mirrors Similarity.bandedSelfTopK
+    * stage for stage: buckets with < 2 or > maxBucket members drop
+    * (a degenerate bucket cannot go quadratic), pairs are DISTINCT
+    * directed (q, c) within surviving buckets, ranks tie
+    * (s DESC, c_id) like the TopKBuffer total order. banded/inb are
+    * MATERIALIZED: each is referenced twice and inlining would
+    * recompute the 64-dim dot products per reference. */
+  private def bandedKnnTopSql(numPlanes: Int, bands: Int,
+                              maxBucket: Int, k: Int): String =
+    s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |bits AS (SELECT id, e, ${srpBitsSql(numPlanes, 64)} FROM v),
+       |banded AS MATERIALIZED (${srpBandedSql(numPlanes, bands)}),
+       |ok AS (SELECT band, bhash FROM banded GROUP BY band, bhash
+       |       HAVING count(*) >= 2 AND count(*) <= $maxBucket),
+       |inb AS MATERIALIZED (
+       | SELECT b.id, b.band, b.bhash FROM banded b JOIN ok USING (band, bhash)),
+       |pairs AS (
+       | SELECT DISTINCT l.id AS q_id, r.id AS c_id
+       | FROM inb l JOIN inb r
+       |  ON l.band = r.band AND l.bhash = r.bhash AND l.id <> r.id),
+       |rescored AS (
+       | SELECT q_id, c_id, list_cosine_similarity(v1.e, v2.e) AS s
+       | FROM pairs JOIN v v1 ON v1.id = q_id JOIN v v2 ON v2.id = c_id),
+       |rankedk AS (
+       | SELECT q_id, c_id, s,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
+       | FROM rescored),
+       |top AS MATERIALIZED (
+       | SELECT q_id, c_id, s, rank FROM rankedk WHERE rank <= $k)""".stripMargin
+
   /** PQ codebook literals for the ann_pq oracle — the same ±1
     * [m][K][dsub] codebooks ProductQuantization derives from the
     * splitmix64 chain (seed block 8192), as DuckDB VALUES rows. */
@@ -237,16 +270,7 @@ object SparkEntry {
          |  JOIN deg d ON d.vtx = p.vtx CROSS JOIN nn
          | GROUP BY e.b, nn.n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-       |scored AS (
-       | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
-       |        list_cosine_similarity(a.ev, b.ev) AS s
-       | FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
-       |ranked AS (
-       | SELECT q_id, c_id,
-       |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
-       | FROM scored),
-       |top AS (SELECT q_id, c_id FROM ranked WHERE rank <= 10),
+    s"""WITH ${bandedKnnTopSql(16, 4, 500, 10)},
        |me AS (SELECT t.q_id AS a, t.c_id AS b
        |       FROM top t JOIN top r ON r.q_id = t.c_id AND r.c_id = t.q_id
        |       WHERE t.q_id < t.c_id),
@@ -1404,9 +1428,14 @@ object SparkEntry {
       TrainingOrder.lengthBatches(Tables.documents(s, dir), batchSize = 32)),
     // X131: KL/PSI drift between the event-type mix of two time halves
     "stats_psi" -> (EventAnalytics.klDrift(_, _)),
-    // X132: mutual-kNN graph — every vector a query, reverse-edge flag
+    // X132+X157: mutual-kNN graph on the SCALE route — SRP-banded
+    // candidate generation (pinned geometry 16 planes / 4 bands,
+    // bucket cap 500 so the oracle reproduces the banding) with
+    // exact-cosine rerank; the all-pairs exact scorer now lives
+    // behind spark.graft.knn.exact and is spec-tested, never gated
     "knn_graph" -> ((s, dir) => {
-      Similarity.knnGraph(Tables.embeddings(s, dir), 10)
+      Similarity.knnGraphBanded(Tables.embeddings(s, dir), 10,
+          numPlanes = 16, bands = 4, maxBucket = 500)
         .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
           round(col("score"), 4).as("score"), col("mutual"))
         .orderBy(col("q_id"), col("rank"))
@@ -1475,18 +1504,26 @@ object SparkEntry {
     // X151: audience-overlap Jaccard matrix between event types
     "q_overlap_users" -> (EventAnalytics.audienceOverlap _),
     // X152: triangle counts + clustering coefficients over the
-    // mutual-kNN graph — structure as a data-quality signal
+    // mutual-kNN graph — structure as a data-quality signal; the edge
+    // substrate is the BANDED kNN route (same pinned geometry as
+    // knn_graph), so no all-pairs scorer anywhere in the graph family
     "graph_triangles" -> ((s, dir) =>
-      Graph.triangleStats(Tables.embeddings(s, dir), 10)),
+      Graph.triangleStatsEdges(bandedGraphEdges(s, dir))),
     // X153: PageRank centrality over the mutual-kNN graph — canonical
     // exemplars rank high; per-iteration round(9) pins both engines
     // to identical doubles
     "graph_pagerank" -> ((s, dir) =>
-      Graph.pageRank(Tables.embeddings(s, dir), 10, iters = 5)),
+      Graph.pageRankEdges(bandedGraphEdges(s, dir), iters = 5)),
     // X154: common-neighbor link prediction over the mutual-kNN graph
     "graph_link_pred" -> ((s, dir) =>
-      Graph.linkPrediction(Tables.embeddings(s, dir), 10)),
+      Graph.linkPredictionEdges(bandedGraphEdges(s, dir))),
   )
+
+  /** The graph family's shared edge substrate: undirected mutual edges
+    * of the banded kNN graph at the gate's pinned band geometry. */
+  private def bandedGraphEdges(s: SparkSession, dir: String): DataFrame =
+    Graph.undirectedMutual(Similarity.knnGraphBanded(
+      Tables.embeddings(s, dir), 10, numPlanes = 16, bands = 4, maxBucket = 500))
 
   /** DuckDB-dialect twins of `queries`, identical column names and
     * ORDER BY so the driver's hash compare is deterministic. */
@@ -3800,19 +3837,11 @@ object SparkEntry {
         |   AS ratio
         |FROM c JOIN t USING (event_type) ORDER BY event_type, digit""".stripMargin,
     "graph_pagerank" -> pageRankOracleSql(5),
-    // link-pred twin: wedge count = |N(a) ∩ N(c)|, anti-join edges,
-    // Jaccard on the rounded column with (x, y) tiebreaks
+    // link-pred twin: banded kNN edge substrate, then wedge count =
+    // |N(a) ∩ N(c)|, anti-join edges, Jaccard on the rounded column
+    // with (x, y) tiebreaks
     "graph_link_pred" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-        |scored AS (
-        | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
-        |        list_cosine_similarity(a.ev, b.ev) AS s
-        | FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
-        |ranked AS (
-        | SELECT q_id, c_id,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
-        | FROM scored),
-        |top AS (SELECT q_id, c_id FROM ranked WHERE rank <= 10),
+      s"""WITH ${bandedKnnTopSql(16, 4, 500, 10)},
         |me AS (SELECT t.q_id AS a, t.c_id AS b
         |       FROM top t JOIN top r ON r.q_id = t.c_id AND r.c_id = t.q_id
         |       WHERE t.q_id < t.c_id),
@@ -3828,19 +3857,11 @@ object SparkEntry {
         | round(common / (dx.d + dy.d - common), 6) AS jaccard
         |FROM nc JOIN deg dx ON nc.x = dx.vtx JOIN deg dy ON nc.y = dy.vtx
         |ORDER BY jaccard DESC, x, y LIMIT 50""".stripMargin,
-    // triangle twin: the knn_graph top-k closure, mutual undirected
-    // edges, oriented wedge join + closing edge, per-corner explode
+    // triangle twin: the banded knn_graph top-k closure, mutual
+    // undirected edges, oriented wedge join + closing edge, per-corner
+    // explode
     "graph_triangles" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-        |scored AS (
-        | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
-        |        list_cosine_similarity(a.ev, b.ev) AS s
-        | FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
-        |ranked AS (
-        | SELECT q_id, c_id,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
-        | FROM scored),
-        |top AS (SELECT q_id, c_id FROM ranked WHERE rank <= 10),
+      s"""WITH ${bandedKnnTopSql(16, 4, 500, 10)},
         |me AS (SELECT t.q_id AS a, t.c_id AS b
         |       FROM top t JOIN top r ON r.q_id = t.c_id AND r.c_id = t.q_id
         |       WHERE t.q_id < t.c_id),
@@ -3860,19 +3881,11 @@ object SparkEntry {
         |  THEN round(2.0 * coalesce(n_triangles, 0) / (degree * (degree - 1)), 6)
         |  ELSE 0.0 END AS cc
         |FROM deg LEFT JOIN pn ON deg.vtx = pn.vtx ORDER BY vec_id""".stripMargin,
-    // knn-graph twin: the ann_bruteforce ranking for EVERY vector plus
-    // the reverse-edge mutual flag via a self-join of the top-k set
+    // knn-graph twin: the BANDED pipeline (SRP banding at the entry's
+    // pinned geometry, bucket-capped pairs, exact rerank) plus the
+    // reverse-edge mutual flag via a self-join of the top-k set
     "knn_graph" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-        |scored AS (
-        | SELECT a.vec_id AS q_id, b.vec_id AS c_id,
-        |        list_cosine_similarity(a.ev, b.ev) AS s
-        | FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
-        |ranked AS (
-        | SELECT q_id, c_id, s,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
-        | FROM scored),
-        |top AS (SELECT * FROM ranked WHERE rank <= 10)
+      s"""WITH ${bandedKnnTopSql(16, 4, 500, 10)}
         |SELECT t.q_id, CAST(t.rank AS BIGINT) AS rank, t.c_id,
         |       round(t.s, 4) AS score, (r.q_id IS NOT NULL) AS mutual
         |FROM top t LEFT JOIN top r ON r.q_id = t.c_id AND r.c_id = t.q_id

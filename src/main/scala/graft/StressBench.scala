@@ -225,11 +225,9 @@ object StressBench {
       // Σ bucket² ≤ maxBucket·N per band + exact rerank of candidates
       // — must stay near-linear where the exact all-pairs scorer is
       // inherently quadratic (which is why exact is NOT in this table)
-      "knn_graph_banded" -> (() => {
-        spark.conf.set("spark.graft.knn.banded", "true")
-        try operators.Similarity.knnGraph(emb, 10)
-        finally spark.conf.unset("spark.graft.knn.banded")
-      }),
+      "knn_graph_banded" -> (() =>
+        // banded IS the knnGraph default now; auto band geometry
+        operators.Similarity.knnGraph(emb, 10)),
       // boilerplate strip: two stacked df aggs + doc reassembly, all
       // keyed shuffles — token-linear like dedup_paragraph
       "text_boilerplate" -> (() =>

@@ -20,13 +20,21 @@ import org.apache.spark.sql.functions._
   * integer or one integer division. */
 object Graph {
 
-  /** Undirected mutual edges (a < b) of the k-NN graph. */
+  /** Undirected mutual edges (a < b) from an already-built kNN graph
+    * (the (q_id, rank, c_id, score, mutual) shape). */
+  def undirectedMutual(knn: DataFrame): DataFrame =
+    knn.where(col("mutual") && col("q_id") < col("c_id"))
+      .select(col("q_id").as("a"), col("c_id").as("b"))
+
+  /** Undirected mutual edges (a < b) of the k-NN graph — conf-routed
+    * via Similarity.knnGraph (banded by default; see X132/X157). The
+    * driver entries instead pass Similarity.knnGraphBanded with pinned
+    * band geometry through `undirectedMutual`, so the oracle can
+    * reproduce the banding. */
   def mutualEdges(vectors: DataFrame, k: Int,
                   vecCol: String = "embedding",
                   idCol: String = "vec_id"): DataFrame =
-    Similarity.knnGraph(vectors, k, vecCol, idCol)
-      .where(col("mutual") && col("q_id") < col("c_id"))
-      .select(col("q_id").as("a"), col("c_id").as("b"))
+    undirectedMutual(Similarity.knnGraph(vectors, k, vecCol, idCol))
 
   /** X153: PageRank over the mutual-kNN graph — the global importance
     * score (centrality ≈ representativeness in a similarity graph;
@@ -43,8 +51,12 @@ object Graph {
   def pageRank(vectors: DataFrame, k: Int, iters: Int = 5,
                damping: Double = 0.85,
                vecCol: String = "embedding",
-               idCol: String = "vec_id"): DataFrame = {
-    val e = mutualEdges(vectors, k, vecCol, idCol)
+               idCol: String = "vec_id"): DataFrame =
+    pageRankEdges(mutualEdges(vectors, k, vecCol, idCol), iters, damping)
+
+  /** PageRank over a prebuilt undirected (a, b) edge list. */
+  def pageRankEdges(e: DataFrame, iters: Int = 5,
+                    damping: Double = 0.85): DataFrame = {
     val sym = Checkpoints.fence(
       e.unionAll(e.select(col("b").as("a"), col("a").as("b"))))
     val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("outdeg"))
@@ -75,8 +87,11 @@ object Graph {
     * integer counts with one division per candidate pair. */
   def linkPrediction(vectors: DataFrame, k: Int, topN: Int = 50,
                      vecCol: String = "embedding",
-                     idCol: String = "vec_id"): DataFrame = {
-    val e = mutualEdges(vectors, k, vecCol, idCol)
+                     idCol: String = "vec_id"): DataFrame =
+    linkPredictionEdges(mutualEdges(vectors, k, vecCol, idCol), topN)
+
+  /** Link prediction over a prebuilt undirected (a, b) edge list. */
+  def linkPredictionEdges(e: DataFrame, topN: Int = 50): DataFrame = {
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
     val wedges = sym.as("l").join(sym.as("r"),
@@ -99,8 +114,11 @@ object Graph {
     * have undefined coefficient and report 0 triangles, cc = 0. */
   def triangleStats(vectors: DataFrame, k: Int,
                     vecCol: String = "embedding",
-                    idCol: String = "vec_id"): DataFrame = {
-    val e = mutualEdges(vectors, k, vecCol, idCol)
+                    idCol: String = "vec_id"): DataFrame =
+    triangleStatsEdges(mutualEdges(vectors, k, vecCol, idCol))
+
+  /** Triangle stats over a prebuilt undirected (a, b) edge list. */
+  def triangleStatsEdges(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("degree"))
     val tri = e.as("ab")

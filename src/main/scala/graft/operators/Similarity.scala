@@ -309,26 +309,43 @@ object Similarity {
     * directed edge is marked `mutual` when its reverse edge is also in
     * the other endpoint's top-k (the mutual-kNN graph is the standard
     * substrate for agglomerative/density clustering of embeddings).
-    * Exactness baseline scores all pairs with the same
-    * candidates-stay-put / bounded-heap shape as bruteForceTopK; at
-    * corpus scale the all-pairs score is inherently quadratic, so
-    * `spark.graft.knn.banded=true` (the 100 TB default) swaps the
-    * scorer for `bandedSelfTopK` — SRP-banded candidate generation
-    * with exact-cosine rerank — while the graph step (the self-join
-    * marking mutual edges) is k·N-bounded either way and joins on
-    * (q_id, c_id), a key both sides already carry. */
+    *
+    * The DEFAULT route is the scale-safe one: `bandedSelfTopK` —
+    * SRP-banded candidate generation with exact-cosine rerank, cost
+    * Σ bucket² ≤ maxBucket·N per band. The all-pairs exact scorer
+    * (quadratic — dead at corpus scale, but the recall-1 baseline for
+    * small corpora) sits behind `spark.graft.knn.exact=true`; band
+    * geometry is tunable via `spark.graft.knn.{numPlanes,bands,
+    * maxBucket}` (numPlanes unset/≤0 → auto width from the corpus
+    * count). Either way the graph step (the self-join marking mutual
+    * edges) is k·N-bounded and joins on (q_id, c_id), a key both
+    * sides already carry. */
   def knnGraph(vectors: DataFrame, k: Int,
                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val conf = vectors.sparkSession.conf
-    val banded = conf.getOption("spark.graft.knn.banded").exists(_.toBoolean)
-    val edges =
-      if (banded) bandedSelfTopK(vectors, k, vecCol, idCol,
-        numPlanes = conf.getOption("spark.graft.knn.numPlanes").map(_.toInt).getOrElse(0),
-        bands = conf.getOption("spark.graft.knn.bands").map(_.toInt).getOrElse(8),
-        maxBucket = conf.getOption("spark.graft.knn.maxBucket").map(_.toInt).getOrElse(2000))
-      else bruteForceTopK(vectors, vectors, k, vecCol, idCol)
-    markMutual(edges)
+    val exact = conf.getOption("spark.graft.knn.exact").exists(_.toBoolean)
+    if (exact) knnGraphExact(vectors, k, vecCol, idCol)
+    else knnGraphBanded(vectors, k, vecCol, idCol,
+      numPlanes = conf.getOption("spark.graft.knn.numPlanes").map(_.toInt).getOrElse(0),
+      bands = conf.getOption("spark.graft.knn.bands").map(_.toInt).getOrElse(8),
+      maxBucket = conf.getOption("spark.graft.knn.maxBucket").map(_.toInt).getOrElse(2000))
   }
+
+  /** The banded kNN graph with EXPLICIT band geometry — what the
+    * driver-gated entries call (fixed planes/bands so the cross-engine
+    * oracle reproduces the banding bit-for-bit), and what a deployment
+    * pins once it has tuned recall. */
+  def knnGraphBanded(vectors: DataFrame, k: Int,
+                     vecCol: String = "embedding", idCol: String = "vec_id",
+                     numPlanes: Int = 0, bands: Int = 8,
+                     maxBucket: Int = 2000): DataFrame =
+    markMutual(bandedSelfTopK(vectors, k, vecCol, idCol, numPlanes, bands, maxBucket))
+
+  /** The exact (all-pairs) kNN graph — recall-1 baseline, quadratic
+    * scoring; small-corpus use only. */
+  def knnGraphExact(vectors: DataFrame, k: Int,
+                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    markMutual(bruteForceTopK(vectors, vectors, k, vecCol, idCol))
 
   /** The kNN graph's 100 TB candidate generator: top-k per vector
     * restricted to SRP-band collisions. Unlike `lshTopK` (which

@@ -208,7 +208,9 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("X152: triangle counts and clustering coefficients match the brute force") {
-    val got = operators.Graph.triangleStats(emb, 5).collect()
+    // exact edge substrate isolates the triangle computation itself
+    val got = operators.Graph.triangleStatsEdges(
+      operators.Graph.undirectedMutual(Similarity.knnGraphExact(emb, 5))).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
@@ -234,7 +236,9 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("X153: pagerank matches a driver-side power iteration; mass is conserved") {
-    val got = operators.Graph.pageRank(emb, 5, iters = 5).collect()
+    val got = operators.Graph.pageRankEdges(
+      operators.Graph.undirectedMutual(Similarity.knnGraphExact(emb, 5)),
+      iters = 5).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
@@ -263,7 +267,9 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("X154: link prediction scores non-edges by common-neighbor Jaccard") {
-    val got = operators.Graph.linkPrediction(emb, 5, topN = 20).collect()
+    val got = operators.Graph.linkPredictionEdges(
+      operators.Graph.undirectedMutual(Similarity.knnGraphExact(emb, 5)),
+      topN = 20).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getDouble(3)))
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
@@ -288,7 +294,9 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("X132: knn graph edges equal per-query brute force; mutual = reverse edge present") {
     val k = 5
-    val got = Similarity.knnGraph(emb, k).collect()
+    // the exact route (spark.graft.knn.exact or knnGraphExact) is the
+    // recall-1 baseline this test pins against brute force
+    val got = Similarity.knnGraphExact(emb, k).collect()
       .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getBoolean(4)))
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
@@ -306,13 +314,18 @@ class SimilaritySpec extends AnyFunSuite {
       "test corpus should have both mutual and one-way edges")
   }
 
-  test("X132 banded route: conf-gated SRP candidates, exact scores, bounded recall loss") {
+  test("X132 banded route: DEFAULT SRP candidates, exact scores, bounded recall loss") {
     val k = 5
-    val exact = Similarity.knnGraph(emb, k).collect()
-      .map(r => (r.getLong(0), r.getLong(2)))
-    spark.conf.set("spark.graft.knn.banded", "true")
-    val banded = try Similarity.knnGraph(emb, k) finally
-      spark.conf.unset("spark.graft.knn.banded")
+    // conf-routing: spark.graft.knn.exact=true selects the all-pairs
+    // scorer; the unset default is the banded scale route
+    spark.conf.set("spark.graft.knn.exact", "true")
+    val exact = try Similarity.knnGraph(emb, k).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      finally spark.conf.unset("spark.graft.knn.exact")
+    assert(exact.toSet == Similarity.knnGraphExact(emb, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet,
+      "conf-routed exact must equal knnGraphExact")
+    val banded = Similarity.knnGraph(emb, k) // default route
     val rows = banded.collect()
     assert(banded.columns.toSeq ==
       Seq("q_id", "rank", "c_id", "score", "mutual"), "route must keep the schema")
