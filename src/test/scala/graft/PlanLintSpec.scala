@@ -77,6 +77,45 @@ class PlanLintSpec extends AnyFunSuite {
       s"both legs' small sides must broadcast:\n$plan")
   }
 
+  /** Entries allowed to window WITHOUT a partition spec — each windows
+    * a table that is BOUNDED by construction before the window, so the
+    * single-partition sort touches k rows, not data:
+    *  - search_hybrid_rrf: RRF ranks each leg's post-LIMIT top-k pool
+    *    (Search.hybridRrf — ≤ k rows per leg);
+    *  - stats_chi2_cells / stats_psi: windows over the contingency /
+    *    drift CELL tables (|event types| × |buckets| rows, metadata-
+    *    sized regardless of event count).
+    * Anything not listed here that adds a global window fails. */
+  private val boundedGlobalWindows: Set[String] =
+    Set("search_hybrid_rrf", "stats_chi2_cells", "stats_psi")
+
+  test("no new unpartitioned Window (global single-partition sort) in any gated plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (boundedGlobalWindows(name)) None
+      else {
+        val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window in: ${offenders.mkString(", ")} — a global window " +
+        "sorts its whole input on ONE partition; partition it, or prove the " +
+        "input is k-bounded and add the entry to boundedGlobalWindows")
+  }
+
+  test("the kNN-graph family plans no all-pairs scorer") {
+    Seq("knn_graph", "graph_triangles", "graph_pagerank", "graph_link_pred")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name must ride the banded candidate route, not a cross join:\n$plan")
+      }
+  }
+
   test("covariance: marginal table broadcasts back onto the pair aggregate") {
     val plan = SparkEntry.queries("embed_cov")(spark, sf)
       .queryExecution.executedPlan.toString
