@@ -474,6 +474,18 @@ object SparkEntry {
         .select(col("value"), col("n_docs"),
                 array_join(col("doc_ids"), ",").as("doc_ids"))
         .orderBy(col("value"))),
+    // X175: R1 under the reference's `low_memory` profile
+    // (GraftSession.applyLowMemory on an isolated sibling session:
+    // quarter scan splits, small reader batches, 256 shuffle
+    // partitions, 4 MB broadcast ceiling) — same oracle as
+    // ii_field_values, proving the profile trades only footprint
+    "ii_field_values_lowmem" -> ((s, dir) => {
+      val lm = GraftSession.applyLowMemory(s.newSession())
+      InvertedIndex.fieldValues(Tables.documents(lm, dir), "lang")
+        .select(col("value"), col("n_docs"),
+                array_join(col("doc_ids"), ",").as("doc_ids"))
+        .orderBy(col("value"))
+    }),
     "ii_field_values_by_doc_ids" -> ((s, dir) =>
       InvertedIndex.fieldValuesByDocIds(Tables.documents(s, dir), "source", iiDocIds)
         .select(col("value"), col("n_docs"),
@@ -1285,6 +1297,24 @@ object SparkEntry {
     // state suppression must reproduce the batch min-id-per-hash
     "dedup_stream_exact" -> ((s, dir) =>
       graft.streaming.Replay.replayExactDedup(s, dir, batches = 4)),
+    // X174: the X101 sessionize replay with its state in the RocksDB
+    // state store provider — the 100 TB configuration (state spills to
+    // disk instead of growing the executor heap); must hash-match the
+    // SAME batch oracle as the default-provider run, proving the
+    // provider changes where state lives, never what it computes
+    "q_stream_sessionize_rocksdb" -> ((s, dir) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // replaySessionize runs the stream to completion eagerly, so the
+      // finally runs after every micro-batch has committed
+      try graft.streaming.Replay.replaySessionize(s, dir, gapMinutes = 480, batches = 4)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     // X103: SCD type-2 history build (validity intervals from an
     // attribute-observation log; open versions close with a sentinel)
     "q_scd2" -> (Relational.scdType2 _),
@@ -1538,6 +1568,12 @@ object SparkEntry {
     "dedup_simhash" -> OracleHashSql.simhashSql(),
     "text_fingerprint" -> OracleHashSql.fingerprintSql(),
     "ii_field_values" ->
+      """SELECT lang AS value, count(*) AS n_docs,
+        | array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+        |FROM documents GROUP BY lang ORDER BY value""".stripMargin,
+    // low-memory twin: identical result by construction — the profile
+    // may only change memory shape, never values
+    "ii_field_values_lowmem" ->
       """SELECT lang AS value, count(*) AS n_docs,
         | array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
         |FROM documents GROUP BY lang ORDER BY value""".stripMargin,
@@ -3344,6 +3380,20 @@ object SparkEntry {
     // streaming-sessionize twin: the BATCH running-break sessionization
     // — the replayed flatMapGroupsWithState state machine must converge
     // to exactly these sessions (same 480-min gap as q_sessionize)
+    // RocksDB-provider twin: the state store backend must be
+    // result-invisible — same batch oracle as q_stream_sessionize
+    "q_stream_sessionize_rocksdb" ->
+      """WITH f AS (
+        | SELECT user_id, ts, value, epoch_us(ts) AS us,
+        |  CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |       OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 28800000000
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM events),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        | round(sum(value), 2) AS total_value,
+        | (max(us) - min(us)) / 1e6 AS duration_secs
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "q_stream_sessionize" ->
       """WITH f AS (
         | SELECT user_id, ts, value, epoch_us(ts) AS us,

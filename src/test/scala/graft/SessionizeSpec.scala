@@ -69,4 +69,29 @@ class SessionizeSpec extends AnyFunSuite {
       assert(u1Sessions.map(_.n_events).sorted.toSeq == Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("X174: state store provider conf routes through the streaming replay") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    // a bogus provider must FAIL the replayed stream — proving the
+    // session conf reaches the state store layer (i.e. the RocksDB
+    // twin really runs RocksDB, not a silent default fallback)
+    spark.conf.set(key, "graft.NoSuchStateStoreProvider")
+    try {
+      intercept[Throwable] {
+        graft.streaming.Replay.replaySessionize(spark, sf,
+          gapMinutes = 480, batches = 2).count()
+      }
+    } finally spark.conf.unset(key)
+    // and RocksDB completes with results identical to the default
+    // provider: the backend changes where state lives, not values
+    val dflt = graft.streaming.Replay.replaySessionize(spark, sf,
+      gapMinutes = 480, batches = 2).collect().map(_.toString).sorted
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rocks = try graft.streaming.Replay.replaySessionize(spark, sf,
+        gapMinutes = 480, batches = 2).collect().map(_.toString).sorted
+      finally spark.conf.unset(key)
+    assert(rocks.nonEmpty && rocks.sameElements(dflt),
+      "RocksDB-backed replay must equal the default provider's result")
+  }
 }
