@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builds an FK-consistent `factor`× amplification of a driver sf-dir
+  * — a full synthetic step up the scale ladder (sf0.1 × 10 ≈ sf1) so
+  * the ENTIRE gate (Verify → DuckDB oracles, tools/local_verify.py)
+  * and Bench can run one decade above the driver's largest SF. The
+  * correctness argument is unchanged at any factor: the oracle SQL
+  * recomputes over the SAME amplified tables, so the comparison stays
+  * exact — amplification only has to keep the data semantically sane,
+  * not reproduce the generator.
+  *
+  * Per-table shapes (each mirrors what real growth looks like):
+  *  - region/nation: copied verbatim — dimensions don't grow with SF;
+  *  - customer/supplier/part/orders/lineitem: `factor` replicas with
+  *    every PK/FK remapped `key*factor+rep` IN LOCKSTEP, so each
+  *    replica is a self-consistent TPC-H world (join cardinalities
+  *    per key unchanged, totals × factor);
+  *  - documents: replica tokens prefixed `r{rep}_` (rep 0 verbatim) —
+  *    replicas share no shingles, so duplicate DENSITY stays constant
+  *    (the StressBench.amplify argument: N× data, not N× near-dups);
+  *  - embeddings: replica vectors rotated by rep components at
+  *    constant norm (cell/band diversity), labels kept;
+  *  - events: N× users each carrying the ORIGINAL series — constant
+  *    per-user history, which is what event growth looks like.
+  *
+  * Run: sbt "runMain graft.ScaleUp [srcDir destDir factor]"
+  */
+object ScaleUp {
+
+  private def remap(df: DataFrame, keys: Seq[String], factor: Int): DataFrame = {
+    val order = df.columns
+    val rep = df.withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+    order.foldLeft(rep) { (acc, c) =>
+      if (keys.contains(c))
+        acc.withColumn(c, col(c) * factor + col("__rep"))
+      else acc
+    }.select(order.map(col): _*)
+  }
+
+  /** documents: id remap + replica-prefixed tokens, all columns kept. */
+  private def documents(df: DataFrame, factor: Int): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val order = df.columns
+    df.withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("doc_id", col("doc_id") * factor + col("__rep"))
+      .withColumn("text",
+        when(col("__rep") === 0, col("text")).otherwise(
+          array_join(transform(toks,
+            t => concat(lit("r"), col("__rep"), lit("_"), t)), " ")))
+      .select(order.map(col): _*)
+  }
+
+  /** embeddings: id remap + rep-component rotation, label kept. */
+  private def embeddings(df: DataFrame, factor: Int): DataFrame = {
+    val order = df.columns
+    df.withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("vec_id", col("vec_id") * factor + col("__rep"))
+      .withColumn("embedding",
+        when(col("__rep") === 0, col("embedding")).otherwise(
+          concat(slice(col("embedding"), col("__rep") + 1, lit(1 << 20)),
+            slice(col("embedding"), lit(1), col("__rep")))))
+      .select(order.map(col): _*)
+  }
+
+  def build(spark: SparkSession, srcDir: String, destDir: String,
+            factor: Int): Unit = {
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$destDir/$name.parquet")
+      println(s"[scaleup] $name written")
+    }
+    def raw(name: String) = Tables.table(spark, srcDir, name)
+    write("region", raw("region"))
+    write("nation", raw("nation"))
+    write("customer", remap(raw("customer"), Seq("c_custkey"), factor))
+    write("supplier", remap(raw("supplier"), Seq("s_suppkey"), factor))
+    write("part", remap(raw("part"), Seq("p_partkey"), factor))
+    write("orders", remap(raw("orders"), Seq("o_orderkey", "o_custkey"), factor))
+    write("lineitem",
+      remap(raw("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey"), factor))
+    write("documents", documents(raw("documents"), factor))
+    write("embeddings", embeddings(raw("embeddings"), factor))
+    write("events", remap(raw("events"), Seq("event_id", "user_id"), factor))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val destDir = if (args.length > 1) args(1)
+      else s"${System.getProperty("java.io.tmpdir")}/graft_scale10x"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.builder(Some(s"local[$cpus]"), Some(cpus)).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    build(spark, srcDir, destDir, factor)
+    spark.stop()
+  }
+}

@@ -596,6 +596,30 @@ object SparkEntry {
           Search.positionalIndexChunked(Tables.documents(s, dir)),
           must = Seq("spark", "fast"), mustNot = Seq("batch"))
         .orderBy(col("doc_id"))),
+    // min-should-match OR answered FROM the index through the same
+    // custom node — per-chunk should-bitmask counting instead of the
+    // DataFrame path's doc-keyed aggregation; terms differ from
+    // ii_search_or so the twins can't mask each other
+    "ii_posting_or" -> ((s, dir) =>
+      graft.plans.PostingListIntersect.orSearch(
+          Search.positionalIndexChunked(Tables.documents(s, dir)),
+          should = Seq("merge", "hash", "stream"), minMatch = 2)
+        .orderBy(col("doc_id"))),
+    // exact-adjacency phrase FROM the index: the node evaluates the
+    // positional adjacency per chunk instead of the DataFrame path's
+    // one-join-per-word alignment
+    "ii_posting_phrase" -> ((s, dir) =>
+      graft.plans.PostingListIntersect.phrase(
+          Search.positionalIndexChunked(Tables.documents(s, dir)),
+          Seq("merge", "group"))
+        .orderBy(col("doc_id"))),
+    // sloppy phrase FROM the index: per-doc chain DP with the same
+    // chain-count semantics as the band-join formulation
+    "ii_posting_phrase_slop" -> ((s, dir) =>
+      graft.plans.PostingListIntersect.phraseSlop(
+          Search.positionalIndexChunked(Tables.documents(s, dir)),
+          Seq("merge", "group", "join"), slop = 2)
+        .orderBy(col("doc_id"))),
     "ii_phrase_search" -> ((s, dir) =>
       Search.phraseSearch(Tables.documents(s, dir), Seq("fast", "table"))
         .orderBy(col("doc_id"))),
@@ -1753,6 +1777,49 @@ object SparkEntry {
         |WHERE list_contains(t, 'spark') AND list_contains(t, 'fast')
         | AND NOT list_contains(t, 'batch')
         |ORDER BY doc_id""".stripMargin,
+    // node-answered OR twin: distinct-term coordination count,
+    // minimum-should-match 2 over merge/hash/stream
+    "ii_posting_or" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(CASE WHEN list_contains(t, 'merge') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(t, 'hash') THEN 1 ELSE 0 END
+        |    + CASE WHEN list_contains(t, 'stream') THEN 1 ELSE 0 END AS BIGINT) AS n_matched
+        |FROM toks
+        |WHERE (CASE WHEN list_contains(t, 'merge') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(t, 'hash') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(t, 'stream') THEN 1 ELSE 0 END) >= 2
+        |ORDER BY doc_id""".stripMargin,
+    // node-answered phrase twin: 1-based comprehension index i means
+    // 0-based token position i-1, hence the -1 on first_pos
+    "ii_posting_phrase" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |occ AS (
+        | SELECT doc_id,
+        |  [i for i in range(1, len(t)) if t[i] = 'merge' and t[i+1] = 'group'] AS ps
+        | FROM toks)
+        |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_occurrences,
+        | CAST(list_min(ps) - 1 AS BIGINT) AS first_pos
+        |FROM occ WHERE len(ps) > 0 ORDER BY doc_id""".stripMargin,
+    // node-answered sloppy-phrase twin: chain count = join
+    // cardinality, same band per gap as ii_phrase_slop
+    "ii_posting_phrase_slop" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |a AS (SELECT doc_id, unnest([i for i in range(1, len(t)+1) if t[i] = 'merge']) AS p1 FROM toks),
+        |b AS (SELECT doc_id, unnest([i for i in range(1, len(t)+1) if t[i] = 'group']) AS p2 FROM toks),
+        |c AS (SELECT doc_id, unnest([i for i in range(1, len(t)+1) if t[i] = 'join']) AS p3 FROM toks),
+        |ch AS (
+        | SELECT a.doc_id, p1 FROM a JOIN b USING (doc_id) JOIN c USING (doc_id)
+        | WHERE p2 > p1 AND p2 <= p1 + 3 AND p3 > p2 AND p3 <= p2 + 3)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        | CAST(min(p1) - 1 AS BIGINT) AS first_pos
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // 1-based list positions: occurrence at comprehension index i means
     // 0-based token position i-1, hence the -1 on first_pos
     "ii_phrase_search" ->

@@ -116,6 +116,18 @@ class PlanLintSpec extends AnyFunSuite {
       }
   }
 
+  test("the index-answered query family plans the custom posting exec node") {
+    Seq("ii_posting_intersect", "ii_posting_or", "ii_posting_phrase",
+        "ii_posting_phrase_slop").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PostingListIntersect "),
+        s"$name must run through PostingListIntersectExec:\n$plan")
+      assert(shuffles(plan) <= 2,
+        s"$name should plan the index build + one chunk exchange, nothing more:\n$plan")
+    }
+  }
+
   test("covariance: marginal table broadcasts back onto the pair aggregate") {
     val plan = SparkEntry.queries("embed_cov")(spark, sf)
       .queryExecution.executedPlan.toString

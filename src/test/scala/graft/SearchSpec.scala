@@ -52,7 +52,7 @@ class SearchSpec extends AnyFunSuite {
     val viaNode = graft.plans.PostingListIntersect.search(index, must, mustNot)
     val plan = viaNode.queryExecution.executedPlan.toString
     // nodeName strips the Exec suffix in plan strings
-    assert(plan.contains("PostingListIntersect ["),
+    assert(plan.contains("PostingListIntersect "),
       s"custom strategy must plan the exec node:\n$plan")
     // the term IN (...) prune must sit BELOW the node, pushed toward the scan
     assert(plan.contains("term") && plan.contains("Filter"),
@@ -76,6 +76,66 @@ class SearchSpec extends AnyFunSuite {
     val got = graft.plans.PostingListIntersect.search(index, Seq("alpha", "beta"), Seq("gamma"))
       .collect().map(_.getLong(0)).sorted
     assert(got.toSeq == Seq(0L, 3L))
+  }
+
+  test("posting-list exec node: min-should-match OR matches the DataFrame path") {
+    val should = Seq("spark", "vector", "slow")
+    val index = Search.positionalIndexChunked(docs)
+    val viaNode = graft.plans.PostingListIntersect.orSearch(index, should, minMatch = 2)
+    val plan = viaNode.queryExecution.executedPlan.toString
+    assert(plan.contains("PostingListIntersect "),
+      s"custom strategy must plan the exec node:\n$plan")
+    val got = viaNode.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDf = Search.orSearch(docs, should, minMatch = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == viaDf)
+    assert(got.nonEmpty && got.values.exists(_ == 3L) && got.values.exists(_ == 2L),
+      "want both 2-of-3 and 3-of-3 matches in testdata")
+  }
+
+  test("posting-list exec node: phrase adjacency matches the DataFrame path") {
+    val phrase = Seq("fast", "table")
+    val index = Search.positionalIndexChunked(docs)
+    val got = graft.plans.PostingListIntersect.phrase(index, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaDf = Search.phraseSearch(docs, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == viaDf)
+    assert(got.nonEmpty, "phrase should occur in testdata")
+  }
+
+  test("posting-list exec node: sloppy phrase chain counts match the DataFrame path") {
+    val phrase = Seq("fast", "table", "scan")
+    val index = Search.positionalIndexChunked(docs)
+    val got = graft.plans.PostingListIntersect.phraseSlop(index, phrase, slop = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaDf = Search.phraseSearchSlop(docs, phrase, slop = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == viaDf)
+    assert(got.nonEmpty, "sloppy phrase should occur in testdata")
+  }
+
+  test("posting-list exec node: phrase edge cases — repeated word, multi-chunk, multi-occurrence") {
+    import spark.implicits._
+    // "a b a": word 0 and 2 share a term; docs straddle chunks of 3;
+    // doc 0 holds TWO overlapping occurrences (a b a b a)
+    val df = Seq(
+      (0L, "a b a b a"), (1L, "a b a"), (2L, "a b"), (3L, "b a b"),
+      (4L, "x a b a y"), (5L, "a a b a"))
+      .toDF("doc_id", "text")
+    val index = Search.positionalIndexChunked(df, chunkSize = 3)
+    val got = graft.plans.PostingListIntersect.phrase(index, Seq("a", "b", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaDf = Search.phraseSearch(df, Seq("a", "b", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == viaDf)
+    assert(got == Set((0L, 2L, 0L), (1L, 1L, 0L), (4L, 1L, 1L), (5L, 1L, 1L)))
+    // sloppy chains across a repeated word, node vs DataFrame path
+    val gotSlop = graft.plans.PostingListIntersect.phraseSlop(index, Seq("a", "a"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaDfSlop = Search.phraseSearchSlop(df, Seq("a", "a"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotSlop == viaDfSlop)
   }
 
   test("boolean search: AND across terms, not OR") {

@@ -13,7 +13,11 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # driver testdata is one file per table; graft.ScaleUp output is a
+    # Spark-written DIRECTORY named <t>.parquet — glob its part files
+    path = f"{sf_dir}/{t}.parquet"
+    src = f"{path}/*.parquet" if os.path.isdir(path) else path
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
