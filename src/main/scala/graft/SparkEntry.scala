@@ -54,20 +54,38 @@ object SparkEntry {
   }
 
   /** Shared banded-kNN oracle prefix (WITH-clause body): SRP banding
-    * at pinned geometry, the bucket-cap filter, within-bucket pairs,
+    * at AUTO width, the bucket-cap filter, within-bucket pairs,
     * exact-cosine rerank, top-k per query — ends at `top`
     * (q_id, c_id, s, rank ≤ k). Mirrors Similarity.bandedSelfTopK
-    * stage for stage: buckets with < 2 or > maxBucket members drop
-    * (a degenerate bucket cannot go quadratic), pairs are DISTINCT
-    * directed (q, c) within surviving buckets, ranks tie
-    * (s DESC, c_id) like the TopKBuffer total order. banded/inb are
-    * MATERIALIZED: each is referenced twice and inlining would
-    * recompute the 64-dim dot products per reference. */
-  private def bandedKnnTopSql(numPlanes: Int, bands: Int,
-                              maxBucket: Int, k: Int): String =
+    * stage for stage: all bands·8 plane sign bits are materialized
+    * once, `wsel` recomputes Similarity.autoBandBits' integer
+    * ⌊log₂(n DIV 100)⌋ ladder from count(*) (threshold CASE — no
+    * float-log to disagree on), and `banded` unions one arm per
+    * (width, band) pair with only the selected width surviving the
+    * join — so the oracle reproduces the banding bit-for-bit at EVERY
+    * SF, which a pinned width cannot (the 10× sweep caught pinned
+    * 4-bit banding capping out every bucket: recall 0). Buckets with
+    * < 2 or > maxBucket members drop (a degenerate bucket cannot go
+    * quadratic), pairs are DISTINCT directed (q, c) within surviving
+    * buckets, ranks tie (s DESC, c_id) like the TopKBuffer total
+    * order. banded/inb are MATERIALIZED: each is referenced twice and
+    * inlining would recompute the 64-dim dot products per reference. */
+  private def bandedKnnTopSql(bands: Int, maxBucket: Int, k: Int): String = {
+    val maxBits = 8
+    val arms = (2 to maxBits).flatMap { w =>
+      (0 until bands).map { j =>
+        val sum = (0 until w).map(b => s"${1 << b}*b${j * w + b}").mkString(" + ")
+        s"SELECT id, $w AS w, $j AS band, $sum AS bhash FROM bits"
+      }
+    }.mkString("\n  UNION ALL ")
+    val ladder = (maxBits to 3 by -1)
+      .map(x => s"WHEN m >= ${1L << x} THEN $x").mkString(" ")
     s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |bits AS (SELECT id, e, ${srpBitsSql(numPlanes, 64)} FROM v),
-       |banded AS MATERIALIZED (${srpBandedSql(numPlanes, bands)}),
+       |bits AS (SELECT id, e, ${srpBitsSql(bands * maxBits, 64)} FROM v),
+       |wsel AS (SELECT CASE $ladder ELSE 2 END AS w
+       |         FROM (SELECT GREATEST(1, count(*) // 100) AS m FROM v)),
+       |banded AS MATERIALIZED (
+       | SELECT id, band, bhash FROM ($arms) a JOIN wsel USING (w)),
        |ok AS (SELECT band, bhash FROM banded GROUP BY band, bhash
        |       HAVING count(*) >= 2 AND count(*) <= $maxBucket),
        |inb AS MATERIALIZED (
@@ -85,6 +103,7 @@ object SparkEntry {
        | FROM rescored),
        |top AS MATERIALIZED (
        | SELECT q_id, c_id, s, rank FROM rankedk WHERE rank <= $k)""".stripMargin
+  }
 
   /** PQ codebook literals for the ann_pq oracle — the same ±1
     * [m][K][dsub] codebooks ProductQuantization derives from the
@@ -270,7 +289,7 @@ object SparkEntry {
          |  JOIN deg d ON d.vtx = p.vtx CROSS JOIN nn
          | GROUP BY e.b, nn.n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${bandedKnnTopSql(16, 4, 500, 10)},
+    s"""WITH ${bandedKnnTopSql(4, 500, 10)},
        |me AS (SELECT t.q_id AS a, t.c_id AS b
        |       FROM top t JOIN top r ON r.q_id = t.c_id AND r.c_id = t.q_id
        |       WHERE t.q_id < t.c_id),
@@ -1154,6 +1173,21 @@ object SparkEntry {
                 round(col("last_purchase"), 2).as("last_purchase"))
         .orderBy(col("event_id"))
     }),
+    // X181: as-of with a 48 h staleness tolerance — the backward match
+    // voids when older than the tolerance (filter after the window,
+    // never a join predicate)
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.lastValueAsOfWithin(ev, purchases, "user_id", "ts", "value",
+          "recent_purchase", 172800000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("recent_purchase"), 2).as("recent_purchase"))
+        .orderBy(col("event_id"))
+    }),
+    // X180: per-user time-weighted average value
+    "q_twap" -> (graft.operators.TimeSeries.twapPerUser _),
     // forward as-of: next purchase at-or-after each event — the
     // mirrored one-exchange union+window, inclusive at equal ts
     "q_asof_forward" -> ((s, dir) => {
@@ -1342,6 +1376,16 @@ object SparkEntry {
     // X103: SCD type-2 history build (validity intervals from an
     // attribute-observation log; open versions close with a sentinel)
     "q_scd2" -> (Relational.scdType2 _),
+    // X177: point-in-time join — orders matched to the SCD2 version
+    // covering their date, via the as-of machinery (no range join)
+    "q_scd2_join" -> (Relational.scd2PointInTime _),
+    // X178: cumulative distinct users per day via the first-seen
+    // reformulation (running sum over a |days|-bounded table)
+    "q_cum_distinct" -> (EventAnalytics.cumulativeDistinctUsers _),
+    // X179: cross-source near-dup contamination matrix over the LSH
+    // pair stream
+    "dedup_cross_source" -> ((s, dir) =>
+      Dedup.crossSourcePairs(Tables.documents(s, dir))),
     // X104: 2-D Pareto frontier via distributive local-sweep +
     // tiny-global-merge; oracle is the NOT EXISTS dominance definition
     "q_skyline" -> ((s, dir) => graft.operators.Skyline.partFrontier(s, dir)),
@@ -1483,13 +1527,14 @@ object SparkEntry {
     // X131: KL/PSI drift between the event-type mix of two time halves
     "stats_psi" -> (EventAnalytics.klDrift(_, _)),
     // X132+X157: mutual-kNN graph on the SCALE route — SRP-banded
-    // candidate generation (pinned geometry 16 planes / 4 bands,
-    // bucket cap 500 so the oracle reproduces the banding) with
+    // candidate generation at AUTO width (integer ⌊log₂(n/100)⌋ bits
+    // per band, which the oracle recomputes from count(*) — a pinned
+    // width loses every bucket past the cap at 10×: recall 0) with
     // exact-cosine rerank; the all-pairs exact scorer now lives
     // behind spark.graft.knn.exact and is spec-tested, never gated
     "knn_graph" -> ((s, dir) => {
       Similarity.knnGraphBanded(Tables.embeddings(s, dir), 10,
-          numPlanes = 16, bands = 4, maxBucket = 500)
+          numPlanes = 0, bands = 4, maxBucket = 500)
         .select(col("q_id"), col("rank").cast("long").as("rank"), col("c_id"),
           round(col("score"), 4).as("score"), col("mutual"))
         .orderBy(col("q_id"), col("rank"))
@@ -1574,10 +1619,12 @@ object SparkEntry {
   )
 
   /** The graph family's shared edge substrate: undirected mutual edges
-    * of the banded kNN graph at the gate's pinned band geometry. */
+    * of the banded kNN graph at AUTO band width (the oracle recomputes
+    * the width from count(*), so the banding stays bit-reproducible at
+    * every SF — a pinned width caps out at 10× and drops every edge). */
   private def bandedGraphEdges(s: SparkSession, dir: String): DataFrame =
     Graph.undirectedMutual(Similarity.knnGraphBanded(
-      Tables.embeddings(s, dir), 10, numPlanes = 16, bands = 4, maxBucket = 500))
+      Tables.embeddings(s, dir), 10, numPlanes = 0, bands = 4, maxBucket = 500))
 
   /** DuckDB-dialect twins of `queries`, identical column names and
     * ORDER BY so the driver's hash compare is deterministic. */
@@ -1586,6 +1633,16 @@ object SparkEntry {
     // reproduced in HUGEINT-mod-2^64 arithmetic (OracleHashSql), so
     // the LSH pipelines hash-compare end to end, not rows-only
     "dedup_minhash_lsh" -> OracleHashSql.minhashSql(),
+    // cross-source matrix twin: the same HUGEINT minhash pair chain,
+    // nested as a subquery, rolled up by (least, greatest) source pair
+    "dedup_cross_source" ->
+      s"""WITH pairs AS (SELECT id1, id2 FROM (${OracleHashSql.minhashSql()}))
+         |SELECT least(da.source, db.source) AS source_a,
+         | greatest(da.source, db.source) AS source_b,
+         | CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs JOIN documents da ON da.doc_id = pairs.id1
+         | JOIN documents db ON db.doc_id = pairs.id2
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // lsh-clusters twin: the same HUGEINT minhash chain + the
     // recursive reachability closure dedup_clusters uses
     "dedup_lsh_clusters" -> OracleHashSql.minhashClustersSql(),
@@ -2899,6 +2956,29 @@ object SparkEntry {
         | (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
         | ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    // tolerance twin: the plain ASOF pick, voided by the same
+    // integer-microsecond staleness CASE the operator applies
+    "q_asof_tolerance" ->
+      """SELECT l.event_id, l.user_id, l.event_type,
+        | round(CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 172800000000
+        |   THEN r.value END, 2) AS recent_purchase
+        |FROM events l ASOF LEFT JOIN
+        | (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        | ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    // TWAP twin: identical lead-duration weighting with the same
+    // DECIMAL-exact value×microseconds sum
+    "q_twap" ->
+      """WITH e AS (
+        | SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+        | FROM events),
+        |d AS (SELECT user_id, v, epoch_us(nts) - epoch_us(ts) AS dur
+        |      FROM e WHERE nts IS NOT NULL)
+        |SELECT user_id,
+        | round(CAST(sum(v * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE), 6) AS twap,
+        | CAST(sum(dur) AS BIGINT) AS span
+        |FROM d GROUP BY user_id HAVING sum(dur) > 0 ORDER BY user_id""".stripMargin,
     // nearest twin: both ASOF directions chained, CASE on exact
     // integer-microsecond distances, backward wins ties
     "q_asof_nearest" ->
@@ -3499,6 +3579,40 @@ object SparkEntry {
         |                   DATE '9999-12-31'), '%Y-%m-%d') AS valid_to,
         | n_orders
         |FROM g ORDER BY o_custkey, version""".stripMargin,
+    // point-in-time twin: the covering interval re-derived as the
+    // max version starting at-or-before each order's date (validity
+    // ranges are gapless, so the two definitions coincide)
+    "q_scd2_join" ->
+      """WITH o AS (
+        | SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |  CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |        OR lag(o_orderstatus) OVER w <> o_orderstatus THEN 1 ELSE 0 END AS chg
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |v AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS version FROM o),
+        |g AS (SELECT o_custkey, version, min(o_orderstatus) AS status,
+        |        min(o_orderdate) AS valid_from FROM v GROUP BY 1, 2),
+        |j AS (SELECT ord.o_orderkey, ord.o_custkey, ord.o_orderdate,
+        |        h.version, h.status,
+        |        row_number() OVER (PARTITION BY ord.o_orderkey
+        |          ORDER BY h.version DESC) AS rr
+        |      FROM orders ord JOIN g h
+        |        ON h.o_custkey = ord.o_custkey AND h.valid_from <= ord.o_orderdate)
+        |SELECT o_orderkey, o_custkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        | CAST(version AS BIGINT) AS version, status
+        |FROM j WHERE rr = 1 ORDER BY o_orderkey""".stripMargin,
+    // cumulative-distinct twin: identical first-seen reformulation
+    "q_cum_distinct" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+        |nu AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        | CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users,
+        | CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY d.day
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM d LEFT JOIN nu USING (day) ORDER BY day""".stripMargin,
     // skyline twin: the quadratic NOT EXISTS dominance definition —
     // deliberately naive, it IS the semantics the sweep must reproduce
     "q_skyline" ->
@@ -3958,7 +4072,7 @@ object SparkEntry {
     // |N(a) ∩ N(c)|, anti-join edges, Jaccard on the rounded column
     // with (x, y) tiebreaks
     "graph_link_pred" ->
-      s"""WITH ${bandedKnnTopSql(16, 4, 500, 10)},
+      s"""WITH ${bandedKnnTopSql(4, 500, 10)},
         |me AS (SELECT t.q_id AS a, t.c_id AS b
         |       FROM top t JOIN top r ON r.q_id = t.c_id AND r.c_id = t.q_id
         |       WHERE t.q_id < t.c_id),
@@ -3978,7 +4092,7 @@ object SparkEntry {
     // undirected edges, oriented wedge join + closing edge, per-corner
     // explode
     "graph_triangles" ->
-      s"""WITH ${bandedKnnTopSql(16, 4, 500, 10)},
+      s"""WITH ${bandedKnnTopSql(4, 500, 10)},
         |me AS (SELECT t.q_id AS a, t.c_id AS b
         |       FROM top t JOIN top r ON r.q_id = t.c_id AND r.c_id = t.q_id
         |       WHERE t.q_id < t.c_id),
@@ -4002,7 +4116,7 @@ object SparkEntry {
     // pinned geometry, bucket-capped pairs, exact rerank) plus the
     // reverse-edge mutual flag via a self-join of the top-k set
     "knn_graph" ->
-      s"""WITH ${bandedKnnTopSql(16, 4, 500, 10)}
+      s"""WITH ${bandedKnnTopSql(4, 500, 10)}
         |SELECT t.q_id, CAST(t.rank AS BIGINT) AS rank, t.c_id,
         |       round(t.s, 4) AS score, (r.q_id IS NOT NULL) AS mutual
         |FROM top t LEFT JOIN top r ON r.q_id = t.c_id AND r.c_id = t.q_id

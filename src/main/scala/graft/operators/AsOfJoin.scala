@@ -80,6 +80,41 @@ object AsOfJoin {
       .drop(tag, rv)
   }
 
+  /** X181: as-of join with a staleness tolerance — the backward match
+    * only counts if it lies within `toleranceMicros` of the left row
+    * (stale quotes don't price trades; expired gauges don't fill
+    * dashboards). Same one-exchange union+window as `lastValueAsOf`
+    * with the matched row's timestamp carried alongside its value
+    * (the paired last() calls pick the same row); the tolerance is a
+    * per-row filter AFTER the window — never a join predicate, so no
+    * interval-join cardinality and no second shuffle. */
+  def lastValueAsOfWithin(left: DataFrame, right: DataFrame, key: String,
+                          ts: String, valueCol: String, outCol: String,
+                          toleranceMicros: Long): DataFrame = {
+    require(toleranceMicros >= 0, "tolerance must be >= 0")
+    val rv = "__asof_rv"
+    val rt = "__asof_rt"
+    val tag = "__asof_tag"
+    val valueType = right.schema(valueCol).dataType
+    val l = left
+      .withColumn(tag, lit(1))
+      .withColumn(rv, lit(null).cast(valueType))
+      .withColumn(rt, lit(null).cast("long"))
+    val r = right.select(col(key), col(ts), col(valueCol).as(rv))
+      .withColumn(tag, lit(0))
+      .withColumn(rt, unix_micros(col(ts)))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col(tag), col(rv))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__lv", last(col(rv), ignoreNulls = true).over(w))
+      .withColumn("__lt", last(col(rt), ignoreNulls = true).over(w))
+      .where(col(tag) === 1)
+      .withColumn(outCol,
+        when(unix_micros(col(ts)) - col("__lt") <= toleranceMicros, col("__lv")))
+      .drop(tag, rv, rt, "__lv", "__lt")
+  }
+
   /** Nearest as-of: the closer of the latest-before and
     * earliest-after right rows (ties, including an exact-timestamp
     * match at distance 0, go BACKWARD — pinned). ONE union and ONE

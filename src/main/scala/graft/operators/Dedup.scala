@@ -119,6 +119,28 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** X179: cross-source near-dup contamination matrix — the L2 pair
+    * stream rolled up by the (source, source) pair it connects: the
+    * question corpus-merge dedup actually asks ("how much of source A
+    * already sits in source B?"). The pair stream joins back to the
+    * documents' source labels with two id-keyed hash joins — the pair
+    * side is bounded by the banded candidate cap and the corpus side
+    * never broadcasts — then a (least, greatest)-normalized rollup
+    * makes the matrix triangular so (a,b) and (b,a) accumulate into
+    * one cell. |sources|²-bounded output. */
+  def crossSourcePairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLshPairs(docs, threshold = threshold)
+      .select(col("id1"), col("id2"))
+    val src = docs.select(col("doc_id").cast("long"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id1"), col("source").as("__sa")), "id1")
+      .join(src.select(col("doc_id").as("id2"), col("source").as("__sb")), "id2")
+      .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** MinHash-estimated Jaccard of two signature columns: the fraction
     * of agreeing components. Unbiased, rsd ≈ 1/√numHashes (≈0.09 at
     * 128) — the standard estimator when the raw text is no longer

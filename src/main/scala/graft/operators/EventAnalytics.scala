@@ -90,6 +90,33 @@ object EventAnalytics {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** X178: cumulative distinct users by day — the running "total users
+    * ever seen" growth curve. A literal running count-distinct is not
+    * windowable at scale (the per-day distinct-union state grows with
+    * users); the first-seen reformulation is: a user contributes from
+    * their FIRST event day onward, so the curve is the running sum of
+    * first-seen counts. One user-keyed aggregate (min day), one
+    * |days|-bounded rollup, and a running sum whose window orders
+    * ≤ |calendar days| rows — metadata-sized, whitelisted as a bounded
+    * global window. Days with events but no new users keep a 0 row
+    * via the day-spine left join. */
+  def cumulativeDistinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts".cast("date").as("day"))
+    val newUsers = ev.groupBy($"user_id").agg(min($"day").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+    val days = ev.select($"day").distinct()
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(newUsers, Seq("day"), "left")
+      .withColumn("new_users", coalesce($"new_users", lit(0L)))
+      .withColumn("cum_users", sum($"new_users").over(w))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"new_users", $"cum_users")
+      .orderBy($"day")
+  }
+
   /** X127: first-order Markov transition matrix over per-user event
     * sequences — P(next event type | current), the session-shape
     * statistic that catches bot traffic (degenerate self-loops) and

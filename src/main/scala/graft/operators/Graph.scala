@@ -54,13 +54,18 @@ object Graph {
                idCol: String = "vec_id"): DataFrame =
     pageRankEdges(mutualEdges(vectors, k, vecCol, idCol), iters, damping)
 
-  /** PageRank over a prebuilt undirected (a, b) edge list. */
+  /** PageRank over a prebuilt undirected (a, b) edge list. An empty
+    * edge set returns an empty result — not a divide-by-zero in the
+    * teleport term (an over-filtered corpus must degrade, not crash). */
   def pageRankEdges(e: DataFrame, iters: Int = 5,
                     damping: Double = 0.85): DataFrame = {
     val sym = Checkpoints.fence(
       e.unionAll(e.select(col("b").as("a"), col("a").as("b"))))
     val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("outdeg"))
     val n = deg.count() // |vertices|, bounded scalar
+    if (n == 0)
+      return e.limit(0).select(col("a").cast("long").as("vec_id"),
+        lit(0.0).as("pagerank"))
     val withDeg = Checkpoints.fence(sym.join(deg, "a"))
     val teleport = lit(1.0 - damping) / lit(n.toDouble)
     var ranks = deg.select(col("a").as("vtx"),

@@ -664,9 +664,24 @@ object Relational {
     * cardinality is |customers| — no skew concern. */
   def scdType2(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val succ = Window.partitionBy($"o_custkey").orderBy($"version")
+    scd2History(spark, sfDir)
+      .withColumn("valid_to",
+        coalesce(lead($"valid_from", 1).over(succ), lit("9999-12-31").cast("date")))
+      .select($"o_custkey", $"version", $"status",
+        date_format($"valid_from", "yyyy-MM-dd").as("valid_from"),
+        date_format($"valid_to", "yyyy-MM-dd").as("valid_to"), $"n_orders")
+      .orderBy($"o_custkey", $"version")
+  }
+
+  /** The C22 version history with NATIVE types (valid_from in the
+    * source timestamp type) — the shared core of the formatted SCD2
+    * surface above and the point-in-time join below. */
+  private def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val byCust = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
     val run = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val versioned = Tables.orders(spark, sfDir)
+    Tables.orders(spark, sfDir)
       .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderstatus")
       .withColumn("__chg",
         when(lag($"o_orderstatus", 1).over(byCust).isNull ||
@@ -676,14 +691,34 @@ object Relational {
       .groupBy($"o_custkey", $"version")
       .agg(first($"o_orderstatus").as("status"),
         min($"o_orderdate").as("valid_from"), count(lit(1)).as("n_orders"))
-    val succ = Window.partitionBy($"o_custkey").orderBy($"version")
-    versioned
-      .withColumn("valid_to",
-        coalesce(lead($"valid_from", 1).over(succ), lit("9999-12-31").cast("date")))
-      .select($"o_custkey", $"version", $"status",
-        date_format($"valid_from", "yyyy-MM-dd").as("valid_from"),
-        date_format($"valid_to", "yyyy-MM-dd").as("valid_to"), $"n_orders")
-      .orderBy($"o_custkey", $"version")
+  }
+
+  /** X177: point-in-time (temporal validity) join — every order joined
+    * to the SCD2 version whose [valid_from, valid_to) interval covers
+    * its date; the fact-to-dimension-AS-OF join every warehouse with
+    * SCD2 dimensions runs. NOT a range join: because valid_to is by
+    * construction the successor's valid_from, "the covering interval"
+    * ≡ "the LAST version starting at-or-before the date", which is the
+    * as-of machinery — one union + one (key, ts) sort-window carrying
+    * an incremental last() (AsOfJoin.lastValueAsOf), no interval
+    * predicate ever materializes a join cardinality above |orders|.
+    * Same-date versions (a customer with two differing-status orders
+    * on one date) resolve to the HIGHEST version — the window orders
+    * right rows by the (version, status) payload after the timestamp,
+    * so the last row under the frame is the max version, matching the
+    * oracle's row_number(ORDER BY version DESC) pick. */
+  def scd2PointInTime(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hist = scd2History(spark, sfDir)
+      .select($"o_custkey", $"valid_from".as("o_orderdate"),
+        struct($"version", $"status").as("vs"))
+    val orders = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    AsOfJoin.lastValueAsOf(orders, hist, "o_custkey", "o_orderdate", "vs", "v")
+      .select($"o_orderkey", $"o_custkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+        $"v.version".as("version"), $"v.status".as("status"))
+      .orderBy($"o_orderkey")
   }
 
   /** C23: per-group mode with a deterministic smallest-value

@@ -361,12 +361,17 @@ object Similarity {
     * like any SRP pipeline.
     *
     * numPlanes ≤ 0 selects AUTO banding: bits-per-band =
-    * round(log₂(n / 100)) clamped to [2, 8] from one count() (bounded
-    * metadata job), holding the EXPECTED bucket size near 100 as the
-    * corpus grows — candidate volume stays ≈ 100·n per band instead
-    * of (n/buckets)²·buckets, which is what makes the route scale
-    * near-linearly (a FIXED band width re-grows buckets, and with
-    * them Σ bucket², linearly with n). Returns
+    * ⌊log₂(n DIV 100)⌋ clamped to [2, 8] from one count() (bounded
+    * metadata job), holding the EXPECTED bucket size in [100, 200) as
+    * the corpus grows — candidate volume stays ≈ maxBucket·n per band
+    * instead of (n/buckets)²·buckets, which is what makes the route
+    * scale near-linearly (a FIXED band width re-grows buckets, and
+    * with them Σ bucket², linearly with n — and past the bucket cap
+    * it silently drops EVERY bucket, recall 0; the 10× sweep caught
+    * exactly that on a pinned 4-bit width). The width is INTEGER
+    * arithmetic (highest set bit of n DIV 100), so a SQL oracle can
+    * reproduce the selection with a 7-way threshold CASE — no
+    * float-log rounding to disagree on. Returns
     * (q_id, rank, c_id, score). */
   def bandedSelfTopK(vectors: DataFrame, k: Int,
                      vecCol: String = "embedding", idCol: String = "vec_id",
@@ -374,12 +379,7 @@ object Similarity {
                      maxBucket: Int = 2000): DataFrame = {
     val planes =
       if (numPlanes > 0) numPlanes
-      else {
-        val n = vectors.count()
-        val bits = math.max(2, math.min(8,
-          math.round(math.log(math.max(1.0, n / 100.0)) / math.log(2.0)).toInt))
-        bands * bits
-      }
+      else bands * autoBandBits(vectors.count())
     val banded = srpBanded(vectors, vecCol, idCol, planes, bands)
     val ok = banded.groupBy(col("band"), col("bhash"))
       .agg(count(lit(1)).as("bn"))
@@ -401,6 +401,13 @@ object Similarity {
       .select(col("q_id"), posexplode(col("top")).as(Seq("rank0", "t")))
       .select(col("q_id"), (col("rank0") + 1).as("rank"),
         col("t.id").as("c_id"), col("t.score").as("score"))
+  }
+
+  /** AUTO band width: ⌊log₂(n DIV 100)⌋ clamped to [2, 8] — pure
+    * integer arithmetic (highest set bit), engine-exact. */
+  def autoBandBits(n: Long): Int = {
+    val m = math.max(1L, n / 100)
+    math.max(2, math.min(8, 63 - java.lang.Long.numberOfLeadingZeros(m)))
   }
 
   /** Mark each directed (q_id, c_id) edge `mutual` iff its reverse is

@@ -22,6 +22,35 @@ object TimeSeries {
 
   private def dayCol = datediff(to_date(col("ts")), lit("2024-01-01"))
 
+  /** X180: per-user time-weighted average value (TWAP) — each event's
+    * value holds until the user's NEXT event, and the average weights
+    * each value by that holding duration over the user's whole
+    * [first, last] span; the monitoring/finance mean where a plain
+    * average over-counts bursts. ONE (user, (ts, event_id)) sort:
+    * lead() yields each holding duration in exact integer
+    * microseconds, the value routes through DECIMAL so the
+    * value×duration sum is exact and accumulation-order-independent
+    * (a double Σ would vary with partitioning), and the only double
+    * op is the final per-user divide. Each user's last event has no
+    * successor and zero weight; single-event users (no span) drop. */
+  def twapPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id",
+        $"value".cast("decimal(18,2)").as("v"))
+      .withColumn("dur",
+        unix_micros(lead($"ts", 1).over(w)) - unix_micros($"ts"))
+      .where($"dur".isNotNull)
+      .groupBy($"user_id")
+      .agg(sum($"v" * $"dur").as("wsum"), sum($"dur").as("span"))
+      .where($"span" > 0)
+      .select($"user_id",
+        round($"wsum".cast("double") / $"span".cast("double"), 6).as("twap"),
+        $"span")
+      .orderBy($"user_id")
+  }
+
   /** Daily resample per event type with forward fill: the per-type
     * calendar grid is densified from min..max day (`sequence` +
     * `explode` over ONE row per type — the fan-out is days, never

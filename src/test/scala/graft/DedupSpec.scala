@@ -21,6 +21,22 @@ class DedupSpec extends AnyFunSuite {
     docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
+  test("cross-source matrix: cells recount the verified pair stream") {
+    val pairs = Dedup.minhashLshPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val src = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = pairs.map { case (a, b) =>
+        val (x, y) = (src(a), src(b))
+        if (x <= y) (x, y) else (y, x)
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Dedup.crossSourcePairs(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(expect.nonEmpty, "want near-dup pairs across sources in testdata")
+    assert(got == expect)
+    assert(got.values.sum == pairs.length, "every pair lands in exactly one cell")
+  }
+
   test("substring dedup matches the brute-force span inventory + interval union") {
     val L = 6
     val got = Dedup.substringDedup(docs, spanLen = L).collect()

@@ -41,6 +41,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(expect(0)._3 >= expect(1)._3 && expect(1)._3 >= expect(2)._3)
   }
 
+  test("cumulative distinct users: the running curve matches first-seen counting") {
+    val got = SparkEntry.queries("q_cum_distinct")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val byDay: Map[String, Set[Long]] =
+      ev.groupBy(e => fmt.format(e._2)).view.mapValues(_.map(_._1).toSet).toMap
+    val days = byDay.keys.toSeq.sorted
+    var seen = Set.empty[Long]
+    val expect = days.map { d =>
+      val nu = (byDay(d) -- seen).size.toLong
+      seen ++= byDay(d)
+      (d, nu, seen.size.toLong)
+    }
+    assert(got == expect)
+    assert(got.last._3 == ev.map(_._1).distinct.size.toLong,
+      "the curve must end at the total distinct user count")
+  }
+
   test("retention: every cohort cell matches distinct-user counting") {
     val epoch = java.time.LocalDate.of(2024, 1, 1)
     val got = SparkEntry.queries("q_retention")(spark, sf).collect()

@@ -84,10 +84,12 @@ class PlanLintSpec extends AnyFunSuite {
     *    (Search.hybridRrf — ≤ k rows per leg);
     *  - stats_chi2_cells / stats_psi: windows over the contingency /
     *    drift CELL tables (|event types| × |buckets| rows, metadata-
-    *    sized regardless of event count).
+    *    sized regardless of event count);
+    *  - q_cum_distinct: running sum over the per-DAY first-seen
+    *    rollup (≤ |calendar days| rows regardless of event count).
     * Anything not listed here that adds a global window fails. */
   private val boundedGlobalWindows: Set[String] =
-    Set("search_hybrid_rrf", "stats_chi2_cells", "stats_psi")
+    Set("search_hybrid_rrf", "stats_chi2_cells", "stats_psi", "q_cum_distinct")
 
   test("no new unpartitioned Window (global single-partition sort) in any gated plan") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

@@ -372,6 +372,26 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 point-in-time join: every order picks the version covering its date") {
+    val hist = operators.Relational.scdType2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4)))
+    val got = operators.Relational.scd2PointInTime(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getString(4)))
+    assert(got.length == Tables.orders(spark, sf).count(),
+      "point-in-time join must keep exactly one row per order")
+    got.foreach { case (ok, cust, date, version, status) =>
+      // the covering interval valid_from <= date < valid_to is unique:
+      // empty same-date intervals fail the right-open bound (ISO
+      // strings compare like the dates they encode)
+      val v = hist.filter(h => h._1 == cust && h._4 <= date && date < h._5)
+      assert(v.length == 1, s"order $ok: expected exactly one covering version")
+      assert((v.head._2, v.head._3) == (version, status),
+        s"order $ok picked version $version, covering is ${v.head._2}")
+    }
+  }
+
   test("mode: the per-group winner is the max-count, min-value quantity") {
     val got = operators.Relational.modePerGroup(spark, sf).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))

@@ -30,6 +30,36 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(got("d") == null, "key with no right rows -> null")
   }
 
+  test("tolerance as-of voids matches older than the staleness bound") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "a"),  // before any right row
+      (1L, ts("2024-01-01 10:30:00"), "b"),  // 30 min after the match
+      (1L, ts("2024-01-01 12:00:00"), "c"),  // 60 min: exactly at bound
+      (1L, ts("2024-01-01 12:00:01"), "d"))  // one second past: stale
+      .toDF("user_id", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 20.0))
+      .toDF("user_id", "ts", "value")
+    val hour = 3600L * 1000000L
+    val got = AsOfJoin.lastValueAsOfWithin(left, right, "user_id", "ts", "value", "v", hour)
+      .select("name", "v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got("a") == null, "no match -> null")
+    assert(got("b") == 10.0, "fresh match survives")
+    assert(got("c") == 20.0, "staleness bound is inclusive")
+    assert(got("d") == null, "stale match voids to null, not to an older row")
+    // the tolerance variant at +infinity degrades to the plain as-of
+    val plain = AsOfJoin.lastValueAsOf(left, right, "user_id", "ts", "value", "v")
+      .select("name", "v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val loose = AsOfJoin.lastValueAsOfWithin(left, right, "user_id", "ts", "value", "v", Long.MaxValue)
+      .select("name", "v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(loose == plain)
+  }
+
   test("forward as-of picks the earliest right row at-or-after each left ts") {
     import spark.implicits._
     val left = Seq(

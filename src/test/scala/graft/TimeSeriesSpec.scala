@@ -7,6 +7,32 @@ import graft.operators.TimeSeries
 class TimeSeriesSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("twap: holding-duration weighting matches an exact rational brute force") {
+    val got = TimeSeries.twapPerUser(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS t", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3))
+      // cents × micros in BigDecimal — the same exact arithmetic the
+      // DECIMAL sum performs, independent of this spec's fold order
+      val (wsum, span) = ordered.sliding(2).foldLeft((BigDecimal(0), 0L)) {
+        case ((ws, sp), Array(a, b)) =>
+          val dur = b._2 - a._2
+          val v2 = BigDecimal(a._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          (ws + v2 * BigDecimal(dur), sp + dur)
+        case (acc, _) => acc
+      }
+      if (span > 0) Some(u -> (wsum / BigDecimal(span)).toDouble) else None
+    }
+    assert(got.nonEmpty && got.length == expect.size)
+    got.foreach { case (u, twap, span) =>
+      assert(span > 0)
+      assert(math.abs(twap - expect(u)) < 2e-6, s"user $u: $twap vs ${expect(u)}")
+    }
+  }
+
   test("resample: dense per-type calendar, gaps forward-filled") {
     val rows = TimeSeries.resampleDaily(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
