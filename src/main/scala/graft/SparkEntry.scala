@@ -53,6 +53,33 @@ object SparkEntry {
     }.mkString("\n UNION ALL ")
   }
 
+  /** AUTO-width SRP banding CTE block over an existing `v(id, e)`
+    * CTE — the oracle side of Similarity.autoBandBits: sign bits for
+    * the maximum width, the integer ⌊log₂(n DIV 100)⌋ ladder from the
+    * counted rows (`countWhere` restricts which rows size the width —
+    * the incremental twin keys on its corpus side), and one banding
+    * arm per candidate width with only the selected one surviving the
+    * join. Emits CTEs `bits`, `wsel`, `banded`; `bits` is
+    * MATERIALIZED so the 64-dim dot products compute once however
+    * many arms reference them. Returns an already-stripped fragment
+    * for interpolation into a stripMargin template. */
+  private def autoSrpBandedSql(bands: Int, countWhere: String = ""): String = {
+    val maxBits = 8
+    val arms = (2 to maxBits).flatMap { w =>
+      (0 until bands).map { j =>
+        val sum = (0 until w).map(b => s"${1 << b}*b${j * w + b}").mkString(" + ")
+        s"SELECT id, $w AS w, $j AS band, $sum AS bhash FROM bits"
+      }
+    }.mkString("\n  UNION ALL ")
+    val ladder = (maxBits to 3 by -1)
+      .map(x => s"WHEN m >= ${1L << x} THEN $x").mkString(" ")
+    s"""bits AS MATERIALIZED (SELECT id, e, ${srpBitsSql(bands * maxBits, 64)} FROM v),
+       |wsel AS (SELECT CASE $ladder ELSE 2 END AS w
+       |         FROM (SELECT GREATEST(1, count(*) // 100) AS m FROM v $countWhere)),
+       |banded AS MATERIALIZED (
+       | SELECT id, band, bhash FROM ($arms) a JOIN wsel USING (w))""".stripMargin
+  }
+
   /** Shared banded-kNN oracle prefix (WITH-clause body): SRP banding
     * at AUTO width, the bucket-cap filter, within-bucket pairs,
     * exact-cosine rerank, top-k per query — ends at `top`
@@ -71,21 +98,8 @@ object SparkEntry {
     * order. banded/inb are MATERIALIZED: each is referenced twice and
     * inlining would recompute the 64-dim dot products per reference. */
   private def bandedKnnTopSql(bands: Int, maxBucket: Int, k: Int): String = {
-    val maxBits = 8
-    val arms = (2 to maxBits).flatMap { w =>
-      (0 until bands).map { j =>
-        val sum = (0 until w).map(b => s"${1 << b}*b${j * w + b}").mkString(" + ")
-        s"SELECT id, $w AS w, $j AS band, $sum AS bhash FROM bits"
-      }
-    }.mkString("\n  UNION ALL ")
-    val ladder = (maxBits to 3 by -1)
-      .map(x => s"WHEN m >= ${1L << x} THEN $x").mkString(" ")
     s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |bits AS (SELECT id, e, ${srpBitsSql(bands * maxBits, 64)} FROM v),
-       |wsel AS (SELECT CASE $ladder ELSE 2 END AS w
-       |         FROM (SELECT GREATEST(1, count(*) // 100) AS m FROM v)),
-       |banded AS MATERIALIZED (
-       | SELECT id, band, bhash FROM ($arms) a JOIN wsel USING (w)),
+       |${autoSrpBandedSql(bands)},
        |ok AS (SELECT band, bhash FROM banded GROUP BY band, bhash
        |       HAVING count(*) >= 2 AND count(*) <= $maxBucket),
        |inb AS MATERIALIZED (
@@ -2137,8 +2151,7 @@ object SparkEntry {
     // band buckets, the 2..maxBucket size gate, exact-cosine verify
     "dedup_embedding" ->
       s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |bits AS (SELECT id, e, ${srpBitsSql(16, 64)} FROM v),
-        |banded AS (${srpBandedSql(16, 4)}),
+        |${autoSrpBandedSql(4)},
         |ok AS (SELECT band, bhash FROM banded GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 200),
         |cand AS (
         | SELECT DISTINCT a.id AS id1, b.id AS id2
@@ -2152,8 +2165,7 @@ object SparkEntry {
     // recursive-CTE transitive closure; component = min reachable id
     "dedup_clusters" ->
       s"""WITH RECURSIVE v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |bits AS (SELECT id, e, ${srpBitsSql(16, 64)} FROM v),
-        |banded AS (${srpBandedSql(16, 4)}),
+        |${autoSrpBandedSql(4)},
         |ok AS (SELECT band, bhash FROM banded GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 200),
         |cand AS (
         | SELECT DISTINCT a.id AS id1, b.id AS id2
@@ -2196,8 +2208,7 @@ object SparkEntry {
         |  FROM wcand p JOIN shh x ON x.doc_id = p.id1 JOIN shh y ON y.doc_id = p.id2)
         | WHERE j >= 0.5),
         |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |bits AS (SELECT id, e, ${srpBitsSql(16, 64)} FROM v),
-        |banded AS (${srpBandedSql(16, 4)}),
+        |${autoSrpBandedSql(4)},
         |ok AS (SELECT band, bhash FROM banded GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 200),
         |ecand AS (
         | SELECT DISTINCT a.id AS id1, b.id AS id2
@@ -2235,8 +2246,7 @@ object SparkEntry {
     // gate (no 2-member minimum — the batch supplies the second member)
     "dedup_incremental" ->
       s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |bits AS (SELECT id, e, ${srpBitsSql(16, 64)} FROM v),
-        |banded AS (${srpBandedSql(16, 4)}),
+        |${autoSrpBandedSql(4, "WHERE id % 4 <> 0")},
         |cb AS (SELECT * FROM banded WHERE id % 4 <> 0),
         |bb AS (SELECT * FROM banded WHERE id % 4 = 0),
         |ok AS (SELECT band, bhash FROM cb GROUP BY 1, 2 HAVING count(*) <= 200),
@@ -2632,7 +2642,8 @@ object SparkEntry {
         |u AS (SELECT label, unnest(e) AS x, unnest(range(1, len(e)+1)) AS pos FROM v),
         |c AS (SELECT label, pos, round(avg(x), 6) AS m FROM u GROUP BY 1, 2),
         |ctr AS (SELECT label, list(m ORDER BY pos) AS c FROM c GROUP BY label)
-        |SELECT v.vec_id, v.label, round(list_cosine_similarity(v.e, ctr.c), 4) AS c_cos
+        |SELECT v.vec_id, v.label,
+        | round(list_cosine_similarity(v.e, ctr.c), 4) + 0 AS c_cos
         |FROM v JOIN ctr USING (label) ORDER BY vec_id""".stripMargin,
     // covariance twin: identical round(x·1e6) integer quantization,
     // exact DECIMAL sums, the same closed-form double formula; the
@@ -3992,8 +4003,7 @@ object SparkEntry {
     // longest-doc-wins window per component
     "dedup_keeper" ->
       s"""WITH RECURSIVE v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |bits AS (SELECT id, e, ${srpBitsSql(16, 64)} FROM v),
-        |banded AS (${srpBandedSql(16, 4)}),
+        |${autoSrpBandedSql(4)},
         |ok AS (SELECT band, bhash FROM banded GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 200),
         |cand AS (
         | SELECT DISTINCT a.id AS id1, b.id AS id2

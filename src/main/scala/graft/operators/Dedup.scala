@@ -425,10 +425,16 @@ object Dedup {
     * (new_id, old_id, cos). */
   def embeddingPairsIncremental(corpus: DataFrame, batch: DataFrame,
                                 vecCol: String = "embedding", idCol: String = "vec_id",
-                                threshold: Double = 0.35, numPlanes: Int = 16,
+                                threshold: Double = 0.35, numPlanes: Int = 0,
                                 bands: Int = 4, maxBucket: Int = 200): DataFrame = {
-    val cBanded = Similarity.srpBanded(corpus, vecCol, idCol, numPlanes, bands)
-    val bBanded = Similarity.srpBanded(batch, vecCol, idCol, numPlanes, bands)
+    // AUTO width keys on the CORPUS count — the persistent index side
+    // whose buckets must stay under the cap as it grows; the batch
+    // bands at whatever width the index it probes was built with
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else bands * Similarity.autoBandBits(corpus.count())
+    val cBanded = Similarity.srpBanded(corpus, vecCol, idCol, planes, bands)
+    val bBanded = Similarity.srpBanded(batch, vecCol, idCol, planes, bands)
     val okBuckets = cBanded.groupBy(col("band"), col("bhash"))
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") <= maxBucket)
@@ -605,9 +611,16 @@ object Dedup {
 
   def embeddingPairs(emb: DataFrame, vecCol: String = "embedding",
                      idCol: String = "vec_id", threshold: Double = 0.35,
-                     numPlanes: Int = 16, bands: Int = 4,
+                     numPlanes: Int = 0, bands: Int = 4,
                      maxBucket: Int = 200): DataFrame = {
-    val banded = Similarity.srpBanded(emb, vecCol, idCol, numPlanes, bands)
+    // numPlanes <= 0: AUTO band width from the corpus count — a width
+    // pinned at tuning time caps out as the corpus grows and the
+    // bucket guard then drops EVERY bucket (recall 0; the 10x sweep
+    // caught exactly that on this operator's old 4-bit default)
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else bands * Similarity.autoBandBits(emb.count())
+    val banded = Similarity.srpBanded(emb, vecCol, idCol, planes, bands)
     val candidates = bucketPairs(banded, maxBucket)
     val e1 = emb.select(col(idCol).cast("long").as("id1"), col(vecCol).as("v1"))
     val e2 = emb.select(col(idCol).cast("long").as("id2"), col(vecCol).as("v2"))

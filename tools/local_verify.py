@@ -11,6 +11,11 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 
 con = duckdb.connect()
+# bound DuckDB so a heavy oracle (recursive closures, 128-hash chains
+# at 10x) spills to disk instead of OOM-killing the gate
+con.execute("SET memory_limit='24GB'")
+con.execute("SET threads=16")
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     # driver testdata is one file per table; graft.ScaleUp output is a
