@@ -13,7 +13,7 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 con = duckdb.connect()
 # bound DuckDB so a heavy oracle (recursive closures, 128-hash chains
 # at 10x) spills to disk instead of OOM-killing the gate
-con.execute("SET memory_limit='24GB'")
+con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
 con.execute("SET threads=16")
 con.execute("SET temp_directory='/tmp/duckdb_spill'")
 for t in ["region","nation","customer","supplier","part","orders",
@@ -40,7 +40,14 @@ for name in sorted(os.listdir(out_dir)):
     if name not in oracle:
         print(f"  [rows-only] {name}: {len(got)} rows")
         continue
-    exp = con.sql(oracle[name]).df()
+    # one oracle blowing past the memory limit (not every DuckDB
+    # operator can spill) must fail ITS row, not kill the sweep
+    try:
+        exp = con.sql(oracle[name]).df()
+    except Exception as ex:
+        print(f"FAIL {name}: oracle error: {str(ex).splitlines()[0][:160]}")
+        fails += 1
+        continue
     g, e = canon(got), canon(exp)
     ok = True
     if list(g.columns) != list(e.columns):
