@@ -3487,7 +3487,11 @@ object SparkEntry {
         |z AS (
         | SELECT event_type, event_id, y,
         |  (CAST(y AS DOUBLE) - s / c) / sqrt(q / c - (s / c) * (s / c)) AS z
-        | FROM w WHERE c >= 15)
+        | FROM w
+        | -- zero-variance frame => z undefined => not an anomaly (the
+        | -- operator's `when(q > m*m)` guard; without it a constant run
+        | -- at scale makes the double variance go 0-or-negative here)
+        | WHERE c >= 15 AND q / c > (s / c) * (s / c))
         |SELECT event_type, event_id, round(CAST(y AS DOUBLE), 2) AS value, round(z, 4) AS z
         |FROM z WHERE abs(z) > 2.5 ORDER BY event_type, event_id""".stripMargin,
     // funnel twin: per-user first-touch timestamps, ordered-stage counts
