@@ -53,7 +53,9 @@ object Bench {
       if (failed.nonEmpty) -1.0
       else results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
+    // cpus is stamped so cross-artifact wall ratios (10x vs 1x) can be
+    // read as data scaling, not a silent core-count change
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured stdout truncates to a short tail, losing
     // the per-query map — persist the full line as an artifact too

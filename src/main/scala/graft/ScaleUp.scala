@@ -40,7 +40,17 @@ object ScaleUp {
     }.select(order.map(col): _*)
   }
 
-  /** documents: id remap + replica-prefixed tokens, all columns kept. */
+  /** documents: id remap + replica-prefixed tokens, all columns kept.
+    * Replicas additionally lead with a 64-hex-char sha256 preamble
+    * token unique per (doc, rep): the multimodal paths read `text` as
+    * the payload BYTES and derive signatures from the leading bytes —
+    * near-verbatim replica bytes would make every replica set a
+    * perceptual-hash near-dup clique (3 pairs -> 44k at 10x),
+    * violating the amplifier's own constant-duplicate-density rule.
+    * High-entropy leading bytes restore it (replica phash bits are
+    * ~independent); the preamble is one whitespace-delimited token, so
+    * every shingle containing it is unique per (doc, rep) and the
+    * token-prefix disjointness argument is untouched. */
   private def documents(df: DataFrame, factor: Int): DataFrame = {
     val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
     val order = df.columns
@@ -48,8 +58,11 @@ object ScaleUp {
       .withColumn("doc_id", col("doc_id") * factor + col("__rep"))
       .withColumn("text",
         when(col("__rep") === 0, col("text")).otherwise(
-          array_join(transform(toks,
-            t => concat(lit("r"), col("__rep"), lit("_"), t)), " ")))
+          concat_ws(" ",
+            sha2(concat_ws("_", col("doc_id").cast("string"),
+              col("__rep").cast("string")), 256),
+            array_join(transform(toks,
+              t => concat(lit("r"), col("__rep"), lit("_"), t)), " "))))
       .select(order.map(col): _*)
   }
 

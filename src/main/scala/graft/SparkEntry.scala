@@ -390,6 +390,16 @@ object SparkEntry {
        |FROM fused ORDER BY rrf DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** The SNM family's auto-window CTE: the identical integer
+    * ceil-div/clamp chain as Dedup.autoWindow (floor 10, cap 256,
+    * 3× average blocking-key density), recomputed over the same
+    * documents table so engine and oracle always agree on the window
+    * at ANY scale factor. */
+  private val snmWindowSql =
+    """win AS (SELECT greatest(10, least(256,
+      |  (3 * count(*) + count(DISTINCT n_chars) - 1) // count(DISTINCT n_chars))) AS w
+      | FROM documents)""".stripMargin
+
   /** embed_pca twin: the X161 covariance CTEs feed `iters` unrolled
     * power-iteration rounds run on INTEGERS (cov at 1e-6, the vector
     * at 1e-9 — every matvec and norm an exact order-free sum; the
@@ -403,33 +413,39 @@ object SparkEntry {
         |  CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS DECIMAL(38,0)) AS xq
         | FROM (SELECT vec_id AS id, unnest(embedding) AS x,
         |              unnest(range(1, len(embedding)+1)) AS pos FROM embeddings)),
-        |marg AS (SELECT i, sum(xq) AS sx, count(*) AS n FROM dims GROUP BY i),
-        |p AS (
+        |marg AS MATERIALIZED (SELECT i, sum(xq) AS sx, count(*) AS n FROM dims GROUP BY i),
+        |p AS MATERIALIZED (
         | SELECT a.i AS i, b.i AS j, sum(a.xq * b.xq) AS sxy
         | FROM dims a JOIN dims b ON a.id = b.id AND a.i <= b.i
         | GROUP BY 1, 2),
-        |covq AS (
+        |covq AS MATERIALIZED (
         | SELECT p.i, p.j,
         |  CAST(round((round((CAST(ma.n AS DOUBLE) * CAST(sxy AS DOUBLE) -
         |        CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE)) /
         |       (CAST(ma.n AS DOUBLE) * CAST(ma.n AS DOUBLE) * 1e12), 6) + 0) * 1e6, 0)
         |    AS BIGINT) AS c
         | FROM p JOIN marg ma ON ma.i = p.i JOIN marg mb ON mb.i = p.j),
-        |cfull AS (
+        |cfull AS MATERIALIZED (
         | SELECT i, j, c FROM covq
         | UNION ALL
         | SELECT j AS i, i AS j, c FROM covq WHERE i < j),
         |v0 AS (SELECT i, CASE WHEN i = 0 THEN CAST(1000000000 AS BIGINT)
         |                      ELSE CAST(0 AS BIGINT) END AS m FROM marg)""".stripMargin)
+    // every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs
+    // textually at each reference, and the v_k -> w_k -> v_{k-1} chain
+    // re-derives the covariance join tree per round without the fence
+    // — at 10x that re-evaluation is a 40+ GiB OOM, materialized it's
+    // d-row tables (the same exponential-inlining lesson as the
+    // splitmix chains in OracleHashSql)
     for (k <- 1 to iters) {
       sb.append(
         s""",
-           |w$k AS (SELECT f.i, sum(f.c * v.m) AS s
+           |w$k AS MATERIALIZED (SELECT f.i, sum(f.c * v.m) AS s
            |        FROM cfull f JOIN v${k - 1} v ON v.i = f.j GROUP BY f.i),
-           |n$k AS (SELECT i, CAST(round(CAST(s AS DOUBLE) / 1e15 * 1e9, 0) AS BIGINT) AS n
+           |n$k AS MATERIALIZED (SELECT i, CAST(round(CAST(s AS DOUBLE) / 1e15 * 1e9, 0) AS BIGINT) AS n
            |        FROM w$k),
-           |nr$k AS (SELECT sqrt(CAST(sum(n * n) AS DOUBLE) / 1e18) AS norm FROM n$k),
-           |v$k AS (SELECT i, CAST(round(round(CAST(n AS DOUBLE) / 1e9 / norm, 9) * 1e9, 0)
+           |nr$k AS MATERIALIZED (SELECT sqrt(CAST(sum(n * n) AS DOUBLE) / 1e18) AS norm FROM n$k),
+           |v$k AS MATERIALIZED (SELECT i, CAST(round(round(CAST(n AS DOUBLE) / 1e9 / norm, 9) * 1e9, 0)
            |          AS BIGINT) AS m
            |        FROM n$k, nr$k)""".stripMargin)
     }
@@ -796,10 +812,12 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, dir))
         .orderBy(col("id1"), col("id2"))),
     // sorted-neighborhood dedup: length-sorted window blocking, exact
-    // Jaccard verification — the linear-candidate alternative to LSH
+    // Jaccard verification — the linear-candidate alternative to LSH.
+    // window = 0 (auto): derived from n / distinct(n_chars) so recall
+    // survives corpus growth over a fixed key range (Dedup.autoWindow)
     "dedup_snm" -> ((s, dir) =>
       Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir),
-          sortCols = Seq("n_chars"), window = 10, minJaccard = 0.5)
+          sortCols = Seq("n_chars"), window = 0, minJaccard = 0.5)
         .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id1"), col("id2"))),
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -831,7 +849,7 @@ object SparkEntry {
     // doc_id ≡ vec_id joins the two modalities of the same corpus.
     "dedup_hybrid" -> ((s, dir) => {
       val textPairs = Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir),
-          sortCols = Seq("n_chars"), window = 10, minJaccard = 0.5)
+          sortCols = Seq("n_chars"), window = 0, minJaccard = 0.5)
         .select(col("id1"), col("id2"))
       val embPairs = Dedup.embeddingPairs(Tables.embeddings(s, dir))
         .select(col("id1"), col("id2"))
@@ -997,7 +1015,7 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       Dedup.sortedNeighborhoodIncremental(
           d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0),
-          sortCols = Seq("n_chars"), window = 10, minJaccard = 0.5)
+          sortCols = Seq("n_chars"), window = 0, minJaccard = 0.5)
         .select(col("new_id"), col("old_id"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("new_id"), col("old_id"))
     }),
@@ -1005,7 +1023,7 @@ object SparkEntry {
     // catches subsumption that symmetric Jaccard misses
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(Tables.documents(s, dir),
-          sortCols = Seq("n_chars"), window = 10, minContainment = 0.5)
+          sortCols = Seq("n_chars"), window = 0, minContainment = 0.5)
         .select(col("id1"), col("id2"),
           round(col("c1"), 4).as("c1"), round(col("c2"), 4).as("c2"))
         .orderBy(col("id1"), col("id2"))),
@@ -2104,11 +2122,12 @@ object SparkEntry {
         |SELECT term, count(*) AS df
         |FROM (SELECT doc_id, unnest(list_filter(list_distinct(t), x -> x LIKE 's%')) AS term FROM toks)
         |GROUP BY term ORDER BY term""".stripMargin,
-    // SNM twin: global (n_chars, doc_id) rank, window-9 successor
-    // pairs, the 3-gram Jaccard of dedup_ngram_jaccard, >= 0.5 gate
+    // SNM twin: global (n_chars, doc_id) rank, auto-window successor
+    // pairs (same density-derived window as Dedup.autoWindow), the
+    // 3-gram Jaccard of dedup_ngram_jaccard, >= 0.5 gate
     "dedup_snm" ->
-      """WITH toks AS (
-        | SELECT doc_id, n_chars, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+      s"""WITH toks AS (
+        | SELECT doc_id, n_chars, list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS t
         | FROM documents),
         |sh AS (
         | SELECT doc_id, n_chars,
@@ -2116,10 +2135,12 @@ object SparkEntry {
         |   THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
         |   ELSE [array_to_string(t, ' ')] END AS s
         | FROM toks),
+        |$snmWindowSql,
         |ranked AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank FROM sh),
         |pairs AS (
         | SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2
-        | FROM ranked a JOIN ranked b ON b.rank BETWEEN a.rank + 1 AND a.rank + 9),
+        | FROM ranked a CROSS JOIN win JOIN ranked b
+        |  ON b.rank BETWEEN a.rank + 1 AND a.rank + win.w - 1),
         |scored AS (
         | SELECT p.id1, p.id2,
         |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
@@ -2196,10 +2217,12 @@ object SparkEntry {
         |   THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
         |   ELSE [array_to_string(t, ' ')] END AS s
         | FROM toks),
+        |$snmWindowSql,
         |rankedw AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank FROM shh),
         |wcand AS (
         | SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2
-        | FROM rankedw a JOIN rankedw b ON b.rank BETWEEN a.rank + 1 AND a.rank + 9),
+        | FROM rankedw a CROSS JOIN win JOIN rankedw b
+        |  ON b.rank BETWEEN a.rank + 1 AND a.rank + win.w - 1),
         |wpairs AS (
         | SELECT id1, id2 FROM (
         |  SELECT p.id1, p.id2,
@@ -2532,11 +2555,11 @@ object SparkEntry {
         |FROM m JOIN v a ON a.id = m.vec_id JOIN v b ON b.id = m.neg_id
         |WHERE list_cosine_similarity(a.e, b.e) < 0.5
         |ORDER BY vec_id, j""".stripMargin,
-    // incremental-SNM twin: dedup_snm's rank + window with a batch
-    // flag, cross-membership pairs only, oriented new→old
+    // incremental-SNM twin: dedup_snm's rank + auto window with a
+    // batch flag, cross-membership pairs only, oriented new→old
     "dedup_snm_incremental" ->
-      """WITH toks AS (
-        | SELECT doc_id, n_chars, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+      s"""WITH toks AS (
+        | SELECT doc_id, n_chars, list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS t
         | FROM documents),
         |sh AS (
         | SELECT doc_id, n_chars,
@@ -2544,12 +2567,14 @@ object SparkEntry {
         |   THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
         |   ELSE [array_to_string(t, ' ')] END AS s
         | FROM toks),
+        |$snmWindowSql,
         |ranked AS (SELECT doc_id, doc_id % 10 = 0 AS isb,
         |           row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank FROM sh),
         |pairs AS (
         | SELECT CASE WHEN a.isb THEN a.doc_id ELSE b.doc_id END AS new_id,
         |        CASE WHEN a.isb THEN b.doc_id ELSE a.doc_id END AS old_id
-        | FROM ranked a JOIN ranked b ON b.rank BETWEEN a.rank + 1 AND a.rank + 9
+        | FROM ranked a CROSS JOIN win JOIN ranked b
+        |  ON b.rank BETWEEN a.rank + 1 AND a.rank + win.w - 1
         | WHERE a.isb <> b.isb),
         |scored AS (
         | SELECT p.new_id, p.old_id,
@@ -2558,11 +2583,11 @@ object SparkEntry {
         | FROM pairs p JOIN sh x ON x.doc_id = p.new_id JOIN sh y ON y.doc_id = p.old_id)
         |SELECT new_id, old_id, round(j, 4) AS jaccard
         |FROM scored WHERE j >= 0.5 ORDER BY new_id, old_id""".stripMargin,
-    // containment twin: the dedup_snm candidate window scored with
-    // one-sided |∩|/|A| and |∩|/|B|, max-direction >= 0.5 gate
+    // containment twin: the dedup_snm candidate window (auto width)
+    // scored with one-sided |∩|/|A| and |∩|/|B|, max-direction gate
     "dedup_containment" ->
-      """WITH toks AS (
-        | SELECT doc_id, n_chars, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+      s"""WITH toks AS (
+        | SELECT doc_id, n_chars, list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS t
         | FROM documents),
         |sh AS (
         | SELECT doc_id, n_chars,
@@ -2570,10 +2595,12 @@ object SparkEntry {
         |   THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
         |   ELSE [array_to_string(t, ' ')] END AS s
         | FROM toks),
+        |$snmWindowSql,
         |ranked AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank FROM sh),
         |pairs AS (
         | SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2
-        | FROM ranked a JOIN ranked b ON b.rank BETWEEN a.rank + 1 AND a.rank + 9),
+        | FROM ranked a CROSS JOIN win JOIN ranked b
+        |  ON b.rank BETWEEN a.rank + 1 AND a.rank + win.w - 1),
         |scored AS (
         | SELECT p.id1, p.id2,
         |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s) AS c1,
@@ -4184,6 +4211,10 @@ object SparkEntry {
     // near-dup phash twin: the X118 aHash derivation, then per-char
     // Hamming over all pairs (the oracle may be quadratic; the ENGINE
     // may not) — band recall is exact for d ≤ bands − 1 by pigeonhole
+    // phash near-dup twin: same 16-bit banding + the 2..200 bucket
+    // size gate of the engine's bucketPairs cap, exact Hamming verify
+    // on candidates only (the previous all-pairs twin was itself the
+    // quadratic plan the operator exists to avoid)
     "mm_phash_neardup" ->
       """WITH img AS (SELECT doc_id, text FROM documents
         |             WHERE doc_id % 3 = 0 AND length(text) >= 64),
@@ -4191,15 +4222,24 @@ object SparkEntry {
         |        ascii(substr(text, CAST(t.i AS INTEGER), 1)) AS v
         |       FROM img CROSS JOIN range(1, 65) t(i)),
         |m AS (SELECT doc_id, sum(v) / 64.0 AS mean FROM px GROUP BY doc_id),
-        |h AS (SELECT px.doc_id,
+        |h AS MATERIALIZED (SELECT px.doc_id,
         |        string_agg(CASE WHEN v >= mean THEN '1' ELSE '0' END,
         |                   '' ORDER BY px.i) AS phash
-        |      FROM px JOIN m USING (doc_id) GROUP BY px.doc_id)
-        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |      FROM px JOIN m USING (doc_id) GROUP BY px.doc_id),
+        |bands AS MATERIALIZED (
+        | SELECT doc_id, t.b, substr(phash, CAST(1 + t.b * 16 AS INTEGER), 16) AS v
+        | FROM h CROSS JOIN range(0, 4) t(b)),
+        |ok AS (SELECT b, v FROM bands GROUP BY 1, 2
+        |       HAVING count(*) BETWEEN 2 AND 200),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+        | FROM bands a JOIN ok USING (b, v) JOIN bands c
+        |  ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id)
+        |SELECT p.id1, p.id2,
         | CAST(len([i for i in range(1, 65)
         |           if substr(a.phash, CAST(i AS INTEGER), 1) <>
         |              substr(b.phash, CAST(i AS INTEGER), 1)]) AS BIGINT) AS hamming
-        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |FROM cand p JOIN h a ON a.doc_id = p.id1 JOIN h b ON b.doc_id = p.id2
         |WHERE len([i for i in range(1, 65)
         |           if substr(a.phash, CAST(i AS INTEGER), 1) <>
         |              substr(b.phash, CAST(i AS INTEGER), 1)]) <= 3

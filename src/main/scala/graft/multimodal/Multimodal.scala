@@ -211,10 +211,20 @@ object Multimodal {
     * pigeonhole guarantees any pair within distance d agrees on ≥1
     * whole band — hash-join on (band index, band value), then verify
     * exactly with bit_count(a XOR b) per band (integer ops,
-    * engine-exact). Candidates are band-bucket-bounded; nothing is
-    * all-pairs. */
+    * engine-exact).
+    *
+    * The signature is FIXED at 64 bits, so unlike the SRP families
+    * there is no band width to auto-widen (d+1 bands of 64/(d+1) bits
+    * is the only split that keeps pigeonhole recall); the scale
+    * defense is the same HARD bucket cap every banded pipeline here
+    * uses — Dedup.bucketPairs bounds every (band, value) bucket at
+    * `maxBucket` during collection, so Σ bucket² stays linear and one
+    * template image (or a degenerate all-black corpus) cannot go
+    * quadratic. Dropped hot buckets are observable via
+    * Dedup.droppedBuckets, the declared recall/robustness trade of
+    * the LSH family. */
   def phashNearDupPairs(spark: SparkSession, sfDir: String,
-                        maxDist: Int = 3): DataFrame = {
+                        maxDist: Int = 3, maxBucket: Int = 200): DataFrame = {
     require(maxDist >= 0 && maxDist <= 15, "bands of 16 bits need d+1 <= 16... d in [0,15]")
     val bands = maxDist + 1
     require(64 % bands == 0, "band count must divide 64")
@@ -225,21 +235,19 @@ object Multimodal {
       struct(lit(i).as("b"),
         conv(substring(col("phash"), 1 + i * width, width), 2, 10)
           .cast("long").as("v")))
-    val banded = h.select(col("media_id"), col("phash"),
+    val banded = h.select(col("media_id").as("id"),
       explode(array(bandCols: _*)).as("bb"))
-      .select(col("media_id"), col("phash"), col("bb.b"), col("bb.v"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.b") === col("b.b") && col("a.v") === col("b.v") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"),
-        col("a.phash").as("pa"), col("b.phash").as("pb"))
-      .distinct()
+      .select(col("id"), col("bb.b").as("band"), col("bb.v").as("bhash"))
+    val cand = graft.operators.Dedup.bucketPairs(banded, maxBucket)
+    val p1 = h.select(col("media_id").as("id1"), col("phash").as("pa"))
+    val p2 = h.select(col("media_id").as("id2"), col("phash").as("pb"))
     val ham = (0 until bands).map { i =>
       val o = 1 + i * width
       s"bit_count(CAST(conv(substring(pa, $o, $width), 2, 10) AS BIGINT) ^ " +
         s"CAST(conv(substring(pb, $o, $width), 2, 10) AS BIGINT))"
     }.mkString("CAST(", " + ", " AS BIGINT)")
-    cand.withColumn("hamming", expr(ham))
+    cand.join(p1, "id1").join(p2, "id2")
+      .withColumn("hamming", expr(ham))
       .where(col("hamming") <= maxDist)
       .select(col("id1"), col("id2"), col("hamming"))
       .orderBy(col("id1"), col("id2"))

@@ -102,7 +102,13 @@ object AsOfJoin {
       .withColumn(rt, lit(null).cast("long"))
     val r = right.select(col(key), col(ts), col(valueCol).as(rv))
       .withColumn(tag, lit(0))
-      .withColumn(rt, unix_micros(col(ts)))
+      // rt gated on the VALUE being present: last(__lv) skips null
+      // values, so an unconditional rt would let a null-valued right
+      // row advance the clock past the row the value came from —
+      // staleness would be measured against the wrong row. Gated,
+      // null-valued rows are invisible to BOTH last() calls and the
+      // pair always describes one row.
+      .withColumn(rt, when(col(rv).isNotNull, unix_micros(col(ts))))
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col(tag), col(rv))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

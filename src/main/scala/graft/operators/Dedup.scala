@@ -182,6 +182,40 @@ object Dedup {
       .drop("__pid", "__rn", "__off")
   }
 
+  /** AUTO window for the sorted-neighborhood family: the window must
+    * cover the per-key DENSITY of the blocking key — rows sharing one
+    * key value sort adjacent, and a same-key partner can sit up to
+    * that many rows away — or recall silently decays to zero as the
+    * corpus grows while the key's value range stays put (10× rows over
+    * the same ~500 distinct lengths ⇒ density ~100 ≫ any fixed
+    * window). window = clamp(10, 256, ⌈3·n / distinct(key)⌉): 3×
+    * average density absorbs key skew plus near-key drift (near-dups
+    * rarely have EXACTLY equal lengths), the floor keeps small corpora
+    * at the classic setting, and the cap bounds candidate count at
+    * 256·n — still linear; past the cap, the standard remedy is the
+    * multi-pass variant (different keys per pass), not a wider window.
+    * Pure integer arithmetic (ceil-div), engine-exact — the same
+    * auto-parameter contract as Similarity.autoBandBits. */
+  def autoWindow(n: Long, distinctKeys: Long): Int = {
+    val dk = math.max(1L, distinctKeys)
+    val w = (3L * n + dk - 1L) / dk
+    math.min(256L, math.max(10L, w)).toInt
+  }
+
+  /** window ≤ 0 means auto: one small two-scalar aggregation (count +
+    * exact distinct of the blocking key — driver sees two longs, the
+    * same bounded-metadata shape as the IVF centroid collects). */
+  private def resolveWindow(docs: DataFrame, sortCols: Seq[String],
+                            window: Int): Int = {
+    require(window <= 0 || window >= 2, "an explicit window must cover at least one neighbor")
+    if (window > 0) window
+    else {
+      val r = docs.agg(count(lit(1)),
+        countDistinct(sortCols.head, sortCols.tail: _*)).head()
+      autoWindow(r.getLong(0), r.getLong(1))
+    }
+  }
+
   /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo's
     * merge/purge method): sort the corpus by a cheap blocking key
     * (near-dups sort near each other), compare each row only to its
@@ -189,19 +223,22 @@ object Dedup {
     * Jaccard. Candidate count is rows × (window−1) — linear, not
     * quadratic — and the only shuffles are the range sort and the
     * rank equi-join. The classic multi-pass variant (different keys
-    * per pass, union of pairs) is this operator called repeatedly. */
-  def sortedNeighborhoodPairs(docs: DataFrame, sortCols: Seq[String], window: Int,
+    * per pass, union of pairs) is this operator called repeatedly.
+    * `window ≤ 0` derives the window from blocking-key density
+    * ([[autoWindow]]) — the scale-safe default. */
+  def sortedNeighborhoodPairs(docs: DataFrame, sortCols: Seq[String],
+                              window: Int = 0,
                               minJaccard: Double = 0.8,
                               textCol: String = "text",
                               idCol: String = "doc_id"): DataFrame = {
-    require(window >= 2, "window must cover at least one neighbor")
+    val win = resolveWindow(docs, sortCols, window)
     // only (key cols, id) travel through the rank shuffle — never text
     val ranked = globalRank(
       docs.select(col(idCol).cast("long").as("__id") +: sortCols.map(col): _*),
       sortCols :+ "__id")
       .select(col("__id"), col("rank"))
     val probes = ranked
-      .withColumn("__d", explode(sequence(lit(1), lit(window - 1))))
+      .withColumn("__d", explode(sequence(lit(1), lit(win - 1))))
       .select(col("__id").as("idA"), (col("rank") + col("__d")).as("rank"))
     val pairs = probes.join(ranked, "rank")
       .select(least(col("idA"), col("__id")).as("id1"),
@@ -318,19 +355,22 @@ object Dedup {
     * previous runs and is never recomputed, so per-batch cost is
     * O(batch × window), not O(corpus × window). */
   def sortedNeighborhoodIncremental(corpus: DataFrame, batch: DataFrame,
-                                    sortCols: Seq[String], window: Int,
+                                    sortCols: Seq[String], window: Int = 0,
                                     minJaccard: Double = 0.8,
                                     textCol: String = "text",
                                     idCol: String = "doc_id"): DataFrame = {
-    require(window >= 2, "window must cover at least one neighbor")
     val all = corpus.withColumn("__new", lit(false))
       .unionByName(batch.withColumn("__new", lit(true)))
+    // auto window keys on the UNION — the ranked order both sides
+    // share; corpus density alone would under-window once the batch
+    // interleaves
+    val win = resolveWindow(all, sortCols, window)
     val ranked = globalRank(
       all.select(col(idCol).cast("long").as("__id") +: col("__new") +: sortCols.map(col): _*),
       sortCols :+ "__id")
       .select(col("__id"), col("__new"), col("rank"))
     val probes = ranked
-      .withColumn("__d", explode(sequence(lit(1), lit(window - 1))))
+      .withColumn("__d", explode(sequence(lit(1), lit(win - 1))))
       .select(col("__id").as("idA"), col("__new").as("newA"),
         (col("rank") + col("__d")).as("rank"))
     val pairs = probes.join(ranked, "rank")
@@ -365,16 +405,17 @@ object Dedup {
   /** Containment near-dup pairs over the sorted-neighborhood candidate
     * window: flags pairs where EITHER side is mostly inside the other
     * (max-direction containment ≥ `minContainment`). */
-  def containmentPairs(docs: DataFrame, sortCols: Seq[String], window: Int,
+  def containmentPairs(docs: DataFrame, sortCols: Seq[String], window: Int = 0,
                        minContainment: Double = 0.5,
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
+    val win = resolveWindow(docs, sortCols, window)
     val ranked = globalRank(
       docs.select(col(idCol).cast("long").as("__id") +: sortCols.map(col): _*),
       sortCols :+ "__id")
       .select(col("__id"), col("rank"))
     val probes = ranked
-      .withColumn("__d", explode(sequence(lit(1), lit(window - 1))))
+      .withColumn("__d", explode(sequence(lit(1), lit(win - 1))))
       .select(col("__id").as("idA"), (col("rank") + col("__d")).as("rank"))
     val pairs = probes.join(ranked, "rank")
       .select(least(col("idA"), col("__id")).as("id1"),

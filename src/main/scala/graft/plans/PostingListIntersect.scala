@@ -31,6 +31,12 @@ sealed trait PostingQuery extends Serializable {
 case class BoolPosting(must: Seq[String], mustNot: Seq[String],
                        should: Seq[String], minShould: Int) extends PostingQuery {
   require(must.nonEmpty || should.nonEmpty, "query needs must or should terms")
+  // BoolEval's output arity is keyed on should.isEmpty (1-wide AND/NOT
+  // vs 2-wide OR + coordination count); a combined must+should query
+  // would need its own entry point declaring the 2-wide shape — closed
+  // off here so the case class can't outrun its executors
+  require(must.isEmpty || should.isEmpty,
+    "combined must+should has no entry point (arity differs per shape)")
   require(must.size <= 64 && should.size <= 64, "at most 64 terms per clause")
   require(should.isEmpty || (minShould >= 1 && minShould <= should.size),
     "minShould must be within [1, |should|]")

@@ -350,6 +350,38 @@ class DedupSpec extends AnyFunSuite {
     snm.foreach(p => assert(verified(p) >= 0.5))
   }
 
+  test("auto window: clamps and scales with per-key density") {
+    // floor at the classic 10 for sparse keys, ceil-div 3x density in
+    // the middle, hard cap at 256 — pure integers, same values the
+    // oracle's SQL chain produces
+    assert(Dedup.autoWindow(500, 313) == 10)     // sf0.01 shape: stays classic
+    assert(Dedup.autoWindow(5000, 523) == 29)    // sf0.1 shape
+    assert(Dedup.autoWindow(50000, 523) == 256)  // 10x shape: capped
+    assert(Dedup.autoWindow(0, 0) == 10)
+    assert(Dedup.autoWindow(1000000, 1) == 256)
+  }
+
+  test("auto window: recall survives per-key density growth that kills a fixed window") {
+    import spark.implicits._
+    // 60 filler docs ALL sharing one length value (density 60 >> 10)
+    // wedge between two planted near-dups at the same length: a fixed
+    // window=10 cannot see across them, the density-derived window can
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = a + " mu"
+    val fill = (100L until 160L).map(i =>
+      (i, (1 to 12).map(j => s"w${i}x$j").mkString(" "), 55L))
+    val rows = (Seq((1L, a, 55L)) ++ fill ++ Seq((200L, b, 55L)))
+      .toDF("doc_id", "text", "n_chars")
+    val fixed = Dedup.sortedNeighborhoodPairs(rows, Seq("n_chars"), window = 10,
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!fixed.contains((1L, 200L)), "a fixed window should demonstrate the collapse")
+    val auto = Dedup.sortedNeighborhoodPairs(rows, Seq("n_chars"), window = 0,
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == Set((1L, 200L)), s"auto window must recover the planted pair, got $auto")
+  }
+
   test("hybrid dedup: every pair from either modality lands in one component") {
     val emb = Tables.embeddings(spark, sf)
     val textPairs = Dedup.sortedNeighborhoodPairs(docs, Seq("n_chars"), 10, 0.5)

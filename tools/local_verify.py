@@ -2,13 +2,38 @@
 """Local mimic of the driver's correctness gate: run graft.Verify output
 against DuckDB oracles on the same parquet tables and compare
 (columns sorted by name, rows sorted, exact value compare).
+
+Scale-sweep mode (--baseline counts.json from a smaller-SF run) adds
+the ROW-COUNT-RATIO guard: an entry whose baseline count is N>0 but
+whose current count collapsed to 0 (or below --ratio-floor x baseline)
+FAILS even if its values match the oracle — both engines running the
+same recall-dead pipeline agree on an empty answer, and without this
+guard that 0==0 "pass" is vacuous (the round-8 SNM lesson).
 Driver-side tooling only — NOT part of the library."""
-import sys, json, glob, os
+import sys, json, glob, os, argparse
 import duckdb
 import pandas as pd
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+# Entries whose row count legitimately does NOT track the corpus size
+# under graft.ScaleUp amplification. Every exemption needs a reason —
+# an unexplained exemption is the vacuous pass coming back.
+RATIO_EXEMPT = {
+    "text_heavy_hitters":
+        "ScaleUp prefixes every replica token (r{rep}_), splitting each "
+        "token's count 10 ways; no token keeps share > phi in the "
+        "amplified corpus, so 0 heavy hitters IS the true answer there "
+        "(phi is already corpus-relative).",
+}
+
+ap = argparse.ArgumentParser()
+ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+ap.add_argument("out_dir", nargs="?", default="/tmp/graft_verify")
+ap.add_argument("--baseline", help="counts.json from a lower-SF run; "
+                "enables the row-count-ratio guard")
+ap.add_argument("--ratio-floor", type=float, default=0.3,
+                help="FAIL entries whose count falls below floor x baseline")
+args = ap.parse_args()
+sf_dir, out_dir = args.sf_dir, args.out_dir
 
 con = duckdb.connect()
 # bound DuckDB so a heavy oracle (recursive closures, 128-hash chains
@@ -25,6 +50,7 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+baseline = json.load(open(args.baseline)) if args.baseline else None
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -32,11 +58,26 @@ def canon(df):
     return df
 
 fails = 0
+counts = {}
 for name in sorted(os.listdir(out_dir)):
     path = os.path.join(out_dir, name)
     if not os.path.isdir(path):
         continue
     got = pd.concat([pd.read_parquet(p) for p in glob.glob(f"{path}/*.parquet")])
+    counts[name] = len(got)
+    # ratio guard runs FIRST: a collapsed row count fails even when the
+    # oracle agrees (same dead pipeline on both sides == no evidence)
+    if baseline is not None and name in baseline:
+        base, cur = baseline[name], len(got)
+        if base > 0 and cur < args.ratio_floor * base:
+            if name in RATIO_EXEMPT:
+                print(f"  [ok-exempt] {name}: {cur} rows vs baseline {base} — "
+                      f"{RATIO_EXEMPT[name]}")
+            else:
+                print(f"FAIL {name}: row-count collapse — {cur} rows vs "
+                      f"baseline {base} (floor {args.ratio_floor})")
+                fails += 1
+                continue
     if name not in oracle:
         print(f"  [rows-only] {name}: {len(got)} rows")
         continue
@@ -66,6 +107,9 @@ for name in sorted(os.listdir(out_dir)):
         print(f"  [ok] {name}: {len(g)} rows")
     else:
         fails += 1
+# per-entry row counts become the NEXT decade's ratio baseline
+with open(os.path.join(out_dir, "counts.json"), "w") as f:
+    json.dump(counts, f, indent=1, sort_keys=True)
 # an entry whose Spark dump FAILED leaves no directory — without this
 # check a crashed query silently vanishes from the report (the driver's
 # gate records err per queries key; mimic that)

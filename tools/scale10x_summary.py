@@ -28,10 +28,15 @@ for lg in logs:
         if m:
             status[m.group(1)] = "rows-only"
             continue
+        m = re.match(r"  \[ok-exempt\] (\S+):", line)
+        if m:
+            status[m.group(1)] = "ok-exempt"
+            continue
         m = re.match(r"FAIL (\S+?)[.:]", line)
         if m:
             status[m.group(1)] = "FAIL"
 ok = sum(1 for v in status.values() if v == "ok")
+exempt = sorted(k for k, v in status.items() if v == "ok-exempt")
 fails = sorted(k for k, v in status.items() if v == "FAIL")
 
 queries = {}
@@ -46,7 +51,9 @@ ratios = sorted((v["ratio"], k) for k, v in queries.items() if "ratio" in v)
 summary = {
     "factor": 10,
     "base": "BENCH_full.json (sf0.1)" if bench1 else None,
-    "verify": {"ok": ok, "failed": fails,
+    "cpus_10x": bench10.get("cpus"),
+    "cpus_1x": json.load(open("BENCH_full.json")).get("cpus") if bench1 else None,
+    "verify": {"ok": ok, "ratio_exempt": exempt, "failed": fails,
                "compared": len(status), "total": len(queries)},
     "bench_total_sec_10x": bench10["value"],
     "bench_failed_10x": bench10.get("failed", []),
