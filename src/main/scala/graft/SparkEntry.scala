@@ -962,6 +962,10 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "text_repetition" -> ((s, dir) =>
       TextStats.ngramRepetition(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+    // X184: code-vs-prose routing signals (symbol/digit/punctuation
+    // densities + the is_code call) — pure per-row regex passes
+    "text_code_ratio" -> ((s, dir) =>
+      TextStats.codeRatio(Tables.documents(s, dir)).orderBy(col("doc_id"))),
     // BPE tokenizer training: 10 greedy merges learned on the
     // distinct-word table; corpus is scanned exactly once
     "text_bpe_train" -> ((s, dir) =>
@@ -1026,6 +1030,15 @@ object SparkEntry {
           sortCols = Seq("n_chars"), window = 0, minContainment = 0.5)
         .select(col("id1"), col("id2"),
           round(col("c1"), 4).as("c1"), round(col("c2"), 4).as("c2"))
+        .orderBy(col("id1"), col("id2"))),
+    // X182: char-level near-dup pairs — the SNM candidate window
+    // verified by normalized edit distance over 64-char prefixes;
+    // catches OCR/typo drift that shreds word shingles (the prefix
+    // bound keeps the O(|a|·|b|) DP a per-candidate constant)
+    "dedup_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir),
+          sortCols = Seq("n_chars"), window = 0, minSim = 0.6, prefixChars = 64)
+        .select(col("id1"), col("id2"), round(col("sim"), 4).as("sim"))
         .orderBy(col("id1"), col("id2"))),
     // SemDeDup-shape semantic dedup: fixed-centroid clustering, then
     // keep-lowest-id within-cell cosine dedup
@@ -1338,6 +1351,9 @@ object SparkEntry {
     }),
     "q_range_frame"    -> (Relational.rangeFrameWindow _),
     "q_quantiles"      -> (Relational.quantiles _),
+    // X183: robust location — exact [p10, p90] band, DECIMAL-exact
+    // filtered mean; the bounds broadcast back (|groups| rows)
+    "q_trimmed_mean"   -> (Relational.trimmedMeanPerGroup _),
     // ANALYZE-style per-column profile; exact distincts WITHOUT the
     // count(DISTINCT) Expand — two chained aggregations per column
     "stats_profile" -> ((s, dir) =>
@@ -2124,12 +2140,19 @@ object SparkEntry {
         |GROUP BY term ORDER BY term""".stripMargin,
     // SNM twin: global (n_chars, doc_id) rank, auto-window successor
     // pairs (same density-derived window as Dedup.autoWindow), the
-    // 3-gram Jaccard of dedup_ngram_jaccard, >= 0.5 gate
+    // 3-gram Jaccard of dedup_ngram_jaccard, >= 0.5 gate. Overlap
+    // comes from the exploded co-shingle join (count of shared
+    // shingles per doc pair), NOT per-pair list_intersect — at a 10x
+    // sweep the window is 256 and 12.7M list_intersects run ~45x
+    // slower than one shingle equi-join + hash agg; pairs sharing
+    // zero shingles drop at the inner join (their J=0 can't clear the
+    // gate), so the rewrite is lossless. MATERIALIZED fences keep the
+    // shared CTEs single-evaluation.
     "dedup_snm" ->
       s"""WITH toks AS (
         | SELECT doc_id, n_chars, list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS t
         | FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         | SELECT doc_id, n_chars,
         |  CASE WHEN len(t) >= 3
         |   THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
@@ -2137,15 +2160,21 @@ object SparkEntry {
         | FROM toks),
         |$snmWindowSql,
         |ranked AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank FROM sh),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         | SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2
         | FROM ranked a CROSS JOIN win JOIN ranked b
         |  ON b.rank BETWEEN a.rank + 1 AND a.rank + win.w - 1),
+        |tok AS MATERIALIZED (SELECT doc_id, unnest(s) AS tk FROM sh),
+        |co AS MATERIALIZED (
+        | SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        | FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |sz AS MATERIALIZED (SELECT doc_id, len(s) AS sz FROM sh),
         |scored AS (
         | SELECT p.id1, p.id2,
-        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
-        |   (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
-        | FROM pairs p JOIN sh x ON x.doc_id = p.id1 JOIN sh y ON y.doc_id = p.id2)
+        |  CAST(co.inter AS DOUBLE) / (x.sz + y.sz - co.inter) AS j
+        | FROM pairs p JOIN co ON co.id1 = p.id1 AND co.id2 = p.id2
+        | JOIN sz x ON x.doc_id = p.id1 JOIN sz y ON y.doc_id = p.id2)
         |SELECT id1, id2, round(j, 4) AS jaccard
         |FROM scored WHERE j >= 0.5 ORDER BY id1, id2""".stripMargin,
     // full n-gram Jaccard twin: 3-gram word shingles (docs shorter
@@ -2219,16 +2248,22 @@ object SparkEntry {
         | FROM toks),
         |$snmWindowSql,
         |rankedw AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank FROM shh),
-        |wcand AS (
+        |wcand AS MATERIALIZED (
         | SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2
         | FROM rankedw a CROSS JOIN win JOIN rankedw b
         |  ON b.rank BETWEEN a.rank + 1 AND a.rank + win.w - 1),
+        |wtok AS MATERIALIZED (SELECT doc_id, unnest(s) AS tk FROM shh),
+        |wco AS MATERIALIZED (
+        | SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        | FROM wtok a JOIN wtok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |wsz AS MATERIALIZED (SELECT doc_id, len(s) AS sz FROM shh),
         |wpairs AS (
         | SELECT id1, id2 FROM (
         |  SELECT p.id1, p.id2,
-        |   CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
-        |    (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
-        |  FROM wcand p JOIN shh x ON x.doc_id = p.id1 JOIN shh y ON y.doc_id = p.id2)
+        |   CAST(c.inter AS DOUBLE) / (x.sz + y.sz - c.inter) AS j
+        |  FROM wcand p JOIN wco c ON c.id1 = p.id1 AND c.id2 = p.id2
+        |  JOIN wsz x ON x.doc_id = p.id1 JOIN wsz y ON y.doc_id = p.id2)
         | WHERE j >= 0.5),
         |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |${autoSrpBandedSql(4)},
@@ -2417,6 +2452,22 @@ object SparkEntry {
         | round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_frac,
         | round(1 - CAST(count(*) AS DOUBLE) / sum(c), 4) AS dup_frac
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // code-ratio twin: identical character-class strips (RE2 classes
+    // match Java's here), double division, is_code on unrounded values
+    "text_code_ratio" ->
+      """SELECT doc_id,
+        | round((len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+        |   / CAST(len(text) AS DOUBLE), 4) AS symbol_frac,
+        | round((len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))
+        |   / CAST(len(text) AS DOUBLE), 4) AS digit_frac,
+        | round(100.0 * (len(text) - len(regexp_replace(text, '[{}()\[\];=<>]', '', 'g')))
+        |   / len(text), 4) AS code_punct_per_100,
+        | ((len(text) - len(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+        |   / CAST(len(text) AS DOUBLE) >= 0.03
+        |  AND (len(text) - len(regexp_replace(text, '[{}()\[\];=<>]', '', 'g')))
+        |   / CAST(len(text) AS DOUBLE) >= 0.01) AS is_code
+        |FROM documents WHERE text IS NOT NULL AND len(text) > 0
+        |ORDER BY doc_id""".stripMargin,
     // BPE twin: 10 unrolled pair-count/argmax/replace iterations over
     // the same marker-wrapped symbol strings (Bpe.oracleSql)
     "text_bpe_train" -> Bpe.oracleSql(10),
@@ -2556,12 +2607,14 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.e, b.e) < 0.5
         |ORDER BY vec_id, j""".stripMargin,
     // incremental-SNM twin: dedup_snm's rank + auto window with a
-    // batch flag, cross-membership pairs only, oriented new→old
+    // batch flag, cross-membership pairs only, oriented new→old;
+    // overlap from the co-shingle join keyed on the UNORDERED
+    // (least, greatest) pair since orientation is a projection
     "dedup_snm_incremental" ->
       s"""WITH toks AS (
         | SELECT doc_id, n_chars, list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS t
         | FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         | SELECT doc_id, n_chars,
         |  CASE WHEN len(t) >= 3
         |   THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
@@ -2570,26 +2623,36 @@ object SparkEntry {
         |$snmWindowSql,
         |ranked AS (SELECT doc_id, doc_id % 10 = 0 AS isb,
         |           row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank FROM sh),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         | SELECT CASE WHEN a.isb THEN a.doc_id ELSE b.doc_id END AS new_id,
         |        CASE WHEN a.isb THEN b.doc_id ELSE a.doc_id END AS old_id
         | FROM ranked a CROSS JOIN win JOIN ranked b
         |  ON b.rank BETWEEN a.rank + 1 AND a.rank + win.w - 1
         | WHERE a.isb <> b.isb),
+        |tok AS MATERIALIZED (SELECT doc_id, unnest(s) AS tk FROM sh),
+        |co AS MATERIALIZED (
+        | SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        | FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |sz AS MATERIALIZED (SELECT doc_id, len(s) AS sz FROM sh),
         |scored AS (
         | SELECT p.new_id, p.old_id,
-        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
-        |   (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
-        | FROM pairs p JOIN sh x ON x.doc_id = p.new_id JOIN sh y ON y.doc_id = p.old_id)
+        |  CAST(co.inter AS DOUBLE) / (x.sz + y.sz - co.inter) AS j
+        | FROM pairs p
+        | JOIN co ON co.id1 = least(p.new_id, p.old_id)
+        |        AND co.id2 = greatest(p.new_id, p.old_id)
+        | JOIN sz x ON x.doc_id = p.new_id JOIN sz y ON y.doc_id = p.old_id)
         |SELECT new_id, old_id, round(j, 4) AS jaccard
         |FROM scored WHERE j >= 0.5 ORDER BY new_id, old_id""".stripMargin,
     // containment twin: the dedup_snm candidate window (auto width)
-    // scored with one-sided |∩|/|A| and |∩|/|B|, max-direction gate
+    // scored with one-sided |∩|/|A| and |∩|/|B|, max-direction gate;
+    // same lossless co-shingle-join overlap as the dedup_snm twin
+    // (zero-overlap pairs have c1=c2=0 and can't clear the gate)
     "dedup_containment" ->
       s"""WITH toks AS (
         | SELECT doc_id, n_chars, list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS t
         | FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         | SELECT doc_id, n_chars,
         |  CASE WHEN len(t) >= 3
         |   THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
@@ -2597,17 +2660,43 @@ object SparkEntry {
         | FROM toks),
         |$snmWindowSql,
         |ranked AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank FROM sh),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         | SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2
         | FROM ranked a CROSS JOIN win JOIN ranked b
         |  ON b.rank BETWEEN a.rank + 1 AND a.rank + win.w - 1),
+        |tok AS MATERIALIZED (SELECT doc_id, unnest(s) AS tk FROM sh),
+        |co AS MATERIALIZED (
+        | SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        | FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |sz AS MATERIALIZED (SELECT doc_id, len(s) AS sz FROM sh),
         |scored AS (
         | SELECT p.id1, p.id2,
-        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s) AS c1,
-        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(y.s) AS c2
-        | FROM pairs p JOIN sh x ON x.doc_id = p.id1 JOIN sh y ON y.doc_id = p.id2)
+        |  CAST(co.inter AS DOUBLE) / x.sz AS c1,
+        |  CAST(co.inter AS DOUBLE) / y.sz AS c2
+        | FROM pairs p JOIN co ON co.id1 = p.id1 AND co.id2 = p.id2
+        | JOIN sz x ON x.doc_id = p.id1 JOIN sz y ON y.doc_id = p.id2)
         |SELECT id1, id2, round(c1, 4) AS c1, round(c2, 4) AS c2
         |FROM scored WHERE greatest(c1, c2) >= 0.5 ORDER BY id1, id2""".stripMargin,
+    // edit-distance twin: same auto-window candidate pairs, DuckDB's
+    // levenshtein == Spark's (plain Wagner-Fischer, no transposition),
+    // identical 64-char prefix and normalization; threshold on the
+    // unrounded similarity
+    "dedup_edit_distance" ->
+      s"""WITH $snmWindowSql,
+        |ranked AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank
+        |           FROM documents),
+        |pairs AS MATERIALIZED (
+        | SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2
+        | FROM ranked a CROSS JOIN win JOIN ranked b
+        |  ON b.rank BETWEEN a.rank + 1 AND a.rank + win.w - 1),
+        |t AS MATERIALIZED (SELECT doc_id, substr(text, 1, 64) AS t FROM documents),
+        |scored AS (
+        | SELECT p.id1, p.id2,
+        |  1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE) / greatest(len(a.t), len(b.t)) AS sim
+        | FROM pairs p JOIN t a ON a.doc_id = p.id1 JOIN t b ON b.doc_id = p.id2)
+        |SELECT id1, id2, round(sim, 4) AS sim
+        |FROM scored WHERE sim >= 0.6 ORDER BY id1, id2""".stripMargin,
     // semantic-dedup twin: the same fixed-centroid assignment as the
     // ann_ivf_fixed oracle (ties to the HIGHEST cell), then a vector is
     // dropped iff some lower-id vector in its cell clears the cosine
@@ -3394,6 +3483,19 @@ object SparkEntry {
       """SELECT CAST(floor(l_extendedprice / 5000.0) * 5000.0 AS BIGINT) AS bin,
         | count(*) AS n, round(avg(l_discount), 4) AS avg_disc
         |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin,
+    // trimmed-mean twin: same exact [p10, p90] band (quantile_cont ==
+    // Spark percentile interpolation), DECIMAL sum for the mean
+    "q_trimmed_mean" ->
+      """WITH b AS (
+        | SELECT l_returnflag, quantile_cont(l_extendedprice, 0.1) AS lo,
+        |        quantile_cont(l_extendedprice, 0.9) AS hi
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, count(*) AS n_kept,
+        | round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   / count(*), 4) AS trimmed_mean
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |WHERE l.l_extendedprice >= b.lo AND l.l_extendedprice <= b.hi
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
     // gaps-and-islands twin: same day − row_number anchor construction
     "q_streaks" ->
       """WITH days AS (

@@ -424,6 +424,47 @@ object Dedup {
       .where(greatest(col("c1"), col("c2")) >= minContainment)
   }
 
+  /** X182: edit-distance near-dup pairs over the sorted-neighborhood
+    * candidate window — CHARACTER-level verification for corpora
+    * where shingle Jaccard is blind: OCR noise, small in-place
+    * template edits, and punctuation drift shred word shingles while
+    * leaving most characters in place. Similarity is
+    * 1 − lev(a,b) / max(|a|,|b|) over the first `prefixChars` chars:
+    * the Levenshtein DP is O(|a|·|b|) PER PAIR, so the prefix bound
+    * is what makes the verify cost a constant per candidate (the
+    * window cap bounds the candidate count — the same two-bound
+    * contract as every verifier here). `levenshtein` is Spark's
+    * native codegen'd expression; ranks and candidates reuse the SNM
+    * machinery, so text never rides the rank shuffle. */
+  def editDistancePairs(docs: DataFrame, sortCols: Seq[String],
+                        window: Int = 0, minSim: Double = 0.8,
+                        prefixChars: Int = 256,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val win = resolveWindow(docs, sortCols, window)
+    val ranked = globalRank(
+      docs.select(col(idCol).cast("long").as("__id") +: sortCols.map(col): _*),
+      sortCols :+ "__id")
+      .select(col("__id"), col("rank"))
+    val probes = ranked
+      .withColumn("__d", explode(sequence(lit(1), lit(win - 1))))
+      .select(col("__id").as("idA"), (col("rank") + col("__d")).as("rank"))
+    val pairs = probes.join(ranked, "rank")
+      .select(least(col("idA"), col("__id")).as("id1"),
+        greatest(col("idA"), col("__id")).as("id2"))
+    val t = docs.select(col(idCol).cast("long").as("__tid"),
+      substring(col(textCol), 1, prefixChars).as("__t"))
+    val d1 = t.select(col("__tid").as("id1"), col("__t").as("__t1"))
+    val d2 = t.select(col("__tid").as("id2"), col("__t").as("__t2"))
+    pairs.join(d1, "id1").join(d2, "id2")
+      .withColumn("__mx", greatest(length(col("__t1")), length(col("__t2"))))
+      .withColumn("sim",
+        when(col("__mx") === 0, lit(1.0)).otherwise(
+          lit(1.0) - levenshtein(col("__t1"), col("__t2")).cast("double") / col("__mx")))
+      .where(col("sim") >= minSim)
+      .select(col("id1"), col("id2"), col("sim"))
+  }
+
   /** L3: SimHash near-duplicate pairs. 64-bit signature split into
     * `maxHamming + 1` bands — pigeonhole: any pair within Hamming
     * distance maxHamming agrees exactly on ≥1 band, so band-bucketing

@@ -741,6 +741,39 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** X183: per-group trimmed mean — the robust location estimate a
+    * heavy-tailed column needs (a plain mean chases outliers; a
+    * median discards too much). Values inside the exact [p10, p90]
+    * quantile band average through a DECIMAL sum (2-decimal prices
+    * are exact decimals, so the sum is accumulation-order-independent
+    * and engine-identical); everything outside is discarded. Two
+    * passes by construction — bounds, then the filtered aggregate —
+    * but the bounds come from the ONE array-percentile aggregate the
+    * quantile entry already uses and join back as a broadcast
+    * (|groups| rows), so the extra cost is one more scan, not a new
+    * shape. Boundary safety: an interpolated bound either lands ON a
+    * data value (g = 0, exact in both engines) or strictly between
+    * two values 0.01 apart — a last-ulp engine difference can never
+    * flip a >= comparison. */
+  def trimmedMeanPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_extendedprice")
+    val bounds = li.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.1, 0.9))")
+        .cast("array<double>").as("b"))
+      .select($"l_returnflag", element_at($"b", 1).as("lo"),
+        element_at($"b", 2).as("hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .where($"l_extendedprice" >= $"lo" && $"l_extendedprice" <= $"hi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_kept"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).as("s"))
+      .select($"l_returnflag", $"n_kept",
+        round($"s".cast("double") / $"n_kept", 4).as("trimmed_mean"))
+      .orderBy($"l_returnflag")
+  }
+
   /** C21: per-group OLS regression (value vs day index) from exact
     * co-moments — the profiling complement of `stats_corr`. One
     * map-side-combined aggregation accumulates n, Σx, Σy, Σxy, Σx²,

@@ -247,6 +247,33 @@ object TextStats {
     * on the pair. Top-k is TakeOrderedAndProject — k rows move, no
     * full sort. Integer counts + lexicographic tiebreaks ⇒
     * engine-exact. */
+  /** X184: code-vs-prose routing signals per document — the cheap
+    * classifier a mixed crawl runs before tokenization, because code
+    * wants different dedup keys, quality rules, and tokenizers than
+    * prose (the StarCoder/CodeParrot-family heuristics). Three
+    * character-class densities per row (symbol fraction, digit
+    * fraction, code-punctuation per 100 chars) via
+    * length-minus-stripped regex counts — each a codegen'd single
+    * text pass, no shuffle anywhere (per-document statistics stay in
+    * the row, same contract as the repetition kernel above). The
+    * `is_code` call composes the unrounded densities so the rounded
+    * projection can't flip it. */
+  def codeRatio(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val n = length(t)
+    val symbols = n - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
+    val digits = n - length(regexp_replace(t, "[0-9]", ""))
+    val codePunct = n - length(regexp_replace(t, "[{}()\\[\\];=<>]", ""))
+    docs.where(t.isNotNull && length(t) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        round(symbols.cast("double") / n, 4).as("symbol_frac"),
+        round(digits.cast("double") / n, 4).as("digit_frac"),
+        round(lit(100.0) * codePunct / n, 4).as("code_punct_per_100"),
+        (symbols.cast("double") / n >= 0.03 &&
+          codePunct.cast("double") / n >= 0.01).as("is_code"))
+  }
+
   def skipgrams(docs: DataFrame, window: Int = 2, k: Int = 20,
                 textCol: String = "text"): DataFrame = {
     val t = graft.functions.TextFunctions.tokens(lower(col(textCol)))

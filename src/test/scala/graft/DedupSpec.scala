@@ -382,6 +382,27 @@ class DedupSpec extends AnyFunSuite {
     assert(auto == Set((1L, 200L)), s"auto window must recover the planted pair, got $auto")
   }
 
+  test("edit-distance pairs: char-level drift found where shingles fail, sim exact") {
+    import spark.implicits._
+    // b is a single-char-noise copy of a: every 3-gram word shingle
+    // differs (each word touched), but chars are ~97% shared
+    val a = "alphaX betaX gammaX deltaX epsilonX zetaX etaX thetaX"
+    val b = a.replace("X", "Y")
+    val c = "completely different content with other words here now"
+    val rows = Seq((1L, a, a.length.toLong), (2L, b, b.length.toLong),
+      (3L, c, c.length.toLong)).toDF("doc_id", "text", "n_chars")
+    val jac = Dedup.sortedNeighborhoodPairs(rows, Seq("n_chars"), window = 3,
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)), "shingle Jaccard must be blind to per-word noise")
+    val got = Dedup.editDistancePairs(rows, Seq("n_chars"), window = 3,
+        minSim = 0.8, prefixChars = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    // 8 substituted chars over the 53-char prefix: sim = 1 - 8/53
+    assert(math.abs(got((1L, 2L)) - (1.0 - 8.0 / a.length)) < 1e-9)
+  }
+
   test("hybrid dedup: every pair from either modality lands in one component") {
     val emb = Tables.embeddings(spark, sf)
     val textPairs = Dedup.sortedNeighborhoodPairs(docs, Seq("n_chars"), 10, 0.5)

@@ -522,4 +522,44 @@ class RelationalSpec extends AnyFunSuite {
       assert(nOut == adev.count(_ > 3.0 * mad), s"$t outlier count")
     }
   }
+
+  test("trimmed mean: matches the brute-force [p10, p90] filtered average") {
+    import org.apache.spark.sql.functions.col
+    def interp(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted; val idx = q * (s.length - 1)
+      val lo = s(idx.floor.toInt); val hi = s(idx.ceil.toInt)
+      lo + (hi - lo) * (idx - idx.floor)
+    }
+    val byFlag = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    val got = operators.Relational.trimmedMeanPerGroup(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == byFlag.keySet)
+    byFlag.foreach { case (f, vs) =>
+      val xs = vs.map(_._2).toSeq
+      val (lo, hi) = (interp(xs, 0.1), interp(xs, 0.9))
+      val kept = xs.filter(v => v >= lo && v <= hi)
+      val (n, m) = got(f)
+      assert(n == kept.length, s"$f kept count $n != ${kept.length}")
+      assert(math.abs(m - kept.sum / kept.length) < 1e-3, s"$f mean")
+      // the trim must actually trim (tails exist at every SF)
+      assert(kept.length < xs.length)
+    }
+  }
+
+  test("code ratio: crafted code row flagged, prose row not, fractions exact") {
+    import spark.implicits._
+    val code = "def f(x) { return g[x] <= 3; }"
+    val prose = "the quick brown fox jumps over the lazy dog again"
+    val rows = Seq((1L, code), (2L, prose)).toDF("doc_id", "text")
+    val got = operators.TextStats.codeRatio(rows).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val symbols = code.count(c => !c.isLetterOrDigit && !c.isWhitespace)
+    assert(math.abs(got(1L)._1 - symbols.toDouble / code.length) < 1e-3)
+    assert(got(1L)._4, "code row must flag is_code")
+    assert(!got(2L)._4, "prose row must not flag is_code")
+    assert(got(2L)._1 == 0.0 && got(2L)._3 == 0.0)
+  }
 }

@@ -21,6 +21,9 @@ OUT=/tmp/graft_verify10x
 FACTOR=${3:-10}
 BASE=${SCALE10X_BASELINE_DIR:-/tmp/graft_verify01}
 CPUS=${SPARK_GRAFT_CPUS:-32}
+# 32 concurrent tasks over 10x data need headroom beyond the 8g dev
+# default (per-task sort/agg buffers scale with parallelism)
+export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g}
 
 # ratio baseline: per-entry row counts from a 1x run of the same gate
 if [ ! -f "$BASE/counts.json" ]; then
