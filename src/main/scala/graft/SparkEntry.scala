@@ -1012,13 +1012,19 @@ object SparkEntry {
     "sample_negative" -> ((s, dir) =>
       Sampling.negativeSample(Tables.embeddings(s, dir))
         .orderBy(col("vec_id"), col("j"))),
-    // incremental text dedup: new batch (doc_id%10=0) ranked into the
+    // incremental text dedup: new batch (doc_id%7=0) ranked into the
     // corpus order, only cross pairs verified — corpus x corpus never
-    // recomputed (the text twin of dedup_incremental)
+    // recomputed (the text twin of dedup_incremental). The split
+    // modulus is COPRIME with the amplifier's factor on purpose:
+    // ScaleUp remaps ids as id*factor+rep, so a %10 split at 10x put
+    // every rep-0 doc in the batch and every replica in the corpus —
+    // all cross pairs crossed replica sets, which share no shingles
+    // by construction, and the entry returned a true-but-vacuous zero
+    // (caught by the ratio guard, round 9)
     "dedup_snm_incremental" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       Dedup.sortedNeighborhoodIncremental(
-          d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0),
+          d.where(col("doc_id") % 7 =!= 0), d.where(col("doc_id") % 7 === 0),
           sortCols = Seq("n_chars"), window = 0, minJaccard = 0.5)
         .select(col("new_id"), col("old_id"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("new_id"), col("old_id"))
@@ -2621,7 +2627,7 @@ object SparkEntry {
         |   ELSE [array_to_string(t, ' ')] END AS s
         | FROM toks),
         |$snmWindowSql,
-        |ranked AS (SELECT doc_id, doc_id % 10 = 0 AS isb,
+        |ranked AS (SELECT doc_id, doc_id % 7 = 0 AS isb,
         |           row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank FROM sh),
         |pairs AS MATERIALIZED (
         | SELECT CASE WHEN a.isb THEN a.doc_id ELSE b.doc_id END AS new_id,

@@ -23,6 +23,11 @@ RATIO_EXEMPT = {
         "token's count 10 ways; no token keeps share > phi in the "
         "amplified corpus, so 0 heavy hitters IS the true answer there "
         "(phi is already corpus-relative).",
+    "hilbert_scan":
+        "fixed literal key range (l_partkey 100-299) under ScaleUp's "
+        "multiplicative key remap (key*factor+rep): the range covers "
+        "1/factor as many ORIGINAL keys, so fewer rows is the true "
+        "answer; values still hash-verified against the oracle.",
 }
 
 ap = argparse.ArgumentParser()
