@@ -28,6 +28,10 @@ RATIO_EXEMPT = {
         "multiplicative key remap (key*factor+rep): the range covers "
         "1/factor as many ORIGINAL keys, so fewer rows is the true "
         "answer; values still hash-verified against the oracle.",
+    "zorder_scan":
+        "same fixed literal key range + multiplicative key remap as "
+        "hilbert_scan (identical predicate over the z-ordered layout); "
+        "values still hash-verified against the oracle.",
 }
 
 ap = argparse.ArgumentParser()
