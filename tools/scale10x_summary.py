@@ -18,6 +18,8 @@ except FileNotFoundError:
 
 # later logs win: a rerun after a fix supersedes the original row
 status = {}
+exempt_set = set()  # sticky: the value-verify [ok] that follows an
+                    # [ok-exempt] line must not erase the exemption
 for lg in logs:
     for line in open(lg):
         m = re.match(r"  \[ok\] (\S+):", line)
@@ -31,12 +33,13 @@ for lg in logs:
         m = re.match(r"  \[ok-exempt\] (\S+):", line)
         if m:
             status[m.group(1)] = "ok-exempt"
+            exempt_set.add(m.group(1))
             continue
         m = re.match(r"FAIL (\S+?)[.:]", line)
         if m:
             status[m.group(1)] = "FAIL"
-ok = sum(1 for v in status.values() if v == "ok")
-exempt = sorted(k for k, v in status.items() if v == "ok-exempt")
+ok = sum(1 for v in status.values() if v in ("ok", "ok-exempt"))
+exempt = sorted(exempt_set)
 fails = sorted(k for k, v in status.items() if v == "FAIL")
 
 queries = {}
