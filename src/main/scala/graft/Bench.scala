@@ -19,11 +19,30 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // fail fast on a malformed core count — interpolated unquoted into
+    // the JSON artifact below, so "32 "/"8g" would silently corrupt it
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").trim.toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val spark = GraftSession.builder(Some(s"local[$cpus]"), Some(cpus)).getOrCreate()
+    // pre-session system load: a concurrent sweep on the same box
+    // contaminates every wall time ~uniformly (the round-9 phantom
+    // 27% regression). Stamp it so a loaded run is visibly loaded.
+    val loadAvg =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    if (loadAvg > 0.25 * cpus)
+      System.err.println(f"[bench] WARNING: 1-min loadavg $loadAvg%.1f on $cpus cores " +
+        "before the run — results are contention-contaminated; rerun on an idle box")
+    val spark = GraftSession.builder(Some(s"local[$cpus]"), Some(cpus.toString)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev affordance mirroring Verify's SPARK_GRAFT_ONLY: restrict the
+    // run to named entries for ISOLATED measurement (full-sweep wall
+    // ratios carry cross-query contention; scale triage needs both).
+    // The driver never sets it — full sweep by default.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { n =>
       try materialize(SparkEntry.queries(n)(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
@@ -55,7 +74,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // cpus is stamped so cross-artifact wall ratios (10x vs 1x) can be
     // read as data scaling, not a silent core-count change
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"cpus":$cpus,"loadavg_pre":$loadAvg,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured stdout truncates to a short tail, losing
     // the per-query map — persist the full line as an artifact too

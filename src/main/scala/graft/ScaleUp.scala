@@ -51,18 +51,41 @@ object ScaleUp {
     * ~independent); the preamble is one whitespace-delimited token, so
     * every shingle containing it is unique per (doc, rep) and the
     * token-prefix disjointness argument is untouched. */
-  private def documents(df: DataFrame, factor: Int): DataFrame = {
+  private def documents(df: DataFrame, factor: Int,
+                        textMode: String = "prefix"): DataFrame = {
     val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
     val order = df.columns
-    df.withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
-      .withColumn("doc_id", col("doc_id") * factor + col("__rep"))
-      .withColumn("text",
+    val amplified = textMode match {
+      case "prefix" =>
         when(col("__rep") === 0, col("text")).otherwise(
           concat_ws(" ",
             sha2(concat_ws("_", col("doc_id").cast("string"),
               col("__rep").cast("string")), 256),
             array_join(transform(toks,
-              t => concat(lit("r"), col("__rep"), lit("_"), t)), " "))))
+              t => concat(lit("r"), col("__rep"), lit("_"), t)), " ")))
+      // BYTE-NEUTRAL amplification: each replica token is hash-remapped
+      // to a SAME-LENGTH hex string (rpad cycles/truncates the sha256
+      // to the token's own length), so 10x rows means ~10x bytes — the
+      // prefix mode inflates text ~2.3x and every text-op wall ratio
+      // with it, which is exactly where a real scaling regression would
+      // hide. The properties the gate needs survive: replicas share no
+      // shingles with rep 0 or each other (the hash keys on rep), equal
+      // tokens within a rep remap equally (near-dup density inside each
+      // replica world mirrors rep 0), and rep>0 leading bytes are
+      // high-entropy hex (replica phash signatures stay decorrelated
+      // without the preamble token the prefix mode needs).
+      case "byteneutral" =>
+        when(col("__rep") === 0, col("text")).otherwise(
+          array_join(transform(toks, t =>
+            call_function("rpad",
+              sha2(concat_ws("_", t, col("__rep").cast("string")), 256),
+              length(t), lit("f"))), " "))
+      case other => throw new IllegalArgumentException(
+        s"unknown text mode '$other' (prefix | byteneutral)")
+    }
+    df.withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("doc_id", col("doc_id") * factor + col("__rep"))
+      .withColumn("text", amplified)
       .select(order.map(col): _*)
   }
 
@@ -79,7 +102,7 @@ object ScaleUp {
   }
 
   def build(spark: SparkSession, srcDir: String, destDir: String,
-            factor: Int): Unit = {
+            factor: Int, textMode: String = "prefix"): Unit = {
     def write(name: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$destDir/$name.parquet")
       println(s"[scaleup] $name written")
@@ -93,7 +116,7 @@ object ScaleUp {
     write("orders", remap(raw("orders"), Seq("o_orderkey", "o_custkey"), factor))
     write("lineitem",
       remap(raw("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey"), factor))
-    write("documents", documents(raw("documents"), factor))
+    write("documents", documents(raw("documents"), factor, textMode))
     write("embeddings", embeddings(raw("embeddings"), factor))
     write("events", remap(raw("events"), Seq("event_id", "user_id"), factor))
   }
@@ -103,10 +126,11 @@ object ScaleUp {
     val destDir = if (args.length > 1) args(1)
       else s"${System.getProperty("java.io.tmpdir")}/graft_scale10x"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val textMode = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_TEXT", "prefix")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.builder(Some(s"local[$cpus]"), Some(cpus)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    build(spark, srcDir, destDir, factor)
+    build(spark, srcDir, destDir, factor, textMode)
     spark.stop()
   }
 }

@@ -1037,6 +1037,16 @@ object SparkEntry {
         .select(col("id1"), col("id2"),
           round(col("c1"), 4).as("c1"), round(col("c2"), 4).as("c2"))
         .orderBy(col("id1"), col("id2"))),
+    // X189: multi-pass SNM — union of the n_chars window and a
+    // (lang, n_chars) window, one shared Jaccard verify; the
+    // documented escape hatch when one key's density outgrows the
+    // window cap (a second key recovers what the first sort separates)
+    "dedup_snm_multipass" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodMultiPass(Tables.documents(s, dir),
+          keySets = Seq(Seq("n_chars"), Seq("lang", "n_chars")),
+          window = 0, minJaccard = 0.5)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id1"), col("id2"))),
     // X182: char-level near-dup pairs — the SNM candidate window
     // verified by normalized edit distance over 64-char prefixes;
     // catches OCR/typo drift that shreds word shingles (the prefix
@@ -2684,6 +2694,48 @@ object SparkEntry {
         | JOIN sz x ON x.doc_id = p.id1 JOIN sz y ON y.doc_id = p.id2)
         |SELECT id1, id2, round(c1, 4) AS c1, round(c2, 4) AS c2
         |FROM scored WHERE greatest(c1, c2) >= 0.5 ORDER BY id1, id2""".stripMargin,
+    // multi-pass SNM twin: each pass derives ITS OWN window from ITS
+    // key set's density (pass 2 over distinct (lang, n_chars) tuples),
+    // windows union + dedup before the one co-shingle-join verify —
+    // the same lossless overlap rewrite as the dedup_snm twin
+    "dedup_snm_multipass" ->
+      s"""WITH toks AS (
+        | SELECT doc_id, lang, n_chars, list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |sh AS MATERIALIZED (
+        | SELECT doc_id, lang, n_chars,
+        |  CASE WHEN len(t) >= 3
+        |   THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+        |   ELSE [array_to_string(t, ' ')] END AS s
+        | FROM toks),
+        |$snmWindowSql,
+        |win2 AS (SELECT greatest(10, least(256,
+        |  (3 * count(*) + count(DISTINCT (lang, n_chars)) - 1) // count(DISTINCT (lang, n_chars)))) AS w
+        | FROM documents),
+        |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank FROM sh),
+        |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY lang, n_chars, doc_id) - 1 AS rank FROM sh),
+        |pairs AS MATERIALIZED (
+        | SELECT DISTINCT id1, id2 FROM (
+        |  SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2
+        |  FROM r1 a CROSS JOIN win JOIN r1 b
+        |   ON b.rank BETWEEN a.rank + 1 AND a.rank + win.w - 1
+        |  UNION ALL
+        |  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+        |  FROM r2 a CROSS JOIN win2 JOIN r2 b
+        |   ON b.rank BETWEEN a.rank + 1 AND a.rank + win2.w - 1)),
+        |tok AS MATERIALIZED (SELECT doc_id, unnest(s) AS tk FROM sh),
+        |co AS MATERIALIZED (
+        | SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        | FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |sz AS MATERIALIZED (SELECT doc_id, len(s) AS sz FROM sh),
+        |scored AS (
+        | SELECT p.id1, p.id2,
+        |  CAST(co.inter AS DOUBLE) / (x.sz + y.sz - co.inter) AS j
+        | FROM pairs p JOIN co ON co.id1 = p.id1 AND co.id2 = p.id2
+        | JOIN sz x ON x.doc_id = p.id1 JOIN sz y ON y.doc_id = p.id2)
+        |SELECT id1, id2, round(j, 4) AS jaccard
+        |FROM scored WHERE j >= 0.5 ORDER BY id1, id2""".stripMargin,
     // edit-distance twin: same auto-window candidate pairs, DuckDB's
     // levenshtein == Spark's (plain Wagner-Fischer, no transposition),
     // identical 64-char prefix and normalization; threshold on the
@@ -2699,7 +2751,9 @@ object SparkEntry {
         |t AS MATERIALIZED (SELECT doc_id, substr(text, 1, 64) AS t FROM documents),
         |scored AS (
         | SELECT p.id1, p.id2,
-        |  1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE) / greatest(len(a.t), len(b.t)) AS sim
+        |  CASE WHEN greatest(len(a.t), len(b.t)) = 0 THEN 1.0
+        |   ELSE 1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE) / greatest(len(a.t), len(b.t))
+        |  END AS sim
         | FROM pairs p JOIN t a ON a.doc_id = p.id1 JOIN t b ON b.doc_id = p.id2)
         |SELECT id1, id2, round(sim, 4) AS sim
         |FROM scored WHERE sim >= 0.6 ORDER BY id1, id2""".stripMargin,

@@ -61,6 +61,73 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP
+    * readers ship with the JVM — zero new dependencies): actual raster
+    * width/height when the payload parses as an image, `fallback` for
+    * everything else (non-image kinds, and the synthetic text-derived
+    * payloads the driver tables carry, which are not valid image
+    * bytes). Deterministic per payload — ImageIO parsing is pure —
+    * so the retry/speculative-task contract holds. `ImageIO.read`
+    * allocates the raster; corpus-scale use keeps payloads batched in
+    * `mapPartitions` exactly like the stub, the raster dies inside the
+    * decode call, and only the narrow feature row survives. */
+  final class ImageIODecoder(fallback: MediaDecoder = StubDecoder)
+      extends MediaDecoder {
+    override def decode(r: MediaRecord): MediaFeatures =
+      if (r.kind != "image") fallback.decode(r)
+      else readImage(r.payload) match {
+        case Some(img) =>
+          MediaFeatures(r.media_id, r.kind, img.getWidth, img.getHeight,
+            n_frames = 1, n_bytes = r.payload.length.toLong)
+        case None => fallback.decode(r)
+      }
+  }
+
+  /** Parse payload bytes as an image; None when no registered reader
+    * claims the format (the quarantine path a real corpus needs). */
+  private[multimodal] def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  /** 8×8 grayscale thumbnail contract for the perceptual hash: 64
+    * luma values in raster order, or None for undecodable payloads
+    * (the corrupt-file quarantine). */
+  trait RasterDecoder extends Serializable {
+    def thumbnail8x8(r: MediaRecord): Option[Array[Int]]
+  }
+
+  /** Stub raster: the first 64 payload bytes as "pixels" — the
+    * deterministic oracle path the driver entries run (a SQL twin can
+    * recompute it from the bytes). */
+  object StubRaster extends RasterDecoder {
+    override def thumbnail8x8(r: MediaRecord): Option[Array[Int]] =
+      if (r.payload.length < 64) None
+      else Some(Array.tabulate(64)(i => r.payload(i) & 0xff))
+  }
+
+  /** Real raster via `javax.imageio`: decode, area-average down to
+    * 8×8 (TYPE_INT_RGB draw with bilinear hints is the standard aHash
+    * shrink), Rec.601 integer luma — the exact thumbnail a production
+    * aHash uses. Undecodable payloads quarantine as None. */
+  object ImageIORaster extends RasterDecoder {
+    override def thumbnail8x8(r: MediaRecord): Option[Array[Int]] =
+      readImage(r.payload).map { img =>
+        val thumb = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = thumb.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 8, 8, null)
+        } finally g.dispose()
+        Array.tabulate(64) { i =>
+          val rgb = thumb.getRGB(i % 8, i / 8)
+          val (rr, gg, bb) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          (rr * 299 + gg * 587 + bb * 114) / 1000
+        }
+      }
+  }
+
   /** Decode a media dataset in partition-local batches. The iterator
     * is consumed lazily batch by batch — constant memory per task
     * regardless of partition size. */
@@ -161,9 +228,11 @@ object Multimodal {
   final case class ImageHash(media_id: Long, phash: String)
 
   /** Average-hash (aHash) perceptual image signature: decode to an
-    * 8×8 grayscale thumbnail (STUB: the first 64 payload bytes as
-    * pixels — a real decoder resizes the actual raster and nothing
-    * downstream changes), threshold each pixel against the thumbnail
+    * 8×8 grayscale thumbnail via the pluggable [[RasterDecoder]]
+    * (default [[StubRaster]]: first 64 payload bytes — the
+    * deterministic oracle path; [[ImageIORaster]]: real PNG/JPEG
+    * decode + bilinear shrink, nothing downstream changes), threshold
+    * each pixel against the thumbnail
     * mean, pack the 64 bits in raster order. Identical images hash
     * identically; near-identical ones differ in a few bits — the
     * standard cheap pre-filter before pixel-level comparison.
@@ -176,19 +245,21 @@ object Multimodal {
     * divides by exactly 64, a power of two, so the threshold is an
     * EXACT double both here and in any oracle recomputation. */
   def imageHashes(media: Dataset[MediaRecord],
-                  batchSize: Int = 64): Dataset[ImageHash] = {
+                  batchSize: Int = 64,
+                  raster: RasterDecoder = StubRaster): Dataset[ImageHash] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[ImageHash]
-    media.filter(r => r.kind == "image" && r.payload.length >= 64)
+    media.filter(_.kind == "image")
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap(_.map { r =>
-          val px = new Array[Int](64)
-          var i = 0; var sum = 0L
-          while (i < 64) { px(i) = r.payload(i) & 0xff; sum += px(i); i += 1 }
-          val mean = sum / 64.0
-          val bits = new StringBuilder(64)
-          i = 0
-          while (i < 64) { bits.append(if (px(i) >= mean) '1' else '0'); i += 1 }
-          ImageHash(r.media_id, bits.toString)
+        it.grouped(batchSize).flatMap(_.flatMap { r =>
+          raster.thumbnail8x8(r).map { px =>
+            var i = 0; var sum = 0L
+            while (i < 64) { sum += px(i); i += 1 }
+            val mean = sum / 64.0
+            val bits = new StringBuilder(64)
+            i = 0
+            while (i < 64) { bits.append(if (px(i) >= mean) '1' else '0'); i += 1 }
+            ImageHash(r.media_id, bits.toString)
+          }
         })
       }
   }

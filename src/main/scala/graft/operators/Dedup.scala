@@ -216,6 +216,62 @@ object Dedup {
     }
   }
 
+  /** The sorted-neighborhood CANDIDATE stage, shared by every SNM
+    * verifier ([[sortedNeighborhoodPairs]], [[containmentPairs]],
+    * [[editDistancePairs]] and the hybrid dedup's text leg): resolve
+    * the window from blocking-key density, compute the global
+    * (sortCols, id) rank (two-phase — only partition counts reach the
+    * driver), and explode each row against its `window − 1` rank
+    * successors. Returns the undirected pair set (id1 < id2).
+    *
+    * Verifier choice does NOT change this stage, so recomputing it per
+    * verifier is pure waste — a pipeline composing two SNM verifiers
+    * (e.g. Jaccard + edit distance) would pay the rank shuffle twice.
+    * Unless `spark.graft.snm.cacheCandidates=false`, the result is
+    * persisted (MEMORY_AND_DISK) and memoized per (session,
+    * canonicalized input plan, sortCols, window, idCol): the cached
+    * pairs are two longs per row × rows·window — bounded by the same
+    * 256 window cap that bounds the candidate count itself. */
+  def snmCandidates(docs: DataFrame, sortCols: Seq[String],
+                    window: Int = 0,
+                    idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    def build(): DataFrame = {
+      val win = resolveWindow(docs, sortCols, window)
+      // only (key cols, id) travel through the rank shuffle — never text
+      val ranked = globalRank(
+        docs.select(col(idCol).cast("long").as("__id") +: sortCols.map(col): _*),
+        sortCols :+ "__id")
+        .select(col("__id"), col("rank"))
+      val probes = ranked
+        .withColumn("__d", explode(sequence(lit(1), lit(win - 1))))
+        .select(col("__id").as("idA"), (col("rank") + col("__d")).as("rank"))
+      probes.join(ranked, "rank")
+        .select(least(col("idA"), col("__id")).as("id1"),
+          greatest(col("idA"), col("__id")).as("id2"))
+    }
+    val cacheOn = spark.conf.getOption("spark.graft.snm.cacheCandidates")
+      .forall(_.toBoolean)
+    if (!cacheOn) build()
+    else {
+      val key = (spark, docs.queryExecution.analyzed.canonicalized,
+        sortCols, window, idCol)
+      candidateCache.computeIfAbsent(key, _ =>
+        build().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+  }
+
+  /** Memoized SNM candidate DataFrames — see [[snmCandidates]]. Keyed
+    * by session so plans never leak across sessions; entries live for
+    * the session (the cache holds id pairs only, never text). */
+  private val candidateCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        Seq[String], Int, String), DataFrame]
+
+  private[graft] def candidateCacheSize: Int = candidateCache.size
+
   /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo's
     * merge/purge method): sort the corpus by a cheap blocking key
     * (near-dups sort near each other), compare each row only to its
@@ -231,19 +287,32 @@ object Dedup {
                               minJaccard: Double = 0.8,
                               textCol: String = "text",
                               idCol: String = "doc_id"): DataFrame = {
-    val win = resolveWindow(docs, sortCols, window)
-    // only (key cols, id) travel through the rank shuffle — never text
-    val ranked = globalRank(
-      docs.select(col(idCol).cast("long").as("__id") +: sortCols.map(col): _*),
-      sortCols :+ "__id")
-      .select(col("__id"), col("rank"))
-    val probes = ranked
-      .withColumn("__d", explode(sequence(lit(1), lit(win - 1))))
-      .select(col("__id").as("idA"), (col("rank") + col("__d")).as("rank"))
-    val pairs = probes.join(ranked, "rank")
-      .select(least(col("idA"), col("__id")).as("id1"),
-        greatest(col("idA"), col("__id")).as("id2"))
+    val pairs = snmCandidates(docs, sortCols, window, idCol)
     verifyJaccard(pairs, docs, textCol, idCol)
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** X189: MULTI-PASS sorted-neighborhood near-dup pairs (Hernández &
+    * Stolfo's full merge/purge recipe) — one SNM pass per blocking-key
+    * set, union of candidate windows, ONE shared verification. This is
+    * the documented escape hatch for the single-pass window cap: past
+    * clamp-256, a wider window buys recall linearly in cost, while a
+    * SECOND pass under a different key recovers the pairs the first
+    * key's sort order separates (same-length docs in different
+    * languages, same-language docs of drifting length) at the same
+    * rows × window cost per pass. Candidates dedup BEFORE the shingle
+    * verify, so a pair found by both passes is verified once, and each
+    * pass's candidate stage is the memoized [[snmCandidates]] — a
+    * pipeline already running single-pass SNM pays only the new key's
+    * rank. */
+  def sortedNeighborhoodMultiPass(docs: DataFrame, keySets: Seq[Seq[String]],
+                                  window: Int = 0, minJaccard: Double = 0.8,
+                                  textCol: String = "text",
+                                  idCol: String = "doc_id"): DataFrame = {
+    require(keySets.nonEmpty, "at least one blocking-key set")
+    val cand = keySets.map(ks => snmCandidates(docs, ks, window, idCol))
+      .reduce(_ unionByName _).distinct()
+    verifyJaccard(cand, docs, textCol, idCol)
       .where(col("jaccard") >= minJaccard)
   }
 
@@ -409,17 +478,7 @@ object Dedup {
                        minContainment: Double = 0.5,
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
-    val win = resolveWindow(docs, sortCols, window)
-    val ranked = globalRank(
-      docs.select(col(idCol).cast("long").as("__id") +: sortCols.map(col): _*),
-      sortCols :+ "__id")
-      .select(col("__id"), col("rank"))
-    val probes = ranked
-      .withColumn("__d", explode(sequence(lit(1), lit(win - 1))))
-      .select(col("__id").as("idA"), (col("rank") + col("__d")).as("rank"))
-    val pairs = probes.join(ranked, "rank")
-      .select(least(col("idA"), col("__id")).as("id1"),
-        greatest(col("idA"), col("__id")).as("id2"))
+    val pairs = snmCandidates(docs, sortCols, window, idCol)
     verifyContainment(pairs, docs, textCol, idCol)
       .where(greatest(col("c1"), col("c2")) >= minContainment)
   }
@@ -441,26 +500,30 @@ object Dedup {
                         prefixChars: Int = 256,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
-    val win = resolveWindow(docs, sortCols, window)
-    val ranked = globalRank(
-      docs.select(col(idCol).cast("long").as("__id") +: sortCols.map(col): _*),
-      sortCols :+ "__id")
-      .select(col("__id"), col("rank"))
-    val probes = ranked
-      .withColumn("__d", explode(sequence(lit(1), lit(win - 1))))
-      .select(col("__id").as("idA"), (col("rank") + col("__d")).as("rank"))
-    val pairs = probes.join(ranked, "rank")
-      .select(least(col("idA"), col("__id")).as("id1"),
-        greatest(col("idA"), col("__id")).as("id2"))
+    val pairs = snmCandidates(docs, sortCols, window, idCol)
     val t = docs.select(col(idCol).cast("long").as("__tid"),
       substring(col(textCol), 1, prefixChars).as("__t"))
     val d1 = t.select(col("__tid").as("id1"), col("__t").as("__t1"))
     val d2 = t.select(col("__tid").as("id2"), col("__t").as("__t2"))
+    // acceptance needs lev ≤ (1−minSim)·mx ≤ (1−minSim)·prefixChars, so
+    // the DP can run BANDED: Spark's 3-arg levenshtein early-exits past
+    // `maxDist` and returns −1 — every −1 pair is over the acceptance
+    // bound (⌊x⌋+1 > x), i.e. rejected, so the threshold is lossless.
+    val maxDist = math.floor((1.0 - minSim) * prefixChars).toInt
     pairs.join(d1, "id1").join(d2, "id2")
       .withColumn("__mx", greatest(length(col("__t1")), length(col("__t2"))))
+      // lev ≥ |len₁ − len₂|: a length gap past the acceptance bound
+      // kills the candidate before the O(|a|·|b|) DP ever runs. The
+      // +0.5 slack keeps the prefilter a strict SUPERSET of the exact
+      // sim gate under float rounding (lengths are integers, so half a
+      // unit of slack admits no new integer gap).
+      .where(abs(length(col("__t1")) - length(col("__t2"))).cast("double") <=
+        lit(1.0 - minSim) * col("__mx") + lit(0.5))
+      .withColumn("__lev", levenshtein(col("__t1"), col("__t2"), maxDist))
       .withColumn("sim",
-        when(col("__mx") === 0, lit(1.0)).otherwise(
-          lit(1.0) - levenshtein(col("__t1"), col("__t2")).cast("double") / col("__mx")))
+        when(col("__mx") === 0, lit(1.0))
+          .when(col("__lev") === -1, lit(0.0)) // over the bound ⇒ rejected below
+          .otherwise(lit(1.0) - col("__lev").cast("double") / col("__mx")))
       .where(col("sim") >= minSim)
       .select(col("id1"), col("id2"), col("sim"))
   }

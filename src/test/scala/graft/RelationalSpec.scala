@@ -300,6 +300,32 @@ class RelationalSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.quantiles.approx")
   }
 
+  test("trimmed mean: spark.graft.quantiles.approx reroutes the trim bounds through the sketch") {
+    val exact = operators.Relational.trimmedMeanPerGroup(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    spark.conf.set("spark.graft.quantiles.approx", "true")
+    try {
+      val plan = operators.Relational.trimmedMeanPerGroup(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("approx_percentile") &&
+        !plan.replace("approx_percentile", "").contains("percentile("),
+        s"approx route must plan the sketch, not the exact buffer:\n$plan")
+      val routed = operators.Relational.trimmedMeanPerGroup(spark, sf).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // same schema and groups; the sketch trims near-identical tails
+      // (accuracy=10000 → rank error ≤ n/10000), so kept counts and the
+      // robust mean move by at most a whisker
+      assert(routed.keySet == exact.keySet)
+      routed.foreach { case (flag, (n, m)) =>
+        val (en, em) = exact(flag)
+        assert(math.abs(n - en).toDouble / en < 0.01,
+          s"$flag kept-count moved ${en} -> ${n} under the sketch route")
+        assert(math.abs(m - em) / em < 0.01,
+          s"$flag trimmed mean moved $em -> $m under the sketch route")
+      }
+    } finally spark.conf.unset("spark.graft.quantiles.approx")
+  }
+
   test("grouped top-k: heap aggregate matches a window row_number, no per-group sort of all rows") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

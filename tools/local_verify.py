@@ -15,23 +15,29 @@ import duckdb
 import pandas as pd
 
 # Entries whose row count legitimately does NOT track the corpus size
-# under graft.ScaleUp amplification. Every exemption needs a reason —
-# an unexplained exemption is the vacuous pass coming back.
+# under graft.ScaleUp amplification. Every exemption needs a reason AND
+# a BOUNDED expected current/baseline ratio range (a function of the
+# amplification factor) — a blanket skip would let a genuine future
+# recall collapse in these entries pass unexamined.
 RATIO_EXEMPT = {
-    "text_heavy_hitters":
+    "text_heavy_hitters": (
         "ScaleUp prefixes every replica token (r{rep}_), splitting each "
-        "token's count 10 ways; no token keeps share > phi in the "
+        "token's count `factor` ways; no token keeps share > phi in the "
         "amplified corpus, so 0 heavy hitters IS the true answer there "
         "(phi is already corpus-relative).",
-    "hilbert_scan":
+        lambda f: (0.0, 0.5)),
+    "hilbert_scan": (
         "fixed literal key range (l_partkey 100-299) under ScaleUp's "
         "multiplicative key remap (key*factor+rep): the range covers "
-        "1/factor as many ORIGINAL keys, so fewer rows is the true "
+        "1/factor as many ORIGINAL keys, each with factor replicas of "
+        "part of its rows, so ~1/factor..~1 x baseline is the true "
         "answer; values still hash-verified against the oracle.",
-    "zorder_scan":
+        lambda f: (0.3 / f, 3.0)),
+    "zorder_scan": (
         "same fixed literal key range + multiplicative key remap as "
         "hilbert_scan (identical predicate over the z-ordered layout); "
         "values still hash-verified against the oracle.",
+        lambda f: (0.3 / f, 3.0)),
 }
 
 ap = argparse.ArgumentParser()
@@ -41,6 +47,9 @@ ap.add_argument("--baseline", help="counts.json from a lower-SF run; "
                 "enables the row-count-ratio guard")
 ap.add_argument("--ratio-floor", type=float, default=0.3,
                 help="FAIL entries whose count falls below floor x baseline")
+ap.add_argument("--factor", type=float, default=10.0,
+                help="amplification factor of this run vs the baseline; "
+                "bounds the RATIO_EXEMPT entries' expected ratio ranges")
 args = ap.parse_args()
 sf_dir, out_dir = args.sf_dir, args.out_dir
 
@@ -80,8 +89,17 @@ for name in sorted(os.listdir(out_dir)):
         base, cur = baseline[name], len(got)
         if base > 0 and cur < args.ratio_floor * base:
             if name in RATIO_EXEMPT:
-                print(f"  [ok-exempt] {name}: {cur} rows vs baseline {base} — "
-                      f"{RATIO_EXEMPT[name]}")
+                reason, bounds = RATIO_EXEMPT[name]
+                lo, hi = bounds(args.factor)
+                if lo <= cur / base <= hi:
+                    print(f"  [ok-exempt] {name}: {cur} rows vs baseline {base} "
+                          f"(in expected [{lo:.3g}, {hi:.3g}]x) — {reason}")
+                else:
+                    print(f"FAIL {name}: exempt entry OUTSIDE its expected ratio "
+                          f"band — {cur} rows vs baseline {base} "
+                          f"(ratio {cur / base:.3g}, expected [{lo:.3g}, {hi:.3g}])")
+                    fails += 1
+                    continue
             else:
                 print(f"FAIL {name}: row-count collapse — {cur} rows vs "
                       f"baseline {base} (floor {args.ratio_floor})")

@@ -25,17 +25,22 @@ CPUS=${SPARK_GRAFT_CPUS:-32}
 # default (per-task sort/agg buffers scale with parallelism)
 export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g}
 
-# ratio baseline: per-entry row counts from a 1x run of the same gate
+# ratio baseline: per-entry row counts from a 1x run of the same gate.
+# A broken baseline must ABORT — it would otherwise silently become the
+# ratio denominator for the 10x run (pipefail propagates through tee).
 if [ ! -f "$BASE/counts.json" ]; then
   echo "[scale10x] no 1x counts at $BASE — generating baseline run"
   SPARK_GRAFT_CPUS=$CPUS sbt -batch "runMain graft.Verify $SRC $BASE" || exit 1
-  python3 tools/local_verify.py "$SRC" "$BASE" | tee /tmp/scale10x_baseline.log
+  if ! python3 tools/local_verify.py "$SRC" "$BASE" | tee /tmp/scale10x_baseline.log; then
+    echo "[scale10x] 1x baseline verify FAILED — aborting (see /tmp/scale10x_baseline.log)"
+    exit 1
+  fi
 fi
 
 SPARK_GRAFT_CPUS=$CPUS sbt -batch "runMain graft.ScaleUp $SRC $AMP $FACTOR" || exit 1
 SPARK_GRAFT_CPUS=$CPUS sbt -batch "runMain graft.Verify $AMP $OUT" || exit 1
 python3 tools/local_verify.py "$AMP" "$OUT" --baseline "$BASE/counts.json" \
-  | tee /tmp/scale10x_verify.log
+  --factor "$FACTOR" | tee /tmp/scale10x_verify.log
 SPARK_GRAFT_SF_DIR="$AMP" SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_BENCH_REPS=1 \
   SPARK_GRAFT_BENCH_OUT=SCALE10X_BENCH.json sbt -batch "runMain graft.Bench"
 python3 tools/scale10x_summary.py /tmp/scale10x_verify.log
