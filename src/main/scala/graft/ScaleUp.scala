@@ -51,8 +51,8 @@ object ScaleUp {
     * ~independent); the preamble is one whitespace-delimited token, so
     * every shingle containing it is unique per (doc, rep) and the
     * token-prefix disjointness argument is untouched. */
-  private def documents(df: DataFrame, factor: Int,
-                        textMode: String = "prefix"): DataFrame = {
+  private[graft] def documents(df: DataFrame, factor: Int,
+                                textMode: String = "prefix"): DataFrame = {
     val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
     val order = df.columns
     val amplified = textMode match {
@@ -74,12 +74,23 @@ object ScaleUp {
       // replica world mirrors rep 0), and rep>0 leading bytes are
       // high-entropy hex (replica phash signatures stay decorrelated
       // without the preamble token the prefix mode needs).
+      //
+      // Remap entropy is FLOORED at 4 hex chars: truncating to a 1-2
+      // char token's own length would leave a 16/256-value space where
+      // cross-replica and cross-token collisions stop being negligible
+      // and the disjointness invariants above degrade from structural
+      // to merely probabilistic. At 4 chars (65,536 values) a single
+      // token pair still collides at ~2^-16, and a SHINGLE collision
+      // needs every token in the shingle to collide simultaneously —
+      // vanishing. Cost: tokens shorter than 4 chars inflate by ≤3
+      // bytes each; on natural-language corpora (mean token ≥4 chars)
+      // the mode stays byte-neutral to within a few percent.
       case "byteneutral" =>
         when(col("__rep") === 0, col("text")).otherwise(
           array_join(transform(toks, t =>
             call_function("rpad",
               sha2(concat_ws("_", t, col("__rep").cast("string")), 256),
-              length(t), lit("f"))), " "))
+              greatest(length(t), lit(4)), lit("f"))), " "))
       case other => throw new IllegalArgumentException(
         s"unknown text mode '$other' (prefix | byteneutral)")
     }

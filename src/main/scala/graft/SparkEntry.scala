@@ -397,7 +397,8 @@ object SparkEntry {
     * at ANY scale factor. */
   private val snmWindowSql =
     """win AS (SELECT greatest(10, least(256,
-      |  (3 * count(*) + count(DISTINCT n_chars) - 1) // count(DISTINCT n_chars))) AS w
+      |  (3 * count(*) + count(DISTINCT coalesce(CAST(n_chars AS VARCHAR), chr(2))) - 1)
+      |   // count(DISTINCT coalesce(CAST(n_chars AS VARCHAR), chr(2))))) AS w
       | FROM documents)""".stripMargin
 
   /** embed_pca twin: the X161 covariance CTEs feed `iters` unrolled
@@ -2710,7 +2711,10 @@ object SparkEntry {
         | FROM toks),
         |$snmWindowSql,
         |win2 AS (SELECT greatest(10, least(256,
-        |  (3 * count(*) + count(DISTINCT (lang, n_chars)) - 1) // count(DISTINCT (lang, n_chars)))) AS w
+        |  (3 * count(*) + count(DISTINCT concat(coalesce(lang, chr(2)), chr(1),
+        |     coalesce(CAST(n_chars AS VARCHAR), chr(2)))) - 1)
+        |   // count(DISTINCT concat(coalesce(lang, chr(2)), chr(1),
+        |     coalesce(CAST(n_chars AS VARCHAR), chr(2)))))) AS w
         | FROM documents),
         |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank FROM sh),
         |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY lang, n_chars, doc_id) - 1 AS rank FROM sh),

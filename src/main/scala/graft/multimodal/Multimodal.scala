@@ -84,10 +84,16 @@ object Multimodal {
   }
 
   /** Parse payload bytes as an image; None when no registered reader
-    * claims the format (the quarantine path a real corpus needs). */
-  private[multimodal] def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    * claims the format OR the reader blows up mid-parse (the
+    * quarantine path a real corpus needs). ImageIO readers throw
+    * RuntimeExceptions — ArrayIndexOutOfBounds, NegativeArraySize,
+    * IllegalArgument — on malformed/truncated payloads, not just
+    * IOException; any of those escaping would crash the task (and
+    * after retries the job), so the catch must be total over
+    * arbitrary bytes. */
+  private[graft] def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** 8×8 grayscale thumbnail contract for the perceptual hash: 64
     * luma values in raster order, or None for undecodable payloads

@@ -163,11 +163,14 @@ object Dedup {
   def globalRank(df: DataFrame, orderCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    // asc_nulls_last, not plain asc: Spark's default sorts NULLs FIRST
+    // while DuckDB's (the twins') ORDER BY sorts them LAST — ranks
+    // must agree between engine and oracle even on NULL blocking keys.
     val ranged = df
-      .repartitionByRange(n, orderCols.map(col): _*)
+      .repartitionByRange(n, orderCols.map(c => col(c).asc_nulls_last): _*)
       .withColumn("__pid", spark_partition_id())
     val localW = Window.partitionBy(col("__pid"))
-      .orderBy(orderCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).asc_nulls_last): _*)
     val local = Checkpoints.fence(
       ranged.withColumn("__rn", row_number().over(localW)))
     val totals = local.groupBy(col("__pid")).agg(count(lit(1)).as("__total"))
@@ -204,14 +207,24 @@ object Dedup {
 
   /** window ≤ 0 means auto: one small two-scalar aggregation (count +
     * exact distinct of the blocking key — driver sees two longs, the
-    * same bounded-metadata shape as the IVF centroid collects). */
+    * same bounded-metadata shape as the IVF centroid collects).
+    *
+    * NULL blocking keys are coalesced to a sentinel BEFORE the
+    * distinct count: Spark's multi-column `countDistinct` drops any
+    * row with a NULL column, while the DuckDB twins' struct
+    * `count(DISTINCT (a, b))` counts NULL-field tuples — the
+    * sentinel-concat form below is what the twins mirror, so the
+    * derived window agrees between engine and oracle even when a key
+    * is NULL (the \u0001 separator / \u0002 sentinel can't appear in
+    * a cast value, keeping the concat injective). */
   private def resolveWindow(docs: DataFrame, sortCols: Seq[String],
                             window: Int): Int = {
     require(window <= 0 || window >= 2, "an explicit window must cover at least one neighbor")
     if (window > 0) window
     else {
-      val r = docs.agg(count(lit(1)),
-        countDistinct(sortCols.head, sortCols.tail: _*)).head()
+      val keyed = concat_ws("\u0001",
+        sortCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+      val r = docs.agg(count(lit(1)), countDistinct(keyed)).head()
       autoWindow(r.getLong(0), r.getLong(1))
     }
   }
@@ -256,21 +269,66 @@ object Dedup {
     else {
       val key = (spark, docs.queryExecution.analyzed.canonicalized,
         sortCols, window, idCol)
-      candidateCache.computeIfAbsent(key, _ =>
-        build().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      candidateCache.synchronized {
+        candidateCache.get(key) match {
+          case Some(df) => df
+          case None =>
+            registerCacheCleanup(spark)
+            val df = build().persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            candidateCache.put(key, df)
+            // LRU-ish bound: varying inputs (incremental batches as
+            // LocalRelations, different windows) must not pin storage
+            // for the JVM's lifetime — evict insertion-order eldest,
+            // releasing its blocks (non-blocking; recompute on re-use).
+            while (candidateCache.size > candidateCacheMax) {
+              val (k, v) = candidateCache.head
+              try v.unpersist(blocking = false) catch { case _: Throwable => () }
+              candidateCache.remove(k)
+            }
+            df
+        }
+      }
     }
   }
 
   /** Memoized SNM candidate DataFrames — see [[snmCandidates]]. Keyed
-    * by session so plans never leak across sessions; entries live for
-    * the session (the cache holds id pairs only, never text). */
+    * by session so plans never leak across sessions; size-bounded
+    * (unpersist-on-evict) and cleared when the owning session's
+    * SparkContext ends, so long-lived processes composing many
+    * distinct inputs never grow storage unboundedly. Insertion-ordered
+    * (LinkedHashMap) so eviction drops the eldest entry. The cache
+    * holds id pairs only, never text. */
   private val candidateCache =
-    new java.util.concurrent.ConcurrentHashMap[
+    scala.collection.mutable.LinkedHashMap.empty[
       (org.apache.spark.sql.SparkSession,
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         Seq[String], Int, String), DataFrame]
+  private val candidateCacheMax = 64
+  private val cleanupRegistered =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean])
 
-  private[graft] def candidateCacheSize: Int = candidateCache.size
+  /** One listener per SparkContext: on application end, drop (and
+    * release) every cached candidate frame whose session rides that
+    * context — entries must not survive session.stop(). */
+  private def registerCacheCleanup(spark: org.apache.spark.sql.SparkSession): Unit =
+    cleanupRegistered.synchronized {
+      val sc = spark.sparkContext
+      if (cleanupRegistered.add(sc)) {
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            candidateCache.synchronized {
+              val dead = candidateCache.keys.filter(_._1.sparkContext eq sc).toSeq
+              dead.foreach(candidateCache.remove)
+            }
+        })
+      }
+    }
+
+  private[graft] def candidateCacheSize: Int =
+    candidateCache.synchronized(candidateCache.size)
 
   /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo's
     * merge/purge method): sort the corpus by a cheap blocking key

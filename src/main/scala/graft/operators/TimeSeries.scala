@@ -264,4 +264,124 @@ object TimeSeries {
       .select($"r.step", $"r.event_type", $"r.users")
       .orderBy($"step")
   }
+
+  /** X190: finite-horizon EWMA smoothing of the per-type daily count
+    * series (α = 0.3, trailing `horizon` = 16 observations — where the
+    * weight tail (1−α)^16 ≈ 0.003 has decayed to noise, the standard
+    * truncation every streaming metrics system makes).
+    *
+    * Exact-arithmetic trick: the adjusted EWMA is a RATIO of weighted
+    * sums, so scaling both by 10^(h−1) turns the weights (0.7)^j into
+    * INTEGERS w_j = 7^j · 10^(h−1−j) — numerator and denominator are
+    * DECIMAL-exact integer sums over the trailing lags (missing lags
+    * at series start drop out of BOTH sums — that IS the adjusted
+    * estimator), and the only floating op is the final divide. No
+    * pow() in either engine, so engine/oracle agree bit-for-bit.
+    *
+    * Scale: events collapse to types × days rows in ONE map-side-
+    * combined aggregation before any window; the per-type lag window
+    * runs over calendar-bounded partitions (≤ days rows per type at
+    * ANY corpus size). */
+  def ewmaDaily(spark: SparkSession, sfDir: String,
+                horizon: Int = 16): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", dayCol.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    // w_j = 7^j * 10^(h-1-j): exact integer EWMA weights (common
+    // factor 10^(h-1) cancels in the ratio)
+    val weights: Seq[java.math.BigDecimal] = (0 until horizon).map { j =>
+      java.math.BigDecimal.valueOf(7).pow(j)
+        .multiply(java.math.BigDecimal.TEN.pow(horizon - 1 - j))
+    }
+    val lagged = (0 until horizon).foldLeft(daily) { (df, j) =>
+      df.withColumn(s"__l$j", lag($"cnt", j).over(w))
+    }
+    val num = (0 until horizon).map { j =>
+      coalesce(col(s"__l$j").cast("decimal(38,0)") * lit(weights(j)), lit(0).cast("decimal(38,0)"))
+    }.reduce(_ + _)
+    val den = (0 until horizon).map { j =>
+      when(col(s"__l$j").isNotNull, lit(weights(j)).cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)"))
+    }.reduce(_ + _)
+    lagged
+      .select($"event_type", $"day".cast("long").as("day"), $"cnt",
+        round(num.cast("double") / den.cast("double"), 4).as("ewma"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** X191: lag-k autocorrelation (k = 1..`maxLag`) of each type's
+    * daily count series — the seasonality/persistence fingerprint a
+    * metrics pipeline reads before picking a forecast model.
+    *
+    * r_k = Σ_t (x_t−x̄)(x_{t−k}−x̄) / Σ_t (x_t−x̄)², computed on the
+    * MEAN-SCALED integers d_t = n·x_t − S (multiplying every deviation
+    * by n clears the rational mean, so numerator and denominator are
+    * exact DECIMAL sums; the shared n² factor cancels in the ratio).
+    * The only floating op is the final divide.
+    *
+    * Scale: same as [[ewmaDaily]] — one aggregation to types × days,
+    * per-type windows over calendar-bounded partitions, one tiny
+    * per-type (S, n) aggregate joined back by broadcast. */
+  def autocorrDaily(spark: SparkSession, sfDir: String,
+                    maxLag: Int = 7): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", dayCol.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = daily.groupBy($"event_type")
+      .agg(sum($"cnt").as("s"), count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val dev = daily.join(broadcast(totals), "event_type")
+      .withColumn("d", ($"n" * $"cnt" - $"s").cast("decimal(38,0)"))
+    val lagged = (1 to maxLag).foldLeft(dev) { (df, k) =>
+      df.withColumn(s"__d$k", lag($"d", k).over(w))
+    }
+    val terms = (1 to maxLag).map { k =>
+      struct(lit(k.toLong).as("k"), ($"d" * col(s"__d$k")).as("prod"))
+    }
+    lagged
+      .select($"event_type", $"d", explode(array(terms: _*)).as("t"))
+      .groupBy($"event_type")
+      .agg(sum($"d" * $"d").as("den"),
+        // per-k numerators: condition on the struct's own k so one
+        // pass folds all lags (NULL lag products drop from the sum)
+        (1 to maxLag).map(k =>
+          sum(when($"t.k" === k, $"t.prod")).as(s"__n$k")): _*)
+      .select($"event_type" +: (1 to maxLag).map(k =>
+        round(col(s"__n$k").cast("double") / $"den".cast("double"), 6)
+          .as(s"r$k")): _*)
+      .orderBy($"event_type")
+  }
+
+  /** X192: monthly OHLC downsampling of the order-value series — the
+    * canonical time-series compaction (finance bars, monitoring
+    * rollups): per month, the first/highest/lowest/last value plus
+    * volume and a DECIMAL-exact mean. First/last resolve by
+    * (o_orderdate, o_orderkey) — a total order, so the bars are
+    * deterministic under any partitioning. ONE map-side-combined
+    * aggregation (min_by/max_by carry O(1) state); output is bounded
+    * by the calendar, never the data. */
+  def ohlcMonthly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = struct($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select(date_format($"o_orderdate", "yyyy-MM").as("month"),
+        $"o_orderdate", $"o_orderkey",
+        $"o_totalprice".cast("decimal(18,2)").as("p"))
+      .groupBy($"month")
+      .agg(
+        min_by($"p", ord).as("open"),
+        max($"p").as("high"),
+        min($"p").as("low"),
+        max_by($"p", ord).as("close"),
+        count(lit(1)).as("n"),
+        sum($"p").as("sp"))
+      .select($"month",
+        $"open".cast("double").as("open"), $"high".cast("double").as("high"),
+        $"low".cast("double").as("low"), $"close".cast("double").as("close"),
+        $"n", round($"sp".cast("double") / $"n", 4).as("avg_price"))
+      .orderBy($"month")
+  }
 }

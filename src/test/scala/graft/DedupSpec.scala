@@ -467,6 +467,44 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.candidateCacheSize == mid + 1)
   }
 
+  test("SNM candidate cache is size-bounded: old entries evict, never pin forever") {
+    import spark.implicits._
+    val rows = (1L to 20L).map(i => (i, s"text body $i", "en", 10L + i))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    // 80 distinct (window) keys > the 64-entry bound; building the
+    // candidate frame is lazy, so this exercises ONLY the cache paths
+    (2 to 81).foreach(w => Dedup.snmCandidates(rows, Seq("n_chars"), window = w))
+    assert(Dedup.candidateCacheSize <= 64,
+      "cache must evict above its bound instead of growing unboundedly")
+  }
+
+  test("NULL blocking keys: sentinel density count + NULLS LAST ranking") {
+    import spark.implicits._
+    // autoWindow's density input counts a NULL-field key tuple as ONE
+    // distinct value (the DuckDB struct semantics), not as dropped rows
+    // (Spark's raw multi-column countDistinct) — exercised through the
+    // auto-window path over rows where lang is sometimes NULL.
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", 36L),
+      (2L, "alpha beta gamma delta epsilon zeta", null.asInstanceOf[String], 36L),
+      (3L, "one two three four five six seven", "de", 33L),
+      (4L, "completely different words here now", null.asInstanceOf[String], 35L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    // window=0 auto-derives from density; must not throw and must rank
+    // NULL langs LAST (DuckDB's default) — with window=2 (adjacent only)
+    // the two null-lang rows sort after en/de, adjacent to each other,
+    // so their near-dup pair is only found under nulls-last ordering.
+    val auto = Dedup.sortedNeighborhoodPairs(rows, Seq("lang", "n_chars"),
+      window = 0, minJaccard = 0.5).collect()
+    assert(auto.nonEmpty, "auto window over NULL-keyed rows must still verify pairs")
+    val ranked = Dedup.globalRank(
+      rows.select(col("doc_id"), col("lang"), col("n_chars")),
+      Seq("lang", "n_chars", "doc_id"))
+      .orderBy(col("rank")).select(col("doc_id")).as[Long].collect()
+    assert(ranked.take(2).toSet == Set(1L, 3L) && ranked.drop(2).toSet == Set(2L, 4L),
+      s"NULL keys must rank LAST (DuckDB order), got ${ranked.mkString(",")}")
+  }
+
   test("hybrid dedup: every pair from either modality lands in one component") {
     val emb = Tables.embeddings(spark, sf)
     val textPairs = Dedup.sortedNeighborhoodPairs(docs, Seq("n_chars"), 10, 0.5)

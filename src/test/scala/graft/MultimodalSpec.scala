@@ -210,6 +210,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("quarantine is total: readImage never throws on adversarial bytes") {
+    // ImageIO readers raise RuntimeExceptions (not just IOException) on
+    // malformed payloads — a valid magic number followed by garbage or
+    // truncation is the classic trigger. The quarantine contract is that
+    // EVERY such payload maps to None instead of crashing the task.
+    val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val jpegMagic = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
+    val gifMagic = "GIF89a".getBytes("ASCII")
+    val bmpMagic = Array[Byte]('B', 'M')
+    val real = png(16, 16)((x, y) => (x * 16 + y) * 0x010101)
+    val adversarial: Seq[Array[Byte]] =
+      Seq(pngMagic, jpegMagic, gifMagic, bmpMagic).flatMap { magic =>
+        Seq(
+          magic, // magic only
+          magic ++ Array.fill[Byte](64)(0), // zero body
+          magic ++ Array.fill[Byte](256)(0xff.toByte), // saturated body
+          magic ++ Array.tabulate[Byte](512)(i => (i * 31 + 7).toByte)) // pseudo-random body
+      } ++ Seq(
+        Array.emptyByteArray,
+        real.take(real.length / 2), // truncated real PNG
+        real.take(24), // header cut mid-IHDR
+        real.updated(20, 0xff.toByte).updated(21, 0xff.toByte)) // corrupted dims
+    adversarial.foreach { payload =>
+      val r = Multimodal.readImage(payload) // must not throw, ever
+      assert(r.isEmpty || r.get.getWidth > 0) // decoded-or-quarantined, no third state
+    }
+    assert(Multimodal.readImage(real).exists(i => i.getWidth == 16 && i.getHeight == 16))
+  }
+
   test("L12: payload dies at feature extraction; aggregation sees only features") {
     val plan = Multimodal.decodeStats(spark, sf).queryExecution.optimizedPlan.toString.toLowerCase
     val decodeAt = plan.indexOf("mappartitions")

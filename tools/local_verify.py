@@ -84,27 +84,29 @@ for name in sorted(os.listdir(out_dir)):
     got = pd.concat([pd.read_parquet(p) for p in glob.glob(f"{path}/*.parquet")])
     counts[name] = len(got)
     # ratio guard runs FIRST: a collapsed row count fails even when the
-    # oracle agrees (same dead pipeline on both sides == no evidence)
+    # oracle agrees (same dead pipeline on both sides == no evidence).
+    # Exempt entries check their band UNCONDITIONALLY (not only when the
+    # generic floor trips): an exempt count landing ABOVE the floor but
+    # outside its declared band is just as anomalous as one below it.
     if baseline is not None and name in baseline:
         base, cur = baseline[name], len(got)
-        if base > 0 and cur < args.ratio_floor * base:
-            if name in RATIO_EXEMPT:
-                reason, bounds = RATIO_EXEMPT[name]
-                lo, hi = bounds(args.factor)
-                if lo <= cur / base <= hi:
-                    print(f"  [ok-exempt] {name}: {cur} rows vs baseline {base} "
-                          f"(in expected [{lo:.3g}, {hi:.3g}]x) — {reason}")
-                else:
-                    print(f"FAIL {name}: exempt entry OUTSIDE its expected ratio "
-                          f"band — {cur} rows vs baseline {base} "
-                          f"(ratio {cur / base:.3g}, expected [{lo:.3g}, {hi:.3g}])")
-                    fails += 1
-                    continue
+        if base > 0 and name in RATIO_EXEMPT:
+            reason, bounds = RATIO_EXEMPT[name]
+            lo, hi = bounds(args.factor)
+            if lo <= cur / base <= hi:
+                print(f"  [ok-exempt] {name}: {cur} rows vs baseline {base} "
+                      f"(in expected [{lo:.3g}, {hi:.3g}]x) — {reason}")
             else:
-                print(f"FAIL {name}: row-count collapse — {cur} rows vs "
-                      f"baseline {base} (floor {args.ratio_floor})")
+                print(f"FAIL {name}: exempt entry OUTSIDE its expected ratio "
+                      f"band — {cur} rows vs baseline {base} "
+                      f"(ratio {cur / base:.3g}, expected [{lo:.3g}, {hi:.3g}])")
                 fails += 1
                 continue
+        elif base > 0 and cur < args.ratio_floor * base:
+            print(f"FAIL {name}: row-count collapse — {cur} rows vs "
+                  f"baseline {base} (floor {args.ratio_floor})")
+            fails += 1
+            continue
     if name not in oracle:
         print(f"  [rows-only] {name}: {len(got)} rows")
         continue
