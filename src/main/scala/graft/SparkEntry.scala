@@ -395,6 +395,32 @@ object SparkEntry {
     * 3× average blocking-key density), recomputed over the same
     * documents table so engine and oracle always agree on the window
     * at ANY scale factor. */
+  /** q_ewma twin: `h` lag terms with the engine's exact integer
+    * weights w_j = 7^j · 10^(h−1−j) (the adjusted-EWMA ratio scaled by
+    * 10^(h−1) so (0.7)^j needs no pow() in either engine). HUGEINT
+    * products mirror the engine's DECIMAL(38,0); missing lags at
+    * series start drop from numerator AND denominator. */
+  private def ewmaOracleSql(h: Int): String = {
+    val weights = (0 until h).map(j =>
+      java.math.BigDecimal.valueOf(7).pow(j)
+        .multiply(java.math.BigDecimal.TEN.pow(h - 1 - j)).toBigInteger)
+    val lags = (0 until h).map(j => s"lag(cnt, $j) OVER w AS l$j").mkString(", ")
+    val num = (0 until h).map(j =>
+      s"coalesce(CAST(l$j AS HUGEINT) * ${weights(j)}, 0)").mkString(" + ")
+    val den = (0 until h).map(j =>
+      s"CASE WHEN l$j IS NOT NULL THEN CAST(${weights(j)} AS HUGEINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH daily AS (
+      | SELECT event_type, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+      |  count(*) AS cnt
+      | FROM events GROUP BY 1, 2),
+      |l AS (SELECT event_type, day, cnt, $lags
+      |      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+      |SELECT event_type, CAST(day AS BIGINT) AS day, cnt,
+      | round(CAST(($num) AS DOUBLE) / CAST(($den) AS DOUBLE), 4) AS ewma
+      |FROM l ORDER BY event_type, day""".stripMargin
+  }
+
   private val snmWindowSql =
     """win AS (SELECT greatest(10, least(256,
       |  (3 * count(*) + count(DISTINCT coalesce(CAST(n_chars AS VARCHAR), chr(2))) - 1)
@@ -1394,6 +1420,20 @@ object SparkEntry {
     "q_rolling_anomaly" -> ((s, dir) => TimeSeries.rollingAnomalies(s, dir)),
     // X97: first-touch ordered funnel view -> click -> purchase
     "q_event_funnel" -> ((s, dir) => TimeSeries.funnel(s, dir)),
+    // X190: finite-horizon EWMA of daily counts, integer-exact weights
+    "q_ewma" -> (TimeSeries.ewmaDaily(_, _)),
+    // X191: lag-1..7 autocorrelation of the daily count series
+    "q_autocorr" -> (TimeSeries.autocorrDaily(_, _)),
+    // X192: monthly OHLC bars over the order-value series
+    "q_ohlc" -> (TimeSeries.ohlcMonthly _),
+    // X195: per-day tie-aware Mann-Whitney AUC, purchase vs rest
+    "stats_auc" -> (EventAnalytics.aucDaily(_, _)),
+    // X193: published Gopher quality ruleset, per-doc signals + verdict
+    "quality_gopher" -> ((s, dir) =>
+      TextStats.gopherRules(Tables.documents(s, dir))),
+    // X194: token-coverage curve (vocab concentration ladder)
+    "text_coverage" -> ((s, dir) =>
+      TextStats.tokenCoverage(Tables.documents(s, dir))),
     // X98: explicit GROUPING SETS ((lang, source), (lang), ())
     "q_grouping_sets" -> (Relational.groupingSetsAgg _),
     // X99: threshold (range) vector search — the ε-neighborhood query
@@ -3663,6 +3703,123 @@ object SparkEntry {
         | last_value(avg_v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_filled
         |FROM j ORDER BY event_type, day""".stripMargin,
+    // EWMA twin: same integer weights 7^j*10^(15-j) (HUGEINT products
+    // mirror the engine's DECIMAL sums; only the final divide floats)
+    "q_ewma" -> ewmaOracleSql(16),
+    // autocorr twin: mean-scaled integer deviations d = n*x - S; the
+    // n^2 factor cancels in each num/den ratio
+    "q_autocorr" -> {
+      val lags = (1 to 7).map(k => s"lag(dv, $k) OVER w AS d$k").mkString(", ")
+      val rs = (1 to 7).map(k =>
+        s"round(CAST(sum(dv * d$k) AS DOUBLE) / CAST(sum(dv * dv) AS DOUBLE), 6) AS r$k")
+        .mkString(",\n        | ")
+      s"""WITH daily AS (
+        | SELECT event_type, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+        |  count(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(cnt) AS s, count(*) AS n FROM daily GROUP BY 1),
+        |dev AS (
+        | SELECT d.event_type, d.day, CAST(t.n * d.cnt - t.s AS HUGEINT) AS dv
+        | FROM daily d JOIN tot t USING (event_type)),
+        |l AS (SELECT event_type, dv, $lags
+        |      FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type,
+        | $rs
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+    // OHLC twin: first/last by the (date, key) total order via two
+    // row_numbers; DECIMAL-exact mean
+    "q_ohlc" ->
+      """WITH o AS (
+        | SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+        |  o_orderdate, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        | FROM orders),
+        |r AS (SELECT month, p,
+        |  row_number() OVER (PARTITION BY month ORDER BY o_orderdate, o_orderkey) AS ra,
+        |  row_number() OVER (PARTITION BY month ORDER BY o_orderdate DESC, o_orderkey DESC) AS rb
+        | FROM o)
+        |SELECT month,
+        | CAST(max(CASE WHEN ra = 1 THEN p END) AS DOUBLE) AS open,
+        | CAST(max(p) AS DOUBLE) AS high,
+        | CAST(min(p) AS DOUBLE) AS low,
+        | CAST(max(CASE WHEN rb = 1 THEN p END) AS DOUBLE) AS close,
+        | count(*) AS n,
+        | CAST((CAST(sum(p) * 10000 AS BIGINT) * 2 + count(*)) // (count(*) * 2)
+        |   AS DOUBLE) / 10000.0 AS avg_price
+        |FROM r GROUP BY month ORDER BY month""".stripMargin,
+    // AUC twin: identical distinct-cents cells, strictly-below running
+    // negatives, HUGEINT numerator, one floating divide
+    "stats_auc" ->
+      """WITH cells AS (
+        | SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS q
+        | FROM events GROUP BY 1, 2),
+        |c2 AS (SELECT day, p, q,
+        |  coalesce(sum(q) OVER (PARTITION BY day ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS qb
+        | FROM cells),
+        |t AS (SELECT day, sum(p) AS np, sum(q) AS nq FROM cells GROUP BY 1),
+        |nm AS (SELECT day, sum(CAST(p AS HUGEINT) * (2 * qb + q)) AS num2 FROM c2 GROUP BY 1)
+        |SELECT CAST(nm.day AS BIGINT) AS day,
+        | CAST(np AS BIGINT) AS n_pos, CAST(nq AS BIGINT) AS n_neg,
+        | round(CAST(num2 AS DOUBLE) / (2.0 * np * nq), 6) AS auc
+        |FROM nm JOIN t USING (day) WHERE np > 0 AND nq > 0 ORDER BY day""".stripMargin,
+    // Gopher twin: the identical seven rules over the same token/line
+    // splits; every ratio derived from integer counts
+    "quality_gopher" ->
+      """WITH t AS (
+        | SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk,
+        |  list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS ln
+        | FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        | SELECT doc_id,
+        |  len(tk) AS n_words,
+        |  list_sum(list_transform(tk, x -> len(x))) AS chars,
+        |  len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+        |  len(list_filter(tk, x -> list_contains(
+        |    ['the','be','to','of','and','that','have','with'], lower(x)))) AS n_stop,
+        |  CAST((len(text) - len(replace(text, '#', ''))) +
+        |       (len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS sym,
+        |  len(ln) AS nl,
+        |  len(list_filter(ln, x -> starts_with(x, '-') OR starts_with(x, '*')
+        |      OR starts_with(x, '•'))) AS bull,
+        |  len(list_filter(ln, x -> ends_with(x, '...'))) AS ell
+        | FROM t)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        | round(CAST(chars AS DOUBLE) / greatest(n_words, 1), 4) AS mean_word_len,
+        | round(CAST(alpha AS DOUBLE) / greatest(n_words, 1), 4) AS frac_alpha,
+        | CAST(n_stop AS BIGINT) AS n_stop,
+        | round(CAST(sym AS DOUBLE) / greatest(n_words, 1), 4) AS sym_ratio,
+        | CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+        |   AND (CAST(chars AS DOUBLE) / greatest(n_words, 1)) BETWEEN 3.0 AND 10.0
+        |   AND (CAST(alpha AS DOUBLE) / greatest(n_words, 1)) >= 0.8
+        |   AND n_stop >= 2
+        |   AND (CAST(sym AS DOUBLE) / greatest(n_words, 1)) <= 0.1
+        |   AND CAST(bull AS DOUBLE) <= nl * 0.9
+        |   AND CAST(ell AS DOUBLE) <= nl * 0.3
+        |  THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // coverage twin: same (n DESC, tok) type ranking, same ladder
+    "text_coverage" ->
+      """WITH tok AS (
+        | SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |   x -> len(x) > 0)) AS tok
+        | FROM documents WHERE text IS NOT NULL),
+        |ty AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |        CAST(count(*) AS BIGINT) AS n_types FROM ty),
+        |top AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rk
+        |        FROM ty ORDER BY n DESC, tok LIMIT 1000),
+        |lad AS (SELECT k, CAST(sum(n) AS BIGINT) AS cum_tokens
+        |        FROM top CROSS JOIN (SELECT unnest([1, 10, 100, 1000]) AS k) u
+        |        WHERE rk <= k GROUP BY k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        | least(cum_tokens, total) AS cum_tokens, n_types,
+        | round(CAST(cum_tokens AS DOUBLE) / total, 6) AS coverage
+        |FROM lad CROSS JOIN tot ORDER BY k""".stripMargin,
     // rolling twin: identical 20-row frame on (epoch micros, event_id),
     // DECIMAL frame sums, identical double mean/variance arithmetic
     "q_rolling_anomaly" ->

@@ -583,4 +583,45 @@ object EventAnalytics {
           .as("gini"))
       .orderBy($"event_type")
   }
+
+  /** X195: per-day ROC AUC of the event value separating purchases
+    * from everything else — the Mann–Whitney readout every
+    * score-vs-label evaluation (quality classifiers, rerankers,
+    * fraud scores) runs. Tie-aware: tied scores contribute half a
+    * concordant pair, i.e. AUC = Σ_v [pos_v·negBelow_v + pos_v·neg_v/2]
+    * over distinct score values v — computed ×2 in integers so the
+    * whole statistic is one exact BIGINT sum and the only floating op
+    * is the final divide.
+    *
+    * Scale: events collapse to (day, cents) cells in ONE map-side-
+    * combined aggregation — the per-day window then runs over DISTINCT
+    * SCORE VALUES (≤ 49k cells for 2-decimal scores, a constant
+    * ceiling at any corpus size), never over events. Day totals ride
+    * a broadcast join back. */
+  def aucDaily(spark: SparkSession, sfDir: String,
+               posType: String = "purchase"): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, sfDir)
+      .select(datediff(to_date($"ts"), lit("2024-01-01")).cast("long").as("day"),
+        round($"value" * 100).cast("long").as("cents"),
+        when($"event_type" === posType, 1L).otherwise(0L).as("isPos"))
+      .groupBy($"day", $"cents")
+      .agg(sum($"isPos").as("p"), sum(lit(1L) - $"isPos").as("q"))
+    val w = Window.partitionBy($"day").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = cells.groupBy($"day")
+      .agg(sum($"p").as("np"), sum($"q").as("nq"))
+    cells
+      .withColumn("qBelow", coalesce(sum($"q").over(w), lit(0L)))
+      // DECIMAL: Σ p·(2·qb+q) approaches 2·P·N — past BIGINT at
+      // petabyte-scale daily volumes, so the sum must not overflow
+      .withColumn("num2",
+        $"p".cast("decimal(38,0)") * (lit(2L) * $"qBelow" + $"q"))
+      .groupBy($"day").agg(sum($"num2").as("num2"))
+      .join(broadcast(totals), "day")
+      .where($"np" > 0 && $"nq" > 0)
+      .select($"day", $"np".as("n_pos"), $"nq".as("n_neg"),
+        round($"num2".cast("double") / (lit(2.0) * $"np" * $"nq"), 6).as("auc"))
+      .orderBy($"day")
+  }
 }

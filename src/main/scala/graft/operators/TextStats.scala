@@ -274,6 +274,107 @@ object TextStats {
           codePunct.cast("double") / n >= 0.01).as("is_code"))
   }
 
+  /** X193: the published Gopher document-quality rules (Rae et al.
+    * 2021, "Scaling Language Models: ... Gopher", App. A1.1) as
+    * per-document signals + verdict — the reference ruleset curation
+    * pipelines start from before tuning their own thresholds:
+    *
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [3, 10];
+    *  - ≥ 80% of words contain at least one alphabetic character;
+    *  - ≥ 2 stop words from the canonical 8-word probe set
+    *    (the, be, to, of, and, that, have, with);
+    *  - symbol-to-word ratio (# or ellipsis) ≤ 0.1;
+    *  - ≤ 90% of lines starting with a bullet, ≤ 30% ending in an
+    *    ellipsis.
+    *
+    * Every signal is computed per-row inside the scan over ONE shared
+    * token projection — no shuffle at all (the output is a column-add,
+    * the 100 TB shape of any row-wise filter). `pass` is 0/1 so the
+    * verdict aggregates cheaply downstream. */
+  def gopherRules(docs: DataFrame, minWords: Long = 50,
+                  maxWords: Long = 100000,
+                  textCol: String = "text"): DataFrame = {
+    val t = filter(split(col(textCol), "\\s+"), x => length(x) > 0)
+    val lines = filter(split(col(textCol), "\n"), x => length(x) > 0)
+    val probe = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val sig = docs.where(col(textCol).isNotNull)
+      .select(col("doc_id"), col(textCol).as("__x"), t.as("__t"), lines.as("__l"))
+      .select(col("doc_id"),
+        size(col("__t")).cast("long").as("n_words"),
+        aggregate(col("__t"), lit(0L), (a, x) => a + length(x)).as("__chars"),
+        size(filter(col("__t"), x => x.rlike("[A-Za-z]"))).cast("long").as("__alpha"),
+        size(filter(col("__t"),
+          x => lower(x).isin(probe.map(lit): _*))).cast("long").as("n_stop"),
+        ((length(col("__x")) - length(replace(col("__x"), lit("#"), lit("")))) +
+          (length(col("__x")) - length(replace(col("__x"), lit("..."), lit("")))) / 3)
+          .cast("long").as("__sym"),
+        size(col("__l")).cast("long").as("__nl"),
+        size(filter(col("__l"), l =>
+          l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+          .cast("long").as("__bull"),
+        size(filter(col("__l"), l => l.endsWith("..."))).cast("long").as("__ell"))
+    val meanLen = col("__chars").cast("double") / greatest(col("n_words"), lit(1L))
+    val fracAlpha = col("__alpha").cast("double") / greatest(col("n_words"), lit(1L))
+    val symRatio = col("__sym").cast("double") / greatest(col("n_words"), lit(1L))
+    val pass =
+      col("n_words").between(minWords, maxWords) &&
+        meanLen.between(3.0, 10.0) &&
+        fracAlpha >= 0.8 &&
+        col("n_stop") >= 2 &&
+        symRatio <= 0.1 &&
+        (col("__bull").cast("double") <= col("__nl") * 0.9) &&
+        (col("__ell").cast("double") <= col("__nl") * 0.3)
+    sig.select(col("doc_id"), col("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(fracAlpha, 4).as("frac_alpha"),
+      col("n_stop"),
+      round(symRatio, 4).as("sym_ratio"),
+      when(pass, 1L).otherwise(0L).as("pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X194: token-coverage curve — what fraction of all token
+    * OCCURRENCES the k most frequent types cover, for a ladder of k.
+    * The vocabulary-sizing readout every tokenizer/BPE plan starts
+    * from (coverage@k is the complement of the OOV rate a k-entry
+    * vocab would leave). Ties rank lexicographically so the curve is
+    * deterministic.
+    *
+    * Scale: ONE map-side-combined shuffle on the token (cardinality =
+    * vocabulary, not corpus); the ladder cut ranks only the top
+    * max(ks) types (orderBy + limit — a bounded top-k, never a global
+    * sort of the corpus) and the cumulative sum runs over those
+    * ≤ max(ks) rows. Totals ride a broadcast single-row join. */
+  def tokenCoverage(docs: DataFrame, ks: Seq[Int] = Seq(1, 10, 100, 1000),
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kMax = ks.max
+    val types = docs.where(col(textCol).isNotNull)
+      .select(explode(filter(split(lower(col(textCol)), "\\s+"),
+        x => length(x) > 0)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val totals = types.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_types"))
+    // the global window is SAFE here: it ranks the ≤ kMax rows the
+    // limit already cut, never the vocabulary (let alone the corpus)
+    val top = types.orderBy(col("n").desc, col("tok")).limit(kMax)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("tok"))).cast("long"))
+    // one pass over the ≤ kMax ranked types: each type row contributes
+    // its count to every ladder rung at-or-above its rank
+    val ksArr = array(ks.map(k => lit(k.toLong)): _*)
+    val ladder = top
+      .select(col("n"), explode(filter(ksArr, k => k >= col("rk"))).as("k"))
+      .groupBy(col("k")).agg(sum(col("n")).as("cum_tokens"))
+    ladder.crossJoin(broadcast(totals))
+      .select(col("k"),
+        least(col("cum_tokens"), col("total")).as("cum_tokens"),
+        col("n_types"),
+        round(col("cum_tokens").cast("double") / col("total"), 6).as("coverage"))
+      .orderBy(col("k"))
+  }
+
   def skipgrams(docs: DataFrame, window: Int = 2, k: Int = 20,
                 textCol: String = "text"): DataFrame = {
     val t = graft.functions.TextFunctions.tokens(lower(col(textCol)))

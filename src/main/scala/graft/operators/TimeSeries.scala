@@ -344,7 +344,9 @@ object TimeSeries {
     lagged
       .select($"event_type", $"d", explode(array(terms: _*)).as("t"))
       .groupBy($"event_type")
-      .agg(sum($"d" * $"d").as("den"),
+      // the explode fans each day ×maxLag, so the denominator Σd² must
+      // count each day ONCE — the k=1 guard picks exactly one copy
+      .agg(sum(when($"t.k" === 1, $"d" * $"d")).as("den"),
         // per-k numerators: condition on the struct's own k so one
         // pass folds all lags (NULL lag products drop from the sum)
         (1 to maxLag).map(k =>
@@ -363,6 +365,16 @@ object TimeSeries {
     * deterministic under any partitioning. ONE map-side-combined
     * aggregation (min_by/max_by carry O(1) state); output is bounded
     * by the calendar, never the data. */
+  /** Half-up integer division (2·sp·10^4 + n) div (2n), then the exact
+    * double divide by 10^4 — a 4-dp mean independent of either
+    * engine's double-rounding at the halfway cases. */
+  private def avgPrice4(sp: org.apache.spark.sql.Column,
+                        n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val x = (sp * 10000).cast("long") * 2 + n
+    val d = n * 2
+    (((x - x % d) / d).cast("long").cast("double") / 10000.0).as("avg_price")
+  }
+
   def ohlcMonthly(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ord = struct($"o_orderdate", $"o_orderkey")
@@ -381,7 +393,12 @@ object TimeSeries {
       .select($"month",
         $"open".cast("double").as("open"), $"high".cast("double").as("high"),
         $"low".cast("double").as("low"), $"close".cast("double").as("close"),
-        $"n", round($"sp".cast("double") / $"n", 4).as("avg_price"))
+        $"n",
+        // 4-dp mean via integer half-up division — round(double/n, 4)
+        // is engine-dependent exactly at the .00005 halfway cases.
+        // (x - x % d) / d is exact: the dividend is a long multiple of
+        // d below 2^53, so the double divide introduces no error.
+        avgPrice4($"sp", $"n"))
       .orderBy($"month")
   }
 }

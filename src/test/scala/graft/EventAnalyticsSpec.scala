@@ -411,4 +411,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
       assert(seq.zip(seq.drop(1)).forall { case (x, y) => y >= x - 1e-9 })
     }
   }
+
+  test("X195 auc: matches the all-pairs Mann-Whitney count with half-credit ties") {
+    val got = operators.EventAnalytics.aucDaily(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .selectExpr("datediff(to_date(ts), '2024-01-01') AS day",
+        "CAST(round(value * 100) AS LONG) AS cents",
+        "event_type = 'purchase' AS pos")
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getBoolean(2)))
+    ev.groupBy(_._1).foreach { case (day, rows) =>
+      val pos = rows.filter(_._3).map(_._2)
+      val neg = rows.filterNot(_._3).map(_._2)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        // the O(P*N) definition: concordant pairs + half the ties
+        val num = (for (p <- pos; n <- neg) yield
+          if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+        val expect = num / (pos.length.toLong * neg.length)
+        val (np, nq, auc) = got(day)
+        assert(np == pos.length && nq == neg.length)
+        assert(math.abs(auc - expect) < 1e-6, s"day $day: $auc vs $expect")
+      } else assert(!got.contains(day))
+    }
+  }
 }

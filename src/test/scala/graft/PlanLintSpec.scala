@@ -86,10 +86,13 @@ class PlanLintSpec extends AnyFunSuite {
     *    drift CELL tables (|event types| × |buckets| rows, metadata-
     *    sized regardless of event count);
     *  - q_cum_distinct: running sum over the per-DAY first-seen
-    *    rollup (≤ |calendar days| rows regardless of event count).
+    *    rollup (≤ |calendar days| rows regardless of event count);
+    *  - text_coverage: ranks the ≤ max(ks) type rows a LIMIT already
+    *    cut from the vocabulary-bounded type counts.
     * Anything not listed here that adds a global window fails. */
   private val boundedGlobalWindows: Set[String] =
-    Set("search_hybrid_rrf", "stats_chi2_cells", "stats_psi", "q_cum_distinct")
+    Set("search_hybrid_rrf", "stats_chi2_cells", "stats_psi", "q_cum_distinct",
+      "text_coverage")
 
   test("no new unpartitioned Window (global single-partition sort) in any gated plan") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}

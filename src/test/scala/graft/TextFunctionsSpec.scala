@@ -155,4 +155,70 @@ class TextFunctionsSpec extends AnyFunSuite {
       .collect()(0)
     assert(r.getDouble(1) == 1.0)
   }
+
+  test("X193 gopher rules: each rule flips the verdict on a crafted violator") {
+    import spark.implicits._
+    val goodWords = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the of and that have with" // 66 words, mean len ~5, 6 stopwords
+    val docs = Seq(
+      (1L, goodWords), // passes every rule
+      (2L, "the of and that"), // too few words
+      (3L, (1 to 60).map(_ => "a").mkString(" ") + " the of"), // mean word len < 3
+      (4L, (1 to 60).map(i => s"99$i").mkString(" ") + " the of"), // alpha frac < 0.8
+      (5L, (1 to 60).map(i => s"word$i").mkString(" ")), // no stopwords
+      (6L, (1 to 60).map(i => s"word$i #").mkString(" ") + " the of"), // symbol ratio > 0.1
+      (7L, (1 to 60).map(i => s"- bullet$i line\n").mkString + "the of have that and"),
+      (8L, (1 to 30).map(i => s"word$i trailing...\n").mkString + "the of have with and"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextStats.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(got(1L) == 1L, "the compliant doc must pass")
+    (2L to 6L).foreach(id => assert(got(id) == 0L, s"doc $id must fail its rule"))
+    // the line rules: doc 7 is >90% bullet lines, doc 8 >30% ellipsis ends
+    assert(got(7L) == 0L && got(8L) == 0L)
+  }
+
+  test("X193 gopher rules: metrics match a token-level recompute on real docs") {
+    val docs = Tables.documents(spark, sf)
+    val got = graft.operators.TextStats.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(6)))).toMap
+    val raw = docs.selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size == raw.length)
+    val stop = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    raw.foreach { case (id, text) =>
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      val (nw, ml, fa, ns, pass) = got(id)
+      assert(nw == t.length)
+      assert(math.abs(ml - t.map(_.length).sum.toDouble / t.length) < 1e-3)
+      assert(math.abs(fa - t.count(_.exists(_.isLetter)).toDouble / t.length) < 1e-3)
+      assert(ns == t.count(x => stop(x.toLowerCase)))
+      val expectPass = t.length >= 50 && t.length <= 100000 &&
+        (t.map(_.length).sum.toDouble / t.length) >= 3.0 &&
+        (t.map(_.length).sum.toDouble / t.length) <= 10.0 &&
+        t.count(_.exists(_.isLetter)).toDouble / t.length >= 0.8 &&
+        t.count(x => stop(x.toLowerCase)) >= 2
+      assert(pass == (if (expectPass) 1L else 0L), s"doc $id verdict")
+    }
+  }
+
+  test("X194 coverage: ladder equals the sorted type-frequency cumulative shares") {
+    val docs = Tables.documents(spark, sf)
+    val got = graft.operators.TextStats.tokenCoverage(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val toks = docs.selectExpr("lower(text) AS t").collect()
+      .flatMap(_.getString(0).split("\\s+").filter(_.nonEmpty))
+    val types = toks.groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+      .toSeq.sortBy { case (t, n) => (-n, t) }
+    val total = toks.length.toLong
+    assert(got.keySet == Set(1L, 10L, 100L, 1000L))
+    got.foreach { case (k, (cum, nTypes, cov)) =>
+      val expect = types.take(k.toInt).map(_._2).sum
+      assert(cum == math.min(expect, total), s"k=$k cum")
+      assert(nTypes == types.size)
+      assert(math.abs(cov - expect.toDouble / total) < 1e-6, s"k=$k coverage")
+    }
+  }
 }

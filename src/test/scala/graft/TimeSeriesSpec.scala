@@ -180,4 +180,76 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(u3 == firsts.count { case (a, b, c) =>
       a.nonEmpty && b.nonEmpty && c.nonEmpty && a.get <= b.get && b.get <= c.get })
   }
+
+  /** Shared brute force: per-type daily counts, day-indexed. */
+  private def dailyCounts(): Map[String, Seq[(Long, Long)]] =
+    Tables.events(spark, sf)
+      .selectExpr("event_type", "datediff(to_date(ts), '2024-01-01') AS day")
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong))
+      .groupBy(_._1).map { case (t, rs) =>
+        t -> rs.groupBy(_._2).map { case (d, xs) => (d, xs.size.toLong) }
+          .toSeq.sortBy(_._1)
+      }
+
+  test("X190 ewma: matches a double-precision adjusted EWMA brute force") {
+    val got = TimeSeries.ewmaDaily(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val daily = dailyCounts()
+    assert(got.nonEmpty && got.size == daily.values.map(_.size).sum)
+    daily.foreach { case (t, series) =>
+      series.indices.foreach { i =>
+        val trail = series.slice(math.max(0, i - 15), i + 1).map(_._2).reverse
+        val ws = trail.indices.map(j => math.pow(0.7, j))
+        val expect = trail.zip(ws).map { case (x, w) => x * w }.sum / ws.sum
+        val (cnt, ewma) = got((t, series(i)._1))
+        assert(cnt == series(i)._2)
+        assert(math.abs(ewma - expect) < 2e-4,
+          s"$t day ${series(i)._1}: $ewma vs $expect")
+      }
+    }
+  }
+
+  test("X191 autocorr: matches the lag-k Pearson numerators over the count series") {
+    val got = TimeSeries.autocorrDaily(spark, sf).collect()
+      .map(r => r.getString(0) -> (1 to 7).map(k => r.getDouble(k)))
+      .toMap
+    val daily = dailyCounts()
+    assert(got.size == daily.size)
+    daily.foreach { case (t, series) =>
+      val xs = series.map(_._2.toDouble)
+      val mean = xs.sum / xs.size
+      val den = xs.map(x => (x - mean) * (x - mean)).sum
+      (1 to 7).foreach { k =>
+        val num = (k until xs.size).map(i => (xs(i) - mean) * (xs(i - k) - mean)).sum
+        assert(math.abs(got(t)(k - 1) - num / den) < 1e-4,
+          s"$t lag $k: ${got(t)(k - 1)} vs ${num / den}")
+      }
+    }
+  }
+
+  test("X192 ohlc: bars equal the per-month sorted series endpoints and extremes") {
+    val got = TimeSeries.ohlcMonthly(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    val rows = Tables.orders(spark, sf)
+      .selectExpr("date_format(o_orderdate, 'yyyy-MM') AS m",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS d",
+        "o_orderkey", "CAST(o_totalprice AS DECIMAL(18,2)) AS p")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDecimal(3)))
+    val byMonth = rows.groupBy(_._1)
+    assert(got.size == byMonth.size)
+    byMonth.foreach { case (m, os) =>
+      val sorted = os.sortBy(o => (o._2, o._3)).map(_._4.doubleValue)
+      val (open, high, low, close, n, avg) = got(m)
+      assert(open == sorted.head && close == sorted.last)
+      assert(high == sorted.max && low == sorted.min)
+      assert(n == sorted.length)
+      val exact = os.map(o => BigDecimal(o._4)).sum / os.length
+      assert(math.abs(avg - exact.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"$m avg: $avg vs $exact")
+    }
+  }
 }
