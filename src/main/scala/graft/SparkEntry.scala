@@ -432,7 +432,50 @@ object SparkEntry {
     * at 1e-9 — every matvec and norm an exact order-free sum; the
     * only floating steps are sqrt and the rounds, identical double
     * ops in both engines), then the per-row integer dot projection. */
-  private def pcaOracleSql(iters: Int): String = {
+  private def pcaOracleSql(iters: Int): String =
+    pcaLoadingsCtes(iters) + (
+    s"""
+       |SELECT dq.id AS vec_id,
+       | round(CAST(sum(dq.q * vm.m) AS DOUBLE) / 1e15, 4) + 0 AS pc1
+       |FROM (SELECT id, CAST(pos AS BIGINT) - 1 AS i,
+       |       CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT) AS q
+       |      FROM (SELECT vec_id AS id, unnest(embedding) AS x,
+       |                   unnest(range(1, len(embedding)+1)) AS pos FROM embeddings)) dq
+       |JOIN v$iters vm ON vm.i = dq.i
+       |GROUP BY dq.id ORDER BY vec_id""".stripMargin)
+
+  /** embed_abtt twin: the PCA loadings CTEs + the quantized mean
+    * (exact half-away-from-zero HUGEINT division of the DECIMAL dim
+    * sums), then per-vector exact BIGINT dot/norm sums and the SAME
+    * fixed double-op sequence as the engine for c1 / residual. */
+  private def abttOracleSql(iters: Int): String =
+    pcaLoadingsCtes(iters) + (
+    s""",
+       |mu AS MATERIALIZED (
+       | SELECT i, CASE WHEN sx >= 0
+       |   THEN (2 * CAST(sx AS HUGEINT) + n) // (2 * CAST(n AS HUGEINT))
+       |   ELSE -((2 * CAST(-sx AS HUGEINT) + n) // (2 * CAST(n AS HUGEINT))) END AS muq
+       | FROM marg),
+       |bsum AS (SELECT CAST(sum(m * m) AS DOUBLE) AS bb FROM v$iters),
+       |yq AS (
+       | SELECT dq.id, dq.i, dq.q - mu.muq AS y
+       | FROM (SELECT id, CAST(pos AS BIGINT) - 1 AS i,
+       |        CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT) AS q
+       |       FROM (SELECT vec_id AS id, unnest(embedding) AS x,
+       |                    unnest(range(1, len(embedding)+1)) AS pos FROM embeddings)) dq
+       | JOIN mu ON mu.i = dq.i),
+       |per AS (
+       | SELECT y.id, CAST(sum(y.y * vm.m) AS BIGINT) AS dot,
+       |  CAST(sum(y.y * y.y) AS BIGINT) AS n2
+       | FROM yq y JOIN v$iters vm ON vm.i = y.i GROUP BY y.id)
+       |SELECT id AS vec_id,
+       | round(CAST(dot AS DOUBLE) * 1000.0 / bb, 4) + 0 AS c1,
+       | round(sqrt(greatest(CAST(n2 AS DOUBLE) / 1e12 -
+       |   (CAST(dot AS DOUBLE) * 1000.0 / bb) * (CAST(dot AS DOUBLE) * 1000.0 / bb)
+       |     * bb / 1e18, 0)), 4) + 0 AS resid_norm
+       |FROM per CROSS JOIN bsum ORDER BY vec_id""".stripMargin)
+
+  private def pcaLoadingsCtes(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH dims AS (
@@ -476,16 +519,6 @@ object SparkEntry {
            |          AS BIGINT) AS m
            |        FROM n$k, nr$k)""".stripMargin)
     }
-    sb.append(
-      s"""
-         |SELECT dq.id AS vec_id,
-         | round(CAST(sum(dq.q * vm.m) AS DOUBLE) / 1e15, 4) + 0 AS pc1
-         |FROM (SELECT id, CAST(pos AS BIGINT) - 1 AS i,
-         |       CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT) AS q
-         |      FROM (SELECT vec_id AS id, unnest(embedding) AS x,
-         |                   unnest(range(1, len(embedding)+1)) AS pos FROM embeddings)) dq
-         |JOIN v$iters vm ON vm.i = dq.i
-         |GROUP BY dq.id ORDER BY vec_id""".stripMargin)
     sb.toString
   }
 
@@ -1109,6 +1142,10 @@ object SparkEntry {
     // (bounded metadata), per-row exact-long dot inside the scan
     "embed_pca" -> ((s, dir) =>
       EmbeddingStats.pcaProjection(Tables.embeddings(s, dir))),
+    // X196: all-but-the-top post-processing — removed top-PC
+    // coefficient + residual norm per vector (Mu & Viswanath 2018)
+    "embed_abtt" -> ((s, dir) =>
+      EmbeddingStats.allButTop(Tables.embeddings(s, dir))),
     // scalar int8 quantization summary: codes pinned via saturation
     // count + code sum, plus the original↔dequantized cosine retention
     "embed_quantize" -> ((s, dir) =>
@@ -2889,6 +2926,7 @@ object SparkEntry {
     // PCA twin: 8 unrolled integer power-iteration rounds + the
     // integer dot projection (pcaOracleSql)
     "embed_pca" -> pcaOracleSql(8),
+    "embed_abtt" -> abttOracleSql(8),
     // int8 twin: same max-abs half-up quantization (identical double
     // op order: x/maxabs*127+0.5, then code·(maxabs/127)), then the
     // exact-top-k pipeline over the dequantized vectors

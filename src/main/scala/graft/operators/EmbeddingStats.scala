@@ -113,14 +113,14 @@ object EmbeddingStats {
     * broadcast back as literals; the actual data pass is the per-row
     * integer dot product (one generate-free projection inside the
     * scan, exact long arithmetic). Returns (vec_id, pc1). */
-  def pcaProjection(emb: DataFrame, iters: Int = 8,
-                    vecCol: String = "embedding",
-                    idCol: String = "vec_id"): DataFrame = {
+  /** The shared power-iteration core: top-eigenvector loadings at
+    * 10⁻⁹ (integer), from the X161 exact covariance — None on empty
+    * input. Driver-side over the d×d BOUNDED-METADATA matrix; see
+    * [[pcaProjection]] for the determinism argument. */
+  private[graft] def topLoadings(emb: DataFrame, iters: Int,
+                                 vecCol: String, idCol: String): Option[Array[Long]] = {
     val covRows = covarianceMatrix(emb, vecCol, idCol).collect()
-    // empty input → empty projection (not a driver-side .max crash)
-    if (covRows.isEmpty)
-      return emb.select(col(idCol).cast("long").as("vec_id"),
-        lit(0.0).as("pc1")).limit(0)
+    if (covRows.isEmpty) return None
     val d = covRows.map(_.getLong(1)).max.toInt + 1
     val c = Array.ofDim[Long](d, d)
     covRows.foreach { r =>
@@ -142,6 +142,18 @@ object EmbeddingStats {
         BigDecimal(v * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       }
     }
+    Some(m)
+  }
+
+  def pcaProjection(emb: DataFrame, iters: Int = 8,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val mOpt = topLoadings(emb, iters, vecCol, idCol)
+    // empty input → empty projection (not a driver-side .max crash)
+    if (mOpt.isEmpty)
+      return emb.select(col(idCol).cast("long").as("vec_id"),
+        lit(0.0).as("pc1")).limit(0)
+    val m = mOpt.get
     val loadings = array(m.map(lit): _*)
     emb.select(col(idCol).cast("long").as("vec_id"),
         aggregate(
@@ -151,6 +163,68 @@ object EmbeddingStats {
           lit(0L), (acc, x) => acc + x).as("__dot"))
       .select(col("vec_id"),
         round(col("__dot").cast("double") / 1e15, 4).as("pc1"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** X196: all-but-the-top embedding post-processing (Mu & Viswanath
+    * 2018, "All-but-the-Top: Simple and Effective Postprocessing for
+    * Word Representations"): mean-center each vector and remove its
+    * projection onto the top principal direction — the anisotropy fix
+    * that reliably improves similarity quality of trained embeddings.
+    * Per vector this returns the removed coefficient c₁ = v̂ᵀ(x−μ)/‖v̂‖²
+    * and the residual norm ‖(x−μ) − c₁v̂‖ — the two diagnostics a
+    * pipeline reads (how much common-direction energy each vector
+    * carried, what survives).
+    *
+    * Determinism: μ is quantized at 10⁻⁶ by exact integer
+    * half-away-from-zero division of the DECIMAL dim sums, v̂ is the
+    * integer power-iteration loadings ([[topLoadings]]), and every
+    * per-row sum (dot, squared norm) is EXACT LONG arithmetic —
+    * |y|≤2·10⁶, |m|≤10⁹, d=64 keeps everything under 2⁶³. The final
+    * c₁/residual combination is a fixed sequence of IEEE double ops
+    * mirrored verbatim by the DuckDB twin.
+    *
+    * Scale shape: two bounded-metadata driver artifacts (the d-row
+    * dim sums and the d loadings) broadcast back as literals; the
+    * data pass is one generate-free per-row projection inside the
+    * scan — the same shape as [[pcaProjection]]. */
+  def allButTop(emb: DataFrame, iters: Int = 8,
+                vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame = {
+    val mOpt = topLoadings(emb, iters, vecCol, idCol)
+    if (mOpt.isEmpty)
+      return emb.select(col(idCol).cast("long").as("vec_id"),
+        lit(0.0).as("c1"), lit(0.0).as("resid_norm")).limit(0)
+    val m = mOpt.get
+    // d-row exact dim sums -> quantized mean (bounded metadata, the
+    // covariance marg shape)
+    val sums = emb
+      .select(posexplode(transform(col(vecCol),
+        x => round(x.cast("double") * 1e6, 0).cast("decimal(38,0)")))
+        .as(Seq("i", "xq")))
+      .groupBy(col("i")).agg(sum(col("xq")).as("sx"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> (BigInt(r.getDecimal(1).toBigInteger), r.getLong(2)))
+      .toMap
+    val d = m.length
+    val n = sums.head._2._2
+    val muq = Array.tabulate(d) { i =>
+      val sx = sums(i)._1
+      // exact half-away-from-zero integer division sx / n at 10^-6
+      val q = (sx.abs * 2 + n) / (2 * n)
+      (if (sx < 0) -q else q).toLong
+    }
+    val bDouble = m.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+    val muArr = array(muq.map(lit): _*)
+    val mArr = array(m.map(lit): _*)
+    val xq = transform(col(vecCol), x => round(x.cast("double") * 1e6, 0).cast("long"))
+    val yq = zip_with(xq, muArr, (a, b) => a - b)
+    val dot = aggregate(zip_with(yq, mArr, (a, b) => a * b), lit(0L), _ + _)
+    val n2 = aggregate(transform(yq, a => a * a), lit(0L), _ + _)
+    val c1 = dot.cast("double") * lit(1000.0) / lit(bDouble)
+    val resid = sqrt(greatest(
+      n2.cast("double") / lit(1e12) - c1 * c1 * lit(bDouble) / lit(1e18), lit(0.0)))
+    emb.select(col(idCol).cast("long").as("vec_id"),
+        round(c1, 4).as("c1"), round(resid, 4).as("resid_norm"))
       .orderBy(col("vec_id"))
   }
 

@@ -142,4 +142,38 @@ class EmbeddingStatsSpec extends AnyFunSuite {
     // the projection is non-degenerate: spread across vectors
     assert(got.values.toSet.size > vecs.size / 10)
   }
+
+  test("X196 abtt: c1/residual match an exact integer recompute; energy decomposes") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = EmbeddingStats.allButTop(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val m = EmbeddingStats.topLoadings(emb, 8, "embedding", "vec_id").get
+    val vecs = emb.selectExpr("CAST(vec_id AS LONG)", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val d = m.length
+    val n = vecs.size.toLong
+    // the operator's own quantization chain, recomputed independently
+    def q6(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val sx = Array.tabulate(d)(i => vecs.values.map(v => BigInt(q6(v(i)))).sum)
+    val muq = Array.tabulate(d) { i =>
+      val a = (sx(i).abs * 2 + n) / (2 * n)
+      (if (sx(i) < 0) -a else a).toLong
+    }
+    val b = m.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+    assert(got.size == vecs.size)
+    vecs.foreach { case (id, v) =>
+      val yq = Array.tabulate(d)(i => q6(v(i)) - muq(i))
+      val dot = yq.zip(m).map { case (y, mi) => y * mi }.sum
+      val n2 = yq.map(y => y * y).sum
+      val c1 = dot.toDouble * 1000.0 / b
+      val resid = math.sqrt(math.max(n2.toDouble / 1e12 - c1 * c1 * b / 1e18, 0.0))
+      val (gc, gr) = got(id)
+      assert(math.abs(gc - c1) < 1e-4 + 1e-9, s"vec $id c1: $gc vs $c1")
+      assert(math.abs(gr - resid) < 1e-4 + 1e-9, s"vec $id resid: $gr vs $resid")
+      // Pythagoras: removed energy + residual energy == centered norm
+      // (tolerance covers the 4-dp output rounding: d(r^2) ~ 2r*5e-5)
+      assert(gr * gr + c1 * c1 * b / 1e18 <= n2.toDouble / 1e12 + 5e-4)
+    }
+  }
 }
