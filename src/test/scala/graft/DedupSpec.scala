@@ -447,22 +447,29 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("SNM candidate stage is memoized across verifiers over the same input") {
+    import spark.implicits._
+    // a UNIQUE inline corpus: other suites exercise the gated entries
+    // over Tables.documents and may have already cached that exact
+    // (plan, sortCols, window) key — this test must own its key
+    val uniq = (1L to 40L).map(i =>
+      (i, s"memo probe body alpha beta gamma delta token$i", "en", 40L + i % 7))
+      .toDF("doc_id", "text", "lang", "n_chars")
     val before = Dedup.candidateCacheSize
     // three different verifiers, same (docs plan, sortCols, window):
     // one candidate build, one cache entry
-    val snm = Dedup.sortedNeighborhoodPairs(Tables.documents(spark, sf),
+    val snm = Dedup.sortedNeighborhoodPairs(uniq,
       Seq("n_chars"), window = 0, minJaccard = 0.5).count()
     val mid = Dedup.candidateCacheSize
-    Dedup.containmentPairs(Tables.documents(spark, sf),
+    Dedup.containmentPairs(uniq,
       Seq("n_chars"), window = 0, minContainment = 0.5).count()
-    Dedup.editDistancePairs(Tables.documents(spark, sf),
+    Dedup.editDistancePairs(uniq,
       Seq("n_chars"), window = 0, minSim = 0.6, prefixChars = 64).count()
     assert(snm > 0)
-    assert(mid > before, "first verifier populates the cache")
+    assert(mid == before + 1, "first verifier populates the cache")
     assert(Dedup.candidateCacheSize == mid,
       "same-input verifiers must reuse the cached candidate stage")
     // a DIFFERENT window is a different candidate set — not shareable
-    Dedup.sortedNeighborhoodPairs(Tables.documents(spark, sf),
+    Dedup.sortedNeighborhoodPairs(uniq,
       Seq("n_chars"), window = 5, minJaccard = 0.5).count()
     assert(Dedup.candidateCacheSize == mid + 1)
   }
