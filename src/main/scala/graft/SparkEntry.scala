@@ -316,6 +316,64 @@ object SparkEntry {
        |SELECT vtx AS vec_id, r AS pagerank FROM r$iters ORDER BY vec_id""".stripMargin
   }
 
+  /** Label-propagation twin: the banded mutual-edge substrate plus
+    * `iters` UNROLLED synchronous rounds — per round a (node, label)
+    * count and a (count DESC, label) argmax, nodes without neighbors
+    * carrying their previous label. Labels are integers end to end. */
+  private def labelPropOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""cnt$i AS (
+         | SELECT sym.a AS id, l.label, count(*) AS c
+         | FROM sym JOIN l${i - 1} l ON l.id = sym.b
+         | GROUP BY 1, 2),
+         |best$i AS (
+         | SELECT id, label FROM (
+         |  SELECT id, label,
+         |   row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+         |  FROM cnt$i) WHERE rn = 1),
+         |l$i AS MATERIALIZED (
+         | SELECT p.id, coalesce(b.label, p.label) AS label
+         | FROM l${i - 1} p LEFT JOIN best$i b ON b.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bandedKnnTopSql(4, 500, 10)},
+       |me AS (SELECT t.q_id AS a, t.c_id AS b
+       |       FROM top t JOIN top r ON r.q_id = t.c_id AND r.c_id = t.q_id
+       |       WHERE t.q_id < t.c_id),
+       |sym AS (SELECT a, b FROM me UNION ALL SELECT b, a FROM me),
+       |l0 AS (SELECT vec_id AS id, vec_id AS label FROM embeddings),
+       |$rounds
+       |SELECT id AS vec_id, CAST(label AS BIGINT) AS label
+       |FROM l$iters ORDER BY vec_id""".stripMargin
+  }
+
+  /** Matryoshka twin: one exact-cosine top-k arm per truncation width
+    * (list slice INSIDE list_cosine_similarity, (s DESC, c_id) tie
+    * order exactly like the TopKBuffer), overlap counted against the
+    * materialized full-width answer. */
+  private def matryoshkaOracleSql(dims: Seq[Int], k: Int,
+                                  nQueries: Int): String = {
+    val arms = dims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dims, q_id, c_id FROM (
+         | SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |   ORDER BY list_cosine_similarity(qv[1:$d], cv[1:$d]) DESC, c_id) AS rank
+         | FROM q CROSS JOIN c WHERE q_id <> c_id) WHERE rank <= $k""".stripMargin
+    }.mkString("\n UNION ALL\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id < $nQueries),
+       |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |full_top AS MATERIALIZED (
+       | SELECT q_id, c_id FROM (
+       |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY list_cosine_similarity(qv, cv) DESC, c_id) AS rank
+       |  FROM q CROSS JOIN c WHERE q_id <> c_id) WHERE rank <= $k),
+       |tr AS ($arms)
+       |SELECT q_id, dims,
+       | CAST(sum(CASE WHEN f.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+       | round(CAST(sum(CASE WHEN f.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $k, 2) AS recall
+       |FROM tr LEFT JOIN full_top f USING (q_id, c_id)
+       |GROUP BY q_id, dims ORDER BY q_id, dims""".stripMargin
+  }
+
   private def bm25OracleSql(terms: Seq[String], k: Int,
                             k1: Double = 1.2, b: Double = 0.75): String = {
     val termValues = terms.map(t => s"('$t')").mkString(", ")
@@ -1758,6 +1816,33 @@ object SparkEntry {
     // X154: common-neighbor link prediction over the mutual-kNN graph
     "graph_link_pred" -> ((s, dir) =>
       Graph.linkPredictionEdges(bandedGraphEdges(s, dir))),
+    // X197: Mann–Kendall monotonic-trend test on each type's daily
+    // count series — integer S + ×18 tie-corrected variance, doubles
+    // only in the final z/tau sequence
+    "stats_mann_kendall" -> (Inference.mannKendallDaily _),
+    // X198: tie-aware Spearman rank correlation (n_chars vs token
+    // count) per language — doubled ranks keep the tie averages in
+    // integer space
+    "stats_spearman" -> (Inference.spearmanByLang _),
+    // X199: one-way ANOVA F of order value across order priorities —
+    // exact DECIMAL group sums, fixed left-assoc cross-group fold
+    "q_anova" -> (Inference.anovaPriority _),
+    // X200: lang × source pointwise mutual information cells — exact
+    // marginals over the bounded cell table, per-cell ln only
+    "stats_mutual_info" -> (Inference.mutualInfoCells _),
+    // X201: two-sided CUSUM changepoint walk over daily counts —
+    // the max(0, ·) recurrence in 100n-scaled exact integers
+    "q_cusum" -> (TimeSeries.cusumDaily _),
+    // X202: label-propagation communities over the mutual-kNN graph —
+    // synchronous rounds, most-frequent-then-smallest label, all
+    // integer
+    "graph_label_prop" -> ((s, dir) =>
+      Graph.labelPropagationEdges(
+        Tables.embeddings(s, dir), bandedGraphEdges(s, dir), iters = 4)),
+    // X203: Matryoshka truncation eval — top-10 overlap of
+    // prefix-truncated cosine search vs the full 64-dim answer
+    "embed_matryoshka" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(Tables.embeddings(s, dir))),
   )
 
   /** The graph family's shared edge substrate: undirected mutual edges
@@ -4710,5 +4795,157 @@ object SparkEntry {
         | min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us,
         | min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Mann–Kendall twin: the identical pair self-join over the daily
+    // table, ×18 tie-corrected variance and ×2 tau denominators in
+    // integers, the same final z/tau double sequence
+    "stats_mann_kendall" ->
+      """WITH daily AS (
+        | SELECT event_type, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+        |  count(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |s AS (
+        | SELECT a.event_type,
+        |  CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+        |                WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        | FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type AND a.day < b.day
+        | GROUP BY 1),
+        |nn AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1),
+        |ties AS (
+        | SELECT event_type, sum(t*(t-1)*(2*t+5)) AS tie3,
+        |  CAST(sum(t*(t-1))/2 AS BIGINT) AS tx
+        | FROM (SELECT event_type, cnt, count(*) AS t FROM daily GROUP BY 1, 2)
+        | GROUP BY 1),
+        |j AS (
+        | SELECT s.event_type, CAST(nn.n AS BIGINT) AS n, s_stat,
+        |  CAST(nn.n*(nn.n-1)*(2*nn.n+5) - tie3 AS BIGINT) AS var18,
+        |  CAST(nn.n*(nn.n-1)/2 AS BIGINT) AS d0, tx
+        | FROM s JOIN nn USING (event_type) JOIN ties USING (event_type))
+        |SELECT event_type, n, s_stat, var18,
+        | round(CASE
+        |  WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |  WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |  ELSE 0.0 END, 4) AS z,
+        | round(CAST(s_stat AS DOUBLE) / sqrt(CAST((d0 - tx) * d0 AS DOUBLE)), 4) AS tau
+        |FROM j ORDER BY event_type""".stripMargin,
+    // Spearman twin: identical doubled average ranks (2·rank_min +
+    // ties − 1) in HUGEINT, identical Pearson-on-ranks sequence with
+    // sqrt-before-product
+    "stats_spearman" ->
+      """WITH base AS (
+        | SELECT lang, CAST(n_chars AS BIGINT) AS x,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS y
+        | FROM documents),
+        |r AS (
+        | SELECT lang,
+        |  CAST(2 * rank() OVER (PARTITION BY lang ORDER BY x)
+        |       + count(*) OVER (PARTITION BY lang, x) - 1 AS HUGEINT) AS r2x,
+        |  CAST(2 * rank() OVER (PARTITION BY lang ORDER BY y)
+        |       + count(*) OVER (PARTITION BY lang, y) - 1 AS HUGEINT) AS r2y
+        | FROM base),
+        |a AS (
+        | SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+        |  sum(r2x) AS sx, sum(r2y) AS sy,
+        |  sum(r2x*r2x) AS sxx, sum(r2y*r2y) AS syy, sum(r2x*r2y) AS sxy
+        | FROM r GROUP BY 1)
+        |SELECT lang, CAST(n AS BIGINT) AS n,
+        | round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |  (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS rho
+        |FROM a ORDER BY lang""".stripMargin,
+    // ANOVA twin: exact HUGEINT group sums, then the SAME left-assoc
+    // priority-ordered double fold ((((t1+t2)+t3)+t4)+t5 — the
+    // aggregate() order on the Spark side) for SSW and ΣS²/n
+    "q_anova" ->
+      """WITH g AS (
+        | SELECT o_orderpriority AS prio, CAST(count(*) AS HUGEINT) AS ng,
+        |  CAST(sum(c) AS HUGEINT) AS sg, CAST(sum(c*c) AS HUGEINT) AS qg
+        | FROM (SELECT o_orderpriority,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c
+        |       FROM orders
+        |       WHERE o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',
+        |                                 '4-NOT SPECIFIED','5-LOW'))
+        | GROUP BY 1),
+        |t AS (
+        | SELECT prio,
+        |  CAST(ng*qg - sg*sg AS DOUBLE) / CAST(ng AS DOUBLE) AS tw,
+        |  CAST(sg*sg AS DOUBLE) / CAST(ng AS DOUBLE) AS tb, ng, sg
+        | FROM g),
+        |tot AS (
+        | SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS HUGEINT) AS s
+        | FROM g),
+        |f AS (
+        | SELECT tot.k, tot.n,
+        |  (CAST(0.0 AS DOUBLE)
+        |   + (SELECT tw FROM t WHERE prio = '1-URGENT')
+        |   + (SELECT tw FROM t WHERE prio = '2-HIGH')
+        |   + (SELECT tw FROM t WHERE prio = '3-MEDIUM')
+        |   + (SELECT tw FROM t WHERE prio = '4-NOT SPECIFIED')
+        |   + (SELECT tw FROM t WHERE prio = '5-LOW')) / 10000.0 AS ssw,
+        |  ((CAST(0.0 AS DOUBLE)
+        |   + (SELECT tb FROM t WHERE prio = '1-URGENT')
+        |   + (SELECT tb FROM t WHERE prio = '2-HIGH')
+        |   + (SELECT tb FROM t WHERE prio = '3-MEDIUM')
+        |   + (SELECT tb FROM t WHERE prio = '4-NOT SPECIFIED')
+        |   + (SELECT tb FROM t WHERE prio = '5-LOW'))
+        |   - CAST(tot.s * tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE)) / 10000.0 AS ssb
+        | FROM tot)
+        |SELECT k, n, round(ssb, 4) AS ssb, round(ssw, 4) AS ssw,
+        | round((ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)), 4) AS f_stat,
+        | round(ssb / (ssb + ssw), 6) AS eta_sq
+        |FROM f""".stripMargin,
+    // PMI twin: marginals as window sums over the bounded cell table,
+    // per-cell ln from exact-integer operands — no cross-cell float
+    // accumulation anywhere, so round(4) has nothing to absorb but
+    // the engines' shared ln
+    "stats_mutual_info" ->
+      """WITH cells AS (
+        | SELECT lang, source, CAST(count(*) AS BIGINT) AS c_xy
+        | FROM documents GROUP BY 1, 2),
+        |m AS (
+        | SELECT lang, source, c_xy,
+        |  CAST(sum(c_xy) OVER (PARTITION BY lang) AS BIGINT) AS c_x,
+        |  CAST(sum(c_xy) OVER (PARTITION BY source) AS BIGINT) AS c_y,
+        |  CAST(sum(c_xy) OVER () AS BIGINT) AS n
+        | FROM cells)
+        |SELECT lang, source, c_xy, c_x, c_y,
+        | round(ln(CAST(n * c_xy AS DOUBLE) / CAST(c_x * c_y AS DOUBLE)), 4) AS pmi,
+        | round(1000.0 * (CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE))
+        |       * ln(CAST(n * c_xy AS DOUBLE) / CAST(c_x * c_y AS DOUBLE)), 4) AS mi_millinat
+        |FROM m ORDER BY lang, source""".stripMargin,
+    // CUSUM twin: the identical 100n-scaled integer recurrence as a
+    // recursive CTE stepping rn → rn+1 per type
+    "q_cusum" ->
+      """WITH RECURSIVE daily AS (
+        | SELECT event_type, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+        |  count(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(cnt) AS s, count(*) AS n FROM daily GROUP BY 1),
+        |ord AS (
+        | SELECT d.event_type, d.day, d.cnt, t.s, t.n,
+        |  row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+        | FROM daily d JOIN tot t USING (event_type)),
+        |walk AS (
+        | SELECT event_type, day, cnt, s, n, rn,
+        |  greatest(CAST(0 AS BIGINT), 100*n*cnt - 101*s) AS up,
+        |  greatest(CAST(0 AS BIGINT), 99*s - 100*n*cnt) AS dn
+        | FROM ord WHERE rn = 1
+        | UNION ALL
+        | SELECT o.event_type, o.day, o.cnt, o.s, o.n, o.rn,
+        |  greatest(CAST(0 AS BIGINT), w.up + 100*o.n*o.cnt - 101*o.s),
+        |  greatest(CAST(0 AS BIGINT), w.dn + 99*o.s - 100*o.n*o.cnt)
+        | FROM ord o JOIN walk w
+        |  ON o.event_type = w.event_type AND o.rn = w.rn + 1)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, CAST(cnt AS BIGINT) AS cnt,
+        | CAST(up AS BIGINT) AS cusum_up, CAST(dn AS BIGINT) AS cusum_dn,
+        | CAST(CASE WHEN up > 500*s THEN 1 ELSE 0 END AS BIGINT) AS alarm_up,
+        | CAST(CASE WHEN dn > 500*s THEN 1 ELSE 0 END AS BIGINT) AS alarm_dn
+        |FROM walk ORDER BY event_type, day""".stripMargin,
+    // label-propagation twin: banded mutual edges + 4 unrolled
+    // synchronous rounds, (count DESC, label) argmax per node
+    "graph_label_prop" -> labelPropOracleSql(4),
+    // Matryoshka twin: per-width exact-cosine top-10 arms over sliced
+    // lists, overlap vs the materialized full-width answer
+    "embed_matryoshka" -> matryoshkaOracleSql(Seq(8, 16, 32, 64), 10, 8),
   )
 }

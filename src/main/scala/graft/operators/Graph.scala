@@ -114,6 +114,46 @@ object Graph {
       .limit(topN)
   }
 
+  /** X202: label-propagation community detection (Raghavan et al.
+    * 2007) over the mutual-kNN graph — the near-linear community
+    * finder that turns the similarity graph into topic clusters
+    * without a cluster-count parameter (vs the IVF route's fixed k).
+    *
+    * Determinism: labels are vertex ids (pure integers — no floats
+    * anywhere), updates are SYNCHRONOUS over a fixed `iters` rounds,
+    * and each node adopts its neighborhood's most frequent label with
+    * ties broken toward the SMALLEST label — a total order, so the
+    * result is partitioning-independent and the DuckDB twin unrolls
+    * the identical rounds. Isolated nodes keep their own label.
+    *
+    * Scale shape per round: one join of the (≤2kN)-row symmetric edge
+    * list against the N-row label table keyed on the neighbor, one
+    * (node, label) count, one per-node argmax via min_by on the
+    * (−count, label) struct — all degree-bounded; lineage is fenced
+    * per round like [[pageRankEdges]] so the plan doesn't nest. */
+  def labelPropagationEdges(nodes: DataFrame, e: DataFrame,
+                            iters: Int = 4): DataFrame = {
+    val sym = Checkpoints.fence(
+      e.unionAll(e.select(col("b").as("a"), col("a").as("b"))))
+    var labels = nodes.select(col("vec_id").cast("long").as("id"))
+      .withColumn("label", col("id"))
+    (1 to iters).foreach { _ =>
+      val best = sym
+        .join(labels.select(col("id").as("nbr"), col("label")),
+          sym("b") === col("nbr"))
+        .groupBy(sym("a").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("id"))
+        .agg(min_by(col("label"),
+          struct((-col("cnt")).as("nc"), col("label"))).as("nl"))
+      labels = Checkpoints.fence(labels
+        .join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nl"), col("label")).as("label")))
+    }
+    labels.select(col("id").as("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-node triangle participation + degree + local clustering
     * coefficient over the mutual-kNN graph; nodes with degree < 2
     * have undefined coefficient and report 0 triangles, cc = 0. */

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Statistical-inference operators — the hypothesis-test / effect-size
+  * layer a metrics pipeline runs AFTER the descriptive stats the
+  * reference's numeric-stats DSL (src/main.rs:611-689 min/max/avg)
+  * stops at: monotonic-trend detection, rank correlation, one-way
+  * variance analysis, and categorical association.
+  *
+  * Shared determinism contract (the codebase-wide rule): every sum the
+  * tests need is an exact integer/DECIMAL aggregate, so results are
+  * independent of partition count and accumulation order; doubles
+  * appear only in a FINAL fixed sequence of IEEE ops (divide, sqrt,
+  * ln) that the DuckDB twins replay verbatim.
+  *
+  * Shared scale shape: each test first collapses the corpus with ONE
+  * map-side-combined aggregation to a bounded summary (types × days,
+  * langs, priorities, lang × source cells); everything after runs on
+  * that summary, so pair joins and windows below are calendar- or
+  * cardinality-bounded, never data-bounded.
+  */
+object Inference {
+
+  private def dayCol = datediff(to_date(col("ts")), lit("2024-01-01"))
+
+  /** X197: Mann–Kendall monotonic-trend test (Mann 1945, Kendall's S)
+    * on each event type's daily count series — "is this metric
+    * drifting?" asked the distribution-free way, the test monitoring
+    * systems run before alerting on a slope.
+    *
+    * S = Σ_{i<j} sgn(x_j − x_i) over the day-ordered series: an exact
+    * integer from a pair self-join of the DAILY table (≤ |days|²/2 ×
+    * |types| rows — calendar-bounded, never data-bounded). The
+    * tie-corrected variance rides the ×18 integer
+    * 18·Var = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) and Kendall's
+    * tau-b denominator the ×2 integers D₀ = n(n−1)/2, T_x =
+    * Σ t_g(t_g−1)/2 (days are distinct so the time axis has no tie
+    * term). The continuity-corrected z and tau are the only doubles:
+    * z = (S∓1)/√(var18/18), tau = S/√((D₀−T_x)·D₀), both round(4). */
+  def mannKendallDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", dayCol.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = daily.as("a")
+    val b = daily.as("b")
+    val s = a.join(b,
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(when(col("b.cnt") > col("a.cnt"), 1L)
+        .when(col("b.cnt") < col("a.cnt"), -1L)
+        .otherwise(0L)).as("s_stat"))
+    val n = daily.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy($"event_type", $"cnt")
+      .agg(count(lit(1)).as("t"))
+      .groupBy($"event_type")
+      .agg(sum($"t" * ($"t" - 1) * (lit(2) * $"t" + 5)).as("tie3"),
+        (sum($"t" * ($"t" - 1)) / 2).cast("long").as("tx"))
+    val sigma = sqrt(col("var18").cast("double") / 18.0)
+    s.join(broadcast(n), "event_type")
+      .join(broadcast(ties), "event_type")
+      .withColumn("var18",
+        $"n" * ($"n" - 1) * (lit(2) * $"n" + 5) - $"tie3")
+      .withColumn("d0", ($"n" * ($"n" - 1) / 2).cast("long"))
+      .select($"event_type", $"n", $"s_stat", $"var18",
+        round(when($"s_stat" > 0, ($"s_stat" - 1).cast("double") / sigma)
+          .when($"s_stat" < 0, ($"s_stat" + 1).cast("double") / sigma)
+          .otherwise(0.0), 4).as("z"),
+        round($"s_stat".cast("double") /
+          sqrt((($"d0" - $"tx") * $"d0").cast("double")), 4).as("tau"))
+      .orderBy($"event_type")
+  }
+
+  /** X198: Spearman rank correlation between document length
+    * (n_chars) and token count, per language — the monotonic-
+    * association readout (is the char/token relationship stable per
+    * lang, i.e. is n_chars a valid cheap proxy for token budget?).
+    *
+    * Tie-aware average ranks stay in INTEGER space as doubled ranks
+    * r2 = 2·rank_min + (ties−1) = rank_min + rank_max (an integer even
+    * when the average rank is .5); Pearson-on-ranks then needs only
+    * the exact DECIMAL sums Σr2x, Σr2y, Σr2x², Σr2y², Σr2x·r2y (the
+    * doubled-rank factor cancels). Final ρ = (nΣxy − ΣxΣy) /
+    * (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) — two sqrts BEFORE the product so
+    * each radicand stays within DECIMAL(38) for n ≤ ~3·10⁸ per group
+    * (beyond that the radicand itself needs a wider type — documented
+    * bound, far past any per-language daily batch).
+    *
+    * Plan: one scan computes both measures, two windows on the SAME
+    * lang partition key (one exchange, two sorts), one tiny per-lang
+    * aggregate. */
+  def spearmanByLang(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir)
+      .select($"lang", $"n_chars".cast("long").as("x"),
+        size(filter(split($"text", "\\s+"), t => length(t) > 0))
+          .cast("long").as("y"))
+    val rx = rank().over(Window.partitionBy($"lang").orderBy($"x"))
+    val ry = rank().over(Window.partitionBy($"lang").orderBy($"y"))
+    val cx = count(lit(1)).over(Window.partitionBy($"lang", $"x"))
+    val cy = count(lit(1)).over(Window.partitionBy($"lang", $"y"))
+    val ranked = base
+      .withColumn("r2x", (lit(2) * rx + cx - 1).cast("decimal(38,0)"))
+      .withColumn("r2y", (lit(2) * ry + cy - 1).cast("decimal(38,0)"))
+    ranked.groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum($"r2x").as("sx"), sum($"r2y").as("sy"),
+        sum($"r2x" * $"r2x").as("sxx"), sum($"r2y" * $"r2y").as("syy"),
+        sum($"r2x" * $"r2y").as("sxy"))
+      .select($"lang", $"n",
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+            sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))), 6)
+          .as("rho"))
+      .orderBy($"lang")
+  }
+
+  /** The five TPC-H order priorities — the ANOVA's group universe is
+    * pinned so the cross-group double fold below has a DEFINED length
+    * and order on both engines. */
+  private[graft] val priorities = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** X199: one-way ANOVA F-test of order value across the five order
+    * priorities — "does this categorical segmentation explain any
+    * variance?", the gate before investing in per-segment models.
+    *
+    * Everything data-sized is exact: per-group n_g, S_g = Σcents,
+    * Q_g = Σcents² as DECIMAL(38,0) from ONE map-side-combined
+    * aggregation. The cross-group combine is 5 rows, and runs as a
+    * FIXED left-assoc double fold over the priority-sorted group
+    * array (the embed_abtt/q_anova pattern): SSW = Σ_g (n_g·Q_g −
+    * S_g²)/n_g and ΣS_g²/n_g accumulate in priority order — the
+    * DuckDB twin spells the same ((((t₁+t₂)+t₃)+t₄)+t₅) sequence —
+    * then SSB = ΣS_g²/n_g − S²/N, F = (SSB/(k−1))/(SSW/(N−k)).
+    * Sums are reported in dollars² (÷10⁴, one exact-sequence divide)
+    * at 4 dp; η² = SSB/(SSB+SSW) at 6 dp. */
+  def anovaPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cents = ($"o_totalprice".cast("decimal(18,2)") * 100)
+      .cast("decimal(38,0)")
+    val groups = Tables.orders(spark, sfDir)
+      .where($"o_orderpriority".isin(priorities: _*))
+      .select($"o_orderpriority".as("prio"), cents.as("c"))
+      .groupBy($"prio")
+      .agg(count(lit(1)).as("ng"), sum($"c").as("sg"),
+        sum($"c" * $"c").as("qg"))
+    groups
+      .groupBy()
+      .agg(sort_array(collect_list(struct($"prio", $"ng", $"sg", $"qg")))
+        .as("gs"),
+        count(lit(1)).as("k"), sum($"ng").as("n"),
+        sum($"sg").as("s"))
+      .withColumn("acc", expr(
+        """aggregate(gs,
+          |  struct(cast(0.0 as double) AS ssw, cast(0.0 as double) AS sb),
+          |  (a, g) -> struct(
+          |    a.ssw + cast(g.ng * g.qg - g.sg * g.sg as double)
+          |            / cast(g.ng as double) AS ssw,
+          |    a.sb + cast(g.sg * g.sg as double)
+          |           / cast(g.ng as double) AS sb))""".stripMargin))
+      .withColumn("ssw", $"acc.ssw" / 1.0e4)
+      .withColumn("ssb",
+        ($"acc.sb" - ($"s" * $"s").cast("double") / $"n".cast("double"))
+          / 1.0e4)
+      .select($"k", $"n",
+        round($"ssb", 4).as("ssb"), round($"ssw", 4).as("ssw"),
+        round(($"ssb" / ($"k" - 1).cast("double")) /
+          ($"ssw" / ($"n" - $"k").cast("double")), 4).as("f_stat"),
+        round($"ssb" / ($"ssb" + $"ssw"), 6).as("eta_sq"))
+  }
+
+  /** X200: pointwise mutual information between document language and
+    * source — the categorical-association table ("does src7 skew
+    * French?") a mixture designer reads before reweighting sources;
+    * summed, the mi_millinat column IS the lang↔source mutual
+    * information.
+    *
+    * One aggregation collapses the corpus to |lang|×|source| cells;
+    * marginals are window sums over that bounded cell table (the
+    * windows run on ≤ a few hundred rows at ANY corpus size). Counts
+    * are exact; each cell's doubles are one fixed sequence — pmi =
+    * ln((n·c_xy)/(c_x·c_y)) from exact-integer operands, mi_millinat
+    * = 1000·(c_xy/n)·pmi — with no cross-cell float accumulation
+    * anywhere, so there is no summation order to disagree on. */
+  def mutualInfoCells(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("c_xy"))
+    val cX = sum($"c_xy").over(Window.partitionBy($"lang"))
+    val cY = sum($"c_xy").over(Window.partitionBy($"source"))
+    val nTot = sum($"c_xy").over(Window.partitionBy())
+    val withMargins = cells
+      .select($"lang", $"source", $"c_xy",
+        cX.as("c_x"), cY.as("c_y"), nTot.as("n"))
+    val pmi = log(($"n" * $"c_xy").cast("double") /
+      ($"c_x" * $"c_y").cast("double"))
+    withMargins
+      .select($"lang", $"source", $"c_xy", $"c_x", $"c_y",
+        round(pmi, 4).as("pmi"),
+        round(lit(1000.0) * ($"c_xy".cast("double") / $"n".cast("double"))
+          * pmi, 4).as("mi_millinat"))
+      .orderBy($"lang", $"source")
+  }
+}

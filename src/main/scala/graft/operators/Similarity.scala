@@ -69,6 +69,42 @@ object Similarity {
         col("t.id").as("c_id"), col("t.score").as("score"))
   }
 
+  /** X203: Matryoshka truncation evaluation (Kusupati et al. 2022) —
+    * top-k overlap between cosine search on PREFIX-truncated
+    * embeddings (dims ∈ `dims`) and the full-dimension answer, per
+    * query. The readout that sizes how many leading dimensions a
+    * cheap first-pass index needs before the full-width rerank — the
+    * standard two-stage retrieval trade at 100 TB, where a 4× narrower
+    * scan is a 4× cheaper one.
+    *
+    * Exactness: each per-dims search IS [[bruteForceTopK]] (broadcast
+    * queries, bounded-heap top-k, (score desc, id) tie order); the
+    * overlap join against the full-width answer is an integer count.
+    * The widest entry in `dims` doubles as the self-check — its
+    * overlap is k by construction. Scale: |dims| passes over the
+    * candidates, each the L6 shape (no candidate shuffle, k rows per
+    * query move); the slice lives inside the scan projection. */
+  def matryoshkaRecall(vectors: DataFrame,
+                       dims: Seq[Int] = Seq(8, 16, 32, 64), k: Int = 10,
+                       nQueries: Int = 8, vecCol: String = "embedding",
+                       idCol: String = "vec_id"): DataFrame = {
+    val q = vectors.where(col(idCol) < nQueries)
+    val fullTop = bruteForceTopK(q, vectors, k, vecCol, idCol)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    val truncated = dims.map { d =>
+      val qd = q.withColumn(vecCol, slice(col(vecCol), 1, d))
+      val cd = vectors.withColumn(vecCol, slice(col(vecCol), 1, d))
+      bruteForceTopK(qd, cd, k, vecCol, idCol)
+        .withColumn("dims", lit(d.toLong))
+    }.reduce(_ unionAll _)
+    truncated.join(fullTop, Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"), col("dims"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("overlap"))
+      .select(col("q_id"), col("dims"), col("overlap"),
+        round(col("overlap").cast("double") / k, 2).as("recall"))
+      .orderBy(col("q_id"), col("dims"))
+  }
+
   /** L6b: range (threshold) search — ALL candidates with cosine ≥ tau
     * per query, the ε-neighborhood query a top-k can't answer (k
     * either truncates a dense neighborhood or pads a sparse one).

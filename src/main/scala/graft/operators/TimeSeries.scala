@@ -375,6 +375,59 @@ object TimeSeries {
     (((x - x % d) / d).cast("long").cast("double") / 10000.0).as("avg_price")
   }
 
+  /** X201: two-sided CUSUM changepoint detection (Page 1954) on each
+    * event type's daily count series — the sequential drift detector
+    * monitoring pipelines run on ingest volume: a sustained shift
+    * accumulates where a spike decays, the opposite trade to the
+    * z-score detector in [[rollingAnomalies]].
+    *
+    * The recurrence C⁺_t = max(0, C⁺_{t−1} + x_t − (μ+κ)) with target
+    * μ = S/n (the series' own mean) and slack κ = μ/100 stays in
+    * EXACT integers by scaling through by 100n: up_t = max(0,
+    * up_{t−1} + 100n·x_t − 101S) and down_t = max(0, down_{t−1} +
+    * 99S − 100n·x_t). Alarms fire when a side exceeds five scaled
+    * mean-days (500S). LONG suffices: |terms| ≤ 100·n·Σx ≤ 3.7·10¹⁶
+    * even at 10⁹ events/day over a year.
+    *
+    * A recurrence with a max() floor is not a window-function frame,
+    * so after the ONE daily aggregation each type's calendar-bounded
+    * series folds through `aggregate()` (≤366 steps per type — the
+    * same bounded-array move as [[ewmaDaily]]'s lag ladder); the
+    * DuckDB twin replays the identical recurrence as a recursive CTE.
+    */
+  def cusumDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", dayCol.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"cnt"))).as("xs"),
+        sum($"cnt").as("s"), count(lit(1)).as("n"))
+      .withColumn("walk", expr(
+        """aggregate(xs,
+          |  struct(cast(0 as bigint) AS up, cast(0 as bigint) AS dn,
+          |    cast(array() as
+          |      array<struct<day:int,cnt:bigint,up:bigint,dn:bigint>>)
+          |      AS out),
+          |  (a, x) -> struct(
+          |    greatest(cast(0 as bigint),
+          |      a.up + 100 * n * x.cnt - 101 * s) AS up,
+          |    greatest(cast(0 as bigint),
+          |      a.dn + 99 * s - 100 * n * x.cnt) AS dn,
+          |    concat(a.out, array(struct(x.day AS day, x.cnt AS cnt,
+          |      greatest(cast(0 as bigint),
+          |        a.up + 100 * n * x.cnt - 101 * s) AS up,
+          |      greatest(cast(0 as bigint),
+          |        a.dn + 99 * s - 100 * n * x.cnt) AS dn))) AS out)
+          |).out""".stripMargin))
+      .select($"event_type", $"s", explode($"walk").as("w"))
+      .select($"event_type", $"w.day".cast("long").as("day"),
+        $"w.cnt".as("cnt"), $"w.up".as("cusum_up"), $"w.dn".as("cusum_dn"),
+        when($"w.up" > lit(500) * $"s", 1L).otherwise(0L).as("alarm_up"),
+        when($"w.dn" > lit(500) * $"s", 1L).otherwise(0L).as("alarm_dn"))
+      .orderBy($"event_type", $"day")
+  }
+
   def ohlcMonthly(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ord = struct($"o_orderdate", $"o_orderkey")
