@@ -346,6 +346,28 @@ object SparkEntry {
        |FROM l$iters ORDER BY vec_id""".stripMargin
   }
 
+  /** k-core twin: the banded mutual-edge substrate plus `rounds`
+    * UNROLLED degree-peeling rounds (degrees over the surviving edge
+    * set, keep ≥ k, filter both endpoints), then in-core degrees. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""sym$i AS (SELECT a, b FROM e${i - 1} UNION ALL SELECT b, a FROM e${i - 1}),
+         |keep$i AS (SELECT a AS v FROM sym$i GROUP BY a HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         | SELECT e.a, e.b FROM e${i - 1} e
+         | JOIN keep$i ka ON ka.v = e.a JOIN keep$i kb ON kb.v = e.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bandedKnnTopSql(4, 500, 10)},
+       |me AS (SELECT t.q_id AS a, t.c_id AS b
+       |       FROM top t JOIN top r ON r.q_id = t.c_id AND r.c_id = t.q_id
+       |       WHERE t.q_id < t.c_id),
+       |e0 AS MATERIALIZED (SELECT a, b FROM me),
+       |$peels,
+       |symf AS (SELECT a, b FROM e$rounds UNION ALL SELECT b, a FROM e$rounds)
+       |SELECT a AS vec_id, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM symf GROUP BY a ORDER BY vec_id""".stripMargin
+  }
+
   /** Matryoshka twin: one exact-cosine top-k arm per truncation width
     * (list slice INSIDE list_cosine_similarity, (s DESC, c_id) tie
     * order exactly like the TopKBuffer), overlap counted against the
@@ -1843,6 +1865,35 @@ object SparkEntry {
     // prefix-truncated cosine search vs the full 64-dim answer
     "embed_matryoshka" -> ((s, dir) =>
       Similarity.matryoshkaRecall(Tables.embeddings(s, dir))),
+    // X204: leave-one-out kNN label classification over the banded
+    // kNN graph — most-frequent-then-smallest neighbor vote
+    "embed_knn_classify" -> ((s, dir) =>
+      EmbeddingStats.knnClassify(
+        Similarity.knnGraphBanded(Tables.embeddings(s, dir), 10,
+          numPlanes = 0, bands = 4, maxBucket = 500),
+        Tables.embeddings(s, dir))),
+    // X205: per-vector silhouette via normalized-sum linearity — no
+    // pairwise join, one label-sum broadcast
+    "embed_silhouette" -> ((s, dir) =>
+      EmbeddingStats.silhouette(Tables.embeddings(s, dir))),
+    // X206: Zipf power-law fit over the top-64 token frequency
+    // spectrum
+    "stats_zipf" -> ((s, dir) =>
+      TextStats.zipfFit(Tables.documents(s, dir))),
+    // X207: feature-hashing vectorizer — per-row bucket histogram
+    // inside the scan, zero vocabulary pass
+    "text_feature_hash" -> ((s, dir) =>
+      TextStats.featureHashing(Tables.documents(s, dir))),
+    // X208: plain-text line ingest round trip — tab-delimited stage,
+    // parse-back, per-lang rollup vs the original parquet
+    "ingest_text" -> (graft.sources.TextIngest.ingestEntry _),
+    // X209: 3-core degree peeling over the mutual-kNN graph (8
+    // unrolled rounds)
+    "graph_kcore" -> ((s, dir) =>
+      Graph.kCoreEdges(bandedGraphEdges(s, dir))),
+    // X210: per-user time-decayed engagement — exact integer
+    // half-life weights over a fixed 10^16 denominator
+    "q_decay_score" -> ((s, dir) => EventAnalytics.decayScore(s, dir)),
   )
 
   /** The graph family's shared edge substrate: undirected mutual edges
@@ -4947,5 +4998,112 @@ object SparkEntry {
     // Matryoshka twin: per-width exact-cosine top-10 arms over sliced
     // lists, overlap vs the materialized full-width answer
     "embed_matryoshka" -> matryoshkaOracleSql(Seq(8, 16, 32, 64), 10, 8),
+    // kNN-classify twin: the banded top-k substrate, neighbor label
+    // votes, (count DESC, label) argmax
+    "embed_knn_classify" ->
+      s"""WITH ${bandedKnnTopSql(4, 500, 10)},
+         |lab AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS lab FROM embeddings),
+         |votes AS (
+         | SELECT t.q_id, l.lab AS nbr_label, count(*) AS cnt
+         | FROM top t JOIN lab l ON l.id = t.c_id
+         | GROUP BY 1, 2),
+         |pred AS (
+         | SELECT q_id, nbr_label AS predicted FROM (
+         |  SELECT q_id, nbr_label,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cnt DESC, nbr_label) AS rn
+         |  FROM votes) WHERE rn = 1)
+         |SELECT p.q_id AS vec_id, o.lab AS label, p.predicted,
+         | CAST(CASE WHEN o.lab = p.predicted THEN 1 ELSE 0 END AS BIGINT) AS correct
+         |FROM pred p JOIN lab o ON o.id = p.q_id ORDER BY vec_id""".stripMargin,
+    // silhouette twin: identical normalization (sequential
+    // square-fold norm), per-label normalized sums rounded at 6 dp
+    // rebuilt as ordered lists, the same dot/mean/argmin sequence;
+    // + 0 folds DuckDB's -0.0
+    "embed_silhouette" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS g,
+        |            CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |nv AS MATERIALIZED (
+        | SELECT id, g, list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS w
+        | FROM v),
+        |u AS (SELECT g, unnest(w) AS x, unnest(range(1, len(w)+1)) AS pos FROM nv),
+        |sdim AS (SELECT g, pos, round(sum(x), 6) AS sx FROM u GROUP BY 1, 2),
+        |sv AS MATERIALIZED (SELECT g AS sg, list(sx ORDER BY pos) AS svec FROM sdim GROUP BY g),
+        |cnt AS (SELECT g AS cg, count(*) AS n FROM v GROUP BY 1),
+        |scored AS MATERIALIZED (
+        | SELECT nv.id, nv.g, sv.sg, cnt.n, list_inner_product(nv.w, sv.svec) AS d
+        | FROM nv CROSS JOIN sv JOIN cnt ON cnt.cg = sv.sg),
+        |own AS (SELECT id, g, 1.0 - (d - 1.0) / CAST(n - 1 AS DOUBLE) AS a_dist
+        |        FROM scored WHERE g = sg AND n > 1),
+        |oth AS (SELECT id, od AS b_dist, sg AS nearest_other FROM (
+        |  SELECT id, 1.0 - d / CAST(n AS DOUBLE) AS od, sg,
+        |   row_number() OVER (PARTITION BY id
+        |     ORDER BY 1.0 - d / CAST(n AS DOUBLE), sg) AS rn
+        |  FROM scored WHERE g <> sg) WHERE rn = 1)
+        |SELECT own.id AS vec_id, own.g AS label,
+        | round(a_dist, 4) + 0 AS a_dist, round(b_dist, 4) + 0 AS b_dist,
+        | nearest_other,
+        | round((b_dist - a_dist) / greatest(a_dist, b_dist), 4) + 0 AS sil
+        |FROM own JOIN oth USING (id) ORDER BY vec_id""".stripMargin,
+    // Zipf twin: same vocabulary cut and (n DESC, tok) ranking, same
+    // OLS closed forms over the 64-row ln table
+    "stats_zipf" ->
+      """WITH toks AS (
+        | SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |        x -> len(x) > 0)) AS tok
+        | FROM documents WHERE text IS NOT NULL),
+        |types AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+        |top AS (
+        | SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, tok) AS DOUBLE)) AS x,
+        |  ln(CAST(n AS DOUBLE)) AS y
+        | FROM (SELECT tok, n FROM types ORDER BY n DESC, tok LIMIT 64)),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx, sum(y) AS sy,
+        |      sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM top)
+        |SELECT k,
+        | round((k*sxy - sx*sy) / (k*sxx - sx*sx), 4) + 0 AS slope,
+        | round((sy - ((k*sxy - sx*sy) / (k*sxx - sx*sx)) * sx) / k, 4) + 0 AS intercept,
+        | round(((k*sxy - sx*sy) * (k*sxy - sx*sy)) /
+        |       ((k*sxx - sx*sx) * (k*syy - sy*sy)), 4) AS r2
+        |FROM a""".stripMargin,
+    // feature-hashing twin: the same md5-digit bucket via strpos
+    // arithmetic, grouped instead of row-folded — same counts
+    "text_feature_hash" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |         x -> len(x) > 0)) AS tok
+        | FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        | CAST((strpos('0123456789abcdef', substr(md5(tok), 8, 1)) - 1) % 16 AS BIGINT) AS bucket,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+    // text-ingest twin reads the ORIGINAL parquet: any tab-splitting
+    // or encoding drift in the text round trip breaks the hash
+    "ingest_text" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(len(text)) AS BIGINT) AS n_chars,
+        | CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      t -> len(t) > 0))) AS BIGINT) AS n_tokens,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // k-core twin: 8 unrolled peeling rounds over the banded mutual
+    // edges
+    "graph_kcore" -> kCoreOracleSql(3, 8),
+    // decay twin: the same integer weight ladder indexed by capped
+    // elapsed half-lives, HUGEINT sum, one display divide
+    "q_decay_score" -> {
+      val w = EventAnalytics.decayWeights(16).mkString("[", ", ", "]")
+      s"""WITH ev AS (
+         | SELECT user_id, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cents
+         | FROM events),
+         |r AS (SELECT max(day) AS ref FROM ev),
+         |k AS (SELECT user_id, cents,
+         |       least(CAST(floor((ref - day) / 7) AS INT), 16) AS kk
+         |      FROM ev CROSS JOIN r),
+         |w AS (SELECT user_id, cents * ($w)[kk + 1] AS num FROM k)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         | round(CAST(sum(num) AS DOUBLE) / 1.0e16, 6) AS decay_score
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+    },
   )
 }

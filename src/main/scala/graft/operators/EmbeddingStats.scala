@@ -237,6 +237,99 @@ object EmbeddingStats {
     * drifting or mislabeled. Two groupCentroids aggregates (map-side
     * combined, O(dim) state) + a |groups|-row join; the embedding
     * column never shuffles. */
+  /** X204: leave-one-out kNN label classification over the banded
+    * kNN graph — the label-quality audit (a vector whose neighbors
+    * vote a DIFFERENT label is a mislabel/boundary candidate, and the
+    * aggregate accuracy scores the labeling itself). Prediction =
+    * most frequent label among the top-k neighbors, ties toward the
+    * SMALLEST label — a total order, all integers.
+    *
+    * Takes the prebuilt (q_id, rank, c_id, …) kNN table so the edge
+    * substrate is shared with the graph family (banded: no all-pairs
+    * scorer); the label join broadcasts the id→label table against
+    * the kN-bounded edge list, and only vectors the banding gave ≥1
+    * neighbor are classified (coverage is the banded graph's). */
+  def knnClassify(knn: DataFrame, labels: DataFrame,
+                  idCol: String = "vec_id",
+                  labelCol: String = "label"): DataFrame = {
+    val lab = labels.select(col(idCol).cast("long").as("__id"),
+      col(labelCol).cast("long").as("__lab"))
+    val votes = knn
+      .join(lab.select(col("__id").as("c_id"), col("__lab").as("nbr_label")),
+        "c_id")
+      .groupBy(col("q_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("q_id"))
+      .agg(min_by(col("nbr_label"),
+        struct((-col("cnt")).as("nc"), col("nbr_label"))).as("predicted"))
+    votes.join(lab.select(col("__id").as("q_id"), col("__lab").as("label")),
+        "q_id")
+      .select(col("q_id").as(idCol), col("label"), col("predicted"),
+        when(col("label") === col("predicted"), 1L).otherwise(0L)
+          .as("correct"))
+      .orderBy(col(idCol))
+  }
+
+  /** X205: simplified silhouette score per vector (Rousseeuw 1987,
+    * cosine-distance form) — the cluster-quality readout over the
+    * label column: a ≈ mean distance to own group, b = best other
+    * group, s = (b − a)/max(a, b) ∈ [−1, 1]; negative s marks vectors
+    * sitting closer to another label's cloud than their own.
+    *
+    * The n² pairwise formulation collapses via linearity: the mean
+    * cosine of v to group G is dot(v̂, Σ_{u∈G} û)/|G|, so ONE
+    * aggregation builds per-label sums of NORMALIZED vectors
+    * (`graft_vec_sum`, components rounded at 6 dp — the
+    * [[groupCentroids]] stabilization), the |labels|-row table
+    * broadcasts, and each vector computes |labels| fixed-order dot
+    * products inside its scan stage — O(n·|labels|·dim) total, no
+    * pairwise join anywhere. The own-group mean excludes self:
+    * (dot − 1)/(n_g − 1). Singleton-group vectors have no a and drop
+    * (the standard convention). Distances are 1 − mean cosine;
+    * round(4) absorbs the engines' sub-ulp dot wobble. */
+  def silhouette(df: DataFrame, groupCol: String = "label",
+                 vecCol: String = "embedding",
+                 idCol: String = "vec_id"): DataFrame = {
+    // widen BEFORE multiplying: a float×float square would round at
+    // float precision where the twin squares doubles
+    val sq = aggregate(transform(col(vecCol),
+      x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, x) => a + x)
+    val normed = df.select(col(idCol).cast("long").as("__id"),
+      col(groupCol).cast("long").as("__g"),
+      transform(col(vecCol), x => x.cast("double") / sqrt(sq)).as("__nv"))
+    val sums = normed.groupBy(col("__g"))
+      .agg(call_function("graft_vec_sum", col("__nv")).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col("__g").as("__sg"),
+        transform(col("__s"), x => round(x, 6)).as("__sv"), col("__n"))
+    val dot = aggregate(zip_with(col("__nv"), col("__sv"), (a, b) => a * b),
+      lit(0.0), (a, x) => a + x)
+    val scored = normed.crossJoin(broadcast(sums))
+      .select(col("__id"), col("__g"), col("__sg"), col("__n"), dot.as("__d"))
+    val own = scored.where(col("__g") === col("__sg") && col("__n") > 1)
+      .select(col("__id"), col("__g"),
+        (lit(1.0) - (col("__d") - 1.0) / (col("__n") - 1).cast("double"))
+          .as("a_dist"))
+    val other = scored.where(col("__g") =!= col("__sg"))
+      .select(col("__id"),
+        (lit(1.0) - col("__d") / col("__n").cast("double")).as("od"),
+        col("__sg"))
+      .groupBy(col("__id"))
+      .agg(min_by(struct(col("od"), col("__sg")),
+        struct(col("od"), col("__sg"))).as("b"))
+      .select(col("__id"), col("b.od").as("b_dist"),
+        col("b.__sg").as("nearest_other"))
+    own.join(other, "__id")
+      .select(col("__id").as(idCol), col("__g").as(groupCol),
+        round(col("a_dist"), 4).as("a_dist"),
+        round(col("b_dist"), 4).as("b_dist"),
+        col("nearest_other"),
+        round((col("b_dist") - col("a_dist")) /
+          greatest(col("a_dist"), col("b_dist")), 4).as("sil"))
+      .orderBy(col(idCol))
+  }
+
   def centroidDrift(df: DataFrame, groupCol: String = "label",
                     vecCol: String = "embedding",
                     idCol: String = "vec_id"): DataFrame = {

@@ -624,4 +624,50 @@ object EventAnalytics {
         round($"num2".cast("double") / (lit(2.0) * $"np" * $"nq"), 6).as("auc"))
       .orderBy($"day")
   }
+
+  /** The exact half-life weight ladder for [[decayScore]]:
+    * w_k = 5^k·10^(maxK−k), i.e. (1/2)^k scaled by 10^maxK — every
+    * entry a LONG, so decayed values are integer products. */
+  private[graft] def decayWeights(maxK: Int): Seq[Long] =
+    (0 to maxK).map(k =>
+      (BigInt(5).pow(k) * BigInt(10).pow(maxK - k)).toLong)
+
+  /** X210: time-decayed engagement score per user — each event's
+    * value halved per elapsed `halflifeDays` window since the
+    * corpus's last day, summed per user; the recency-weighted
+    * activity feature every ranking/churn model starts from.
+    *
+    * The decay stays EXACT: with k = min(⌊age/halflife⌋, `maxK`)
+    * full windows, the weight (1/2)^k is the integer 5^k·10^(maxK−k)
+    * over a fixed 10^maxK denominator — so each decayed value is an
+    * exact integer product (cents × weight ≤ 10^23, DECIMAL(38)) and
+    * the per-user sum is order-independent. The k cap bounds the
+    * ladder (beyond 16 half-lives a weight is < 10^-4 of the value —
+    * noise); the only double op is the final ÷10^16 display divide.
+    *
+    * Scale shape: the reference day is ONE scalar aggregate broadcast
+    * back; scoring is scan-stage arithmetic; one user-keyed map-side-
+    * combined aggregation ends the plan. */
+  def decayScore(spark: SparkSession, sfDir: String,
+                 halflifeDays: Int = 7, maxK: Int = 16): DataFrame = {
+    import spark.implicits._
+    val wArr = array(decayWeights(maxK).map(lit): _*)
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("2024-01-01")).as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+          .as("cents"))
+    val ref = ev.agg(max($"day").as("ref"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("k",
+        least(floor(($"ref" - $"day") / halflifeDays).cast("int"),
+          lit(maxK)))
+      .withColumn("num",
+        $"cents" * element_at(wArr, $"k" + 1).cast("decimal(38,0)"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"num").as("snum"))
+      .select($"user_id", $"n_events",
+        round($"snum".cast("double") / 1.0e16, 6).as("decay_score"))
+      .orderBy($"user_id")
+  }
 }

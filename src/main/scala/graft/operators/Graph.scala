@@ -154,6 +154,39 @@ object Graph {
       .orderBy(col("vec_id"))
   }
 
+  /** X209: k-core extraction (`rounds`-round degree peeling) over the
+    * mutual-kNN graph — the dense-cohesion filter: vertices that
+    * survive repeated "drop degree < k" pruning sit in tightly
+    * interlinked neighborhoods (stable topics), while tree-like and
+    * pendant structure (one-off pages, weak near-dups) peels away.
+    * The classic preprocessing cut before community detection.
+    *
+    * Each round recomputes degrees over the SURVIVING edge set and
+    * keeps vertices with degree ≥ k; `rounds` is fixed so both
+    * engines run the identical unrolled sequence (peeling is
+    * monotone, so extra rounds past convergence are no-ops — on kNN
+    * graphs with degree ≤ 10 the fixpoint lands in a handful of
+    * rounds). All integers. Per round: one degree aggregation + two
+    * semi-join-shaped filters on the degree-bounded edge list;
+    * lineage fenced per round like [[pageRankEdges]]. Returns the
+    * surviving vertices with their in-core degree. */
+  def kCoreEdges(e: DataFrame, k: Int = 3, rounds: Int = 8): DataFrame = {
+    var edges = Checkpoints.fence(e.select(col("a"), col("b")))
+    (1 to rounds).foreach { _ =>
+      val sym = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      val keep = sym.groupBy(col("a").as("v"))
+        .agg(count(lit(1)).as("d")).where(col("d") >= k)
+      edges = Checkpoints.fence(edges
+        .join(keep.select(col("v").as("a")), "a")
+        .join(keep.select(col("v").as("b")), "b")
+        .select(col("a"), col("b")))
+    }
+    val sym = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+    sym.groupBy(col("a").as("vec_id"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-node triangle participation + degree + local clustering
     * coefficient over the mutual-kNN graph; nodes with degree < 2
     * have undefined coefficient and report 0 triangles, cc = 0. */

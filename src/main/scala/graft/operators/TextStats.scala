@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distribution-level repetition signals (the Gopher/RefinedWeb-style
@@ -373,6 +373,81 @@ object TextStats {
         col("n_types"),
         round(col("cum_tokens").cast("double") / col("total"), 6).as("coverage"))
       .orderBy(col("k"))
+  }
+
+  /** X206: Zipf power-law fit over the corpus token frequency
+    * spectrum — OLS of ln(count) on ln(rank) over the top `kTop`
+    * types, the vocabulary-shape diagnostic (natural text sits near
+    * slope −1; templated/synthetic corpora drift flat or steep) read
+    * before sizing a tokenizer or spotting generation loops.
+    *
+    * The heavy half is exact and bounded: ONE vocabulary aggregation,
+    * a (count DESC, token) top-`kTop` cut — after that only `kTop`
+    * rows exist, so the ln/OLS sums run over a constant-size table at
+    * any corpus size and the engines' summation wobble (~1e-14) dies
+    * at round(4) (the text_entropy precedent). Returns one row:
+    * (k, slope, intercept, r2). */
+  def zipfFit(docs: DataFrame, kTop: Int = 64,
+              textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val types = docs.where(col(textCol).isNotNull)
+      .select(explode(filter(split(lower(col(textCol)), "\\s+"),
+        x => length(x) > 0)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val top = types.orderBy(col("n").desc, col("tok")).limit(kTop)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("tok"))).cast("long"))
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+    top.agg(count(lit(1)).as("k"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("k"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+        round((col("sy") - ((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("k"), 4).as("intercept"),
+        round(((col("k") * col("sxy") - col("sx") * col("sy")) *
+          (col("k") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("k") * col("sxx") - col("sx") * col("sx")) *
+            (col("k") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+  }
+
+  /** X207: feature-hashing vectorizer (the hashing trick, Weinberger
+    * et al. 2009) — each document's tokens counted into `buckets`
+    * hash buckets, the fixed-width featurization that needs NO
+    * vocabulary pass (and therefore no vocabulary shuffle or
+    * broadcast) at 100 TB.
+    *
+    * Bucket = value of one md5 hex digit (buckets ≤ 16), shared with
+    * the twin via the same strpos arithmetic. The bucket histogram is
+    * computed PER ROW with a higher-order fold inside the scan — zero
+    * exchanges carry data; only the per-doc posexplode of a
+    * `buckets`-wide count array leaves the stage. Returns (doc_id,
+    * bucket, cnt) for non-empty buckets. */
+  def featureHashing(docs: DataFrame, buckets: Int = 16,
+                     textCol: String = "text"): DataFrame = {
+    require(buckets >= 2 && buckets <= 16, "bucket = one hex digit")
+    val toks = filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)
+    // md5 hex digit 8 → 0..15 → mod buckets; instr is 1-based so the
+    // -1 recenters, matching the twin's strpos
+    val bucketOf = (t: Column) =>
+      pmod(instr(lit("0123456789abcdef"), substring(md5(t), 8, 1)) - 1,
+        lit(buckets))
+    docs.where(col(textCol).isNotNull)
+      .select(col("doc_id"),
+        posexplode(aggregate(toks,
+          array_repeat(lit(0L), buckets),
+          (acc, t) => transform(acc, (c, i) =>
+            when(bucketOf(t) === i, c + 1L).otherwise(c))))
+          .as(Seq("bucket", "cnt")))
+      .where(col("cnt") > 0)
+      .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+        col("cnt"))
+      .orderBy(col("doc_id"), col("bucket"))
   }
 
   def skipgrams(docs: DataFrame, window: Int = 2, k: Int = 20,
