@@ -303,24 +303,38 @@ object EmbeddingStats {
         count(lit(1)).as("__n"))
       .select(col("__g").as("__sg"),
         transform(col("__s"), x => round(x, 6)).as("__sv"), col("__n"))
-    val dot = aggregate(zip_with(col("__nv"), col("__sv"), (a, b) => a * b),
-      lit(0.0), (a, x) => a + x)
-    val scored = normed.crossJoin(broadcast(sums))
-      .select(col("__id"), col("__g"), col("__sg"), col("__n"), dot.as("__d"))
-    val own = scored.where(col("__g") === col("__sg") && col("__n") > 1)
+    // Collapse the |labels| sum rows into ONE array row: scoring is a
+    // 1-row broadcast + a per-row fold over the label sums, so neither
+    // an n-row join nor a re-aggregation by id ever exists in the plan
+    // — the n×|labels| intermediate of the split-leg formulation never
+    // materializes. Array order is irrelevant: the own entry is found
+    // by key, the other-group best by an order-free min.
+    val packed = sums.agg(collect_list(
+      struct(col("__sg"), col("__sv"), col("__n"))).as("__gs"))
+    val dots = transform(col("__gs"), g => struct(
+      aggregate(zip_with(col("__nv"), g.getField("__sv"), (a, b) => a * b),
+        lit(0.0), (a, x) => a + x).as("d"),
+      g.getField("__sg").as("sg"), g.getField("__n").as("n")))
+    val scored = normed.crossJoin(broadcast(packed))
+      .select(col("__id"), col("__g"), dots.as("__dots"))
+    val ownArr = filter(col("__dots"),
+      d => d.getField("sg") === col("__g") && d.getField("n") > 1)
+    val othersArr = transform(
+      filter(col("__dots"), d => d.getField("sg") =!= col("__g")),
+      d => struct((lit(1.0) - d.getField("d") /
+        d.getField("n").cast("double")).as("od"),
+        d.getField("sg").as("__sg")))
+    scored
+      .select(col("__id"), col("__g"), ownArr.as("__own"),
+        array_min(othersArr).as("b"))
+      // singleton-own-group vectors have no a (standard convention);
+      // a lone label has no b — both drop, as the old inner join did
+      .where(size(col("__own")) === 1 && col("b").isNotNull)
       .select(col("__id"), col("__g"),
-        (lit(1.0) - (col("__d") - 1.0) / (col("__n") - 1).cast("double"))
-          .as("a_dist"))
-    val other = scored.where(col("__g") =!= col("__sg"))
-      .select(col("__id"),
-        (lit(1.0) - col("__d") / col("__n").cast("double")).as("od"),
-        col("__sg"))
-      .groupBy(col("__id"))
-      .agg(min_by(struct(col("od"), col("__sg")),
-        struct(col("od"), col("__sg"))).as("b"))
-      .select(col("__id"), col("b.od").as("b_dist"),
-        col("b.__sg").as("nearest_other"))
-    own.join(other, "__id")
+        (lit(1.0) - (element_at(col("__own"), 1).getField("d") - 1.0) /
+          (element_at(col("__own"), 1).getField("n") - 1).cast("double"))
+          .as("a_dist"),
+        col("b.od").as("b_dist"), col("b.__sg").as("nearest_other"))
       .select(col("__id").as(idCol), col("__g").as(groupCol),
         round(col("a_dist"), 4).as("a_dist"),
         round(col("b_dist"), 4).as("b_dist"),

@@ -88,11 +88,15 @@ class PlanLintSpec extends AnyFunSuite {
     *  - q_cum_distinct: running sum over the per-DAY first-seen
     *    rollup (≤ |calendar days| rows regardless of event count);
     *  - text_coverage: ranks the ≤ max(ks) type rows a LIMIT already
-    *    cut from the vocabulary-bounded type counts.
+    *    cut from the vocabulary-bounded type counts;
+    *  - stats_mutual_info: marginal window sums over the |lang| ×
+    *    |source| CELL table (metadata-sized regardless of corpus);
+    *  - stats_zipf: ranks the ≤ 64 type rows its LIMIT already cut
+    *    (the text_coverage shape).
     * Anything not listed here that adds a global window fails. */
   private val boundedGlobalWindows: Set[String] =
     Set("search_hybrid_rrf", "stats_chi2_cells", "stats_psi", "q_cum_distinct",
-      "text_coverage")
+      "text_coverage", "stats_mutual_info", "stats_zipf")
 
   test("no new unpartitioned Window (global single-partition sort) in any gated plan") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
@@ -139,5 +143,44 @@ class PlanLintSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"),
       s"the d-row marginal join must broadcast:\n$plan")
     assert(plan.contains("partial"), "pair sums must combine map-side")
+  }
+
+  test("silhouette: the embedding column never shuffles — label sums broadcast") {
+    val plan = SparkEntry.queries("embed_silhouette")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"the |labels|-row sum table must broadcast, never a sorted shuffle join:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the per-label sum table must arrive by broadcast:\n$plan")
+  }
+
+  test("feature hashing: the bucket histogram folds inside the scan — no hash exchange") {
+    val plan = SparkEntry.queries("text_feature_hash")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 0,
+      s"the hashing trick needs no vocabulary/grouping exchange at all:\n$plan")
+  }
+
+  test("decay score: the reference day broadcasts; one user-keyed aggregation") {
+    val plan = SparkEntry.queries("q_decay_score")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row reference-day aggregate must broadcast:\n$plan")
+    assert(shuffles(plan) <= 2 && plan.contains("partial"),
+      s"scoring is scan-stage; only the user agg (map-side combined) may shuffle:\n$plan")
+  }
+
+  test("inference family: the corpus collapses before any pair join or fold") {
+    // mann-kendall / cusum / anova first collapse events|orders with a
+    // partial aggregation; everything pair-shaped runs on the bounded
+    // summary
+    Seq("stats_mann_kendall", "q_cusum", "q_anova").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("partial"),
+        s"$name must collapse the corpus map-side before the exchange:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must never plan a shuffled cross product:\n$plan")
+    }
   }
 }
