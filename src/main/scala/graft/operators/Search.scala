@@ -673,6 +673,53 @@ object Search {
     (base.where(ubExpr >= thetaHat && ubExpr > 0.0), termStats, nDocs, avgdl)
   }
 
+  /** X217: query-likelihood retrieval with Dirichlet smoothing (Zhai
+    * & Lafferty 2004) — the language-modeling ranking family BM25's
+    * probabilistic family competes with; µ-smoothing backs each
+    * term's document probability off to its corpus rate, so documents
+    * are penalized for missing terms instead of merely not rewarded
+    * (the score is a true log-likelihood: Σ_t ln((tf + µ·cf_t/|C|)
+    * / (dl + µ))).
+    *
+    * Scale/determinism shape: per-term tf is computed INSIDE the scan
+    * from the shared token projection (no explode, no per-term
+    * groupBy); corpus stats are one broadcast row (Σdl and per-term
+    * collection frequencies as |terms| columns); the per-doc score is
+    * a LITERAL left-assoc sum in declared term order — no float
+    * aggregation with engine-chosen order exists anywhere — and the
+    * only shuffle is the final top-k sort. */
+  def lmDirichletTopK(docs: DataFrame, query: Seq[String], k: Int,
+                      mu: Double = 2000.0,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(query.nonEmpty && k > 0)
+    val terms = query.distinct.map(_.toLowerCase)
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        searchTokens(col(textCol)).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+    def tfOf(w: String) = size(filter(col("t"), x => x === w)).cast("long")
+    // one broadcast row: total corpus tokens + each term's collection
+    // frequency (exact longs; |terms| columns, not |terms| rows, so
+    // the score needs no join key at all)
+    val stats = base.agg(sum(col("dl")).as("c_total"),
+      terms.map(w => sum(tfOf(w)).as(s"cf_$w")): _*)
+    val scored = base
+      .select(col("doc_id") +: col("dl") +:
+        terms.map(w => tfOf(w).as(s"tf_$w")): _*)
+      .where(terms.map(w => col(s"tf_$w") > 0).reduceLeft(_ || _))
+      .crossJoin(broadcast(stats))
+    val termScore = (w: String) =>
+      log((col(s"tf_$w").cast("double") +
+        lit(mu) * (col(s"cf_$w").cast("double") /
+          col("c_total").cast("double"))) /
+        (col("dl") + lit(mu)))
+    scored
+      .select(col("doc_id"),
+        terms.map(termScore).reduceLeft(_ + _).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def bm25TopK(docs: DataFrame, query: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75,
                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

@@ -450,6 +450,43 @@ object TextStats {
       .orderBy(col("doc_id"), col("bucket"))
   }
 
+  /** X216: Flesch reading-ease readability (Flesch 1948) per document
+    * — the classic complexity signal quality pipelines stack next to
+    * the Gopher rules: low scores flag legalese/boilerplate, implausibly
+    * high ones flag token soup. Syllables use the standard cheap
+    * approximation (runs of vowels incl. y), sentences are
+    * terminal-punctuation runs — both deliberately simple so the twin
+    * is the SAME two regexes, not a hyphenation dictionary.
+    *
+    * Everything is per-row arithmetic inside the scan — three integer
+    * counts per document, then one fixed IEEE sequence
+    * 206.835 − 1.015·(W/S) − 84.6·(Syl/W); no shuffle exists in the
+    * plan except the display sort. At 100 TB this is a pure map. */
+  def readability(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"), x => length(x) > 0)
+    val syll = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0)))
+    val sent = greatest(size(regexp_extract_all(col(textCol),
+      lit("[.!?]+"), lit(0))), lit(1))
+    docs.where(col(textCol).isNotNull)
+      .select(col("doc_id"), size(words).cast("long").as("n_words"),
+        syll.cast("long").as("n_syllables"),
+        sent.cast("long").as("n_sentences"))
+      .where(col("n_words") > 0)
+      .select(col("doc_id"), col("n_sentences"), col("n_words"),
+        col("n_syllables"),
+        round(col("n_words").cast("double") /
+          col("n_sentences").cast("double"), 4).as("words_per_sentence"),
+        round(col("n_syllables").cast("double") /
+          col("n_words").cast("double"), 4).as("syllables_per_word"),
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")), 2).as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
   def skipgrams(docs: DataFrame, window: Int = 2, k: Int = 20,
                 textCol: String = "text"): DataFrame = {
     val t = graft.functions.TextFunctions.tokens(lower(col(textCol)))
