@@ -5345,8 +5345,9 @@ object SparkEntry {
         |SELECT t AS t_hours, d AS events, c AS censored, n_risk,
         | round(surv, 6) AS survival
         |FROM w WHERE rn > 0 ORDER BY t_hours""".stripMargin,
-    // readability twin: the SAME two regexes and the same fixed
-    // Flesch sequence
+    // readability twin: the SAME two regexes and the same exact
+    // integer half-up divisions (never round(double) — engine
+    // double-rounding diverges on the W/S half-grid)
     "text_readability" ->
       """WITH b AS (SELECT doc_id,
         | CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
@@ -5355,17 +5356,26 @@ object SparkEntry {
         |   AS n_syllables,
         | greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
         |   AS n_sentences
-        | FROM documents WHERE text IS NOT NULL)
+        | FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT doc_id, n_sentences, n_words, n_syllables,
+        | 206835 * n_sentences * n_words - 1015 * n_words * n_words
+        |   - 84600 * n_syllables * n_sentences AS fn,
+        | 1000 * n_sentences * n_words AS fd
+        | FROM b WHERE n_words > 0)
         |SELECT doc_id, n_sentences, n_words, n_syllables,
-        | round(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE), 4)
-        |   AS words_per_sentence,
-        | round(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
-        |   AS syllables_per_word,
-        | round(206.835 -
-        |   1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) -
-        |   84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 2)
-        |   AS flesch
-        |FROM b WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+        | ((n_words * 10000 * 2 + n_sentences
+        |   - (n_words * 10000 * 2 + n_sentences) % (n_sentences * 2))
+        |  / (n_sentences * 2)) / 1e4 AS words_per_sentence,
+        | ((n_syllables * 10000 * 2 + n_words
+        |   - (n_syllables * 10000 * 2 + n_words) % (n_words * 2))
+        |  / (n_words * 2)) / 1e4 AS syllables_per_word,
+        | (CASE WHEN fn >= 0 THEN
+        |   ((fn * 100 * 2 + fd - (fn * 100 * 2 + fd) % (fd * 2)) / (fd * 2))
+        |  ELSE
+        |   -(((-fn) * 100 * 2 + fd - ((-fn) * 100 * 2 + fd) % (fd * 2))
+        |     / (fd * 2))
+        |  END) / 100.0 AS flesch
+        |FROM f ORDER BY doc_id""".stripMargin,
     // Dirichlet QL twin: per-term tf columns, one stats row, the same
     // literal left-assoc term sum
     "search_lm_dirichlet" -> lmDirichletOracleSql(

@@ -459,15 +459,37 @@ object TextStats {
     * is the SAME two regexes, not a hyphenation dictionary.
     *
     * Everything is per-row arithmetic inside the scan — three integer
-    * counts per document, then one fixed IEEE sequence
-    * 206.835 − 1.015·(W/S) − 84.6·(Syl/W); no shuffle exists in the
-    * plan except the display sort. At 100 TB this is a pure map. */
+    * counts per document; no shuffle exists in the plan except the
+    * display sort. At 100 TB this is a pure map.
+    *
+    * Every reported ratio rounds through EXACT integer half-up
+    * division (the ohlc avgPrice4 discipline), never `round(double)`:
+    * the Flesch constants clear to integers (206.835·S·W − 1.015·W² −
+    * 84.6·Syl·W... ×1000), and W/S rationals land exactly on the
+    * half-grid often enough that engine double-rounding visibly
+    * diverges (a ×100 multiply that IEEE-rounds onto .5 rounds up in
+    * one engine and not the other — observed at sf0.1). */
   def readability(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val words = filter(split(col(textCol), "\\s+"), x => length(x) > 0)
     val syll = size(regexp_extract_all(lower(col(textCol)),
       lit("[aeiouy]+"), lit(0)))
     val sent = greatest(size(regexp_extract_all(col(textCol),
       lit("[.!?]+"), lit(0))), lit(1))
+    // floor((num + den/2) / den) over POSITIVE longs via the exact
+    // (x - x%d)/d form — trunc == floor on non-negatives, and the
+    // final double divide is exact (a long multiple of d, < 2^53)
+    def halfUp(num: Column, den: Column, pow10: Double): Column = {
+      val x = num * 2 + den
+      val d = den * 2
+      ((x - x % d) / d).cast("long").cast("double") / pow10
+    }
+    val w = col("n_words"); val y = col("n_syllables")
+    val s = col("n_sentences")
+    // 1000 × Flesch numerator/denominator as exact longs (≤ 8.4e12 at
+    // W,S ≤ 2e5 — far under 2^53)
+    val fleschNum = lit(206835L) * s * w - lit(1015L) * w * w -
+      lit(84600L) * y * s
+    val fleschDen = lit(1000L) * s * w
     docs.where(col(textCol).isNotNull)
       .select(col("doc_id"), size(words).cast("long").as("n_words"),
         syll.cast("long").as("n_syllables"),
@@ -475,15 +497,13 @@ object TextStats {
       .where(col("n_words") > 0)
       .select(col("doc_id"), col("n_sentences"), col("n_words"),
         col("n_syllables"),
-        round(col("n_words").cast("double") /
-          col("n_sentences").cast("double"), 4).as("words_per_sentence"),
-        round(col("n_syllables").cast("double") /
-          col("n_words").cast("double"), 4).as("syllables_per_word"),
-        round(lit(206.835) -
-          lit(1.015) * (col("n_words").cast("double") /
-            col("n_sentences").cast("double")) -
-          lit(84.6) * (col("n_syllables").cast("double") /
-            col("n_words").cast("double")), 2).as("flesch"))
+        halfUp(w * 10000L, s, 1e4).as("words_per_sentence"),
+        halfUp(y * 10000L, w, 1e4).as("syllables_per_word"),
+        // half-AWAY-from-zero on the signed Flesch ratio: half-up on
+        // the magnitude, sign reapplied — identical CASE in the twin
+        (when(fleschNum >= 0, halfUp(fleschNum * 100L, fleschDen, 1.0))
+          .otherwise(-halfUp(-fleschNum * 100L, fleschDen, 1.0)) / 100.0)
+          .as("flesch"))
       .orderBy(col("doc_id"))
   }
 

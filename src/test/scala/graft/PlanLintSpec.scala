@@ -92,11 +92,14 @@ class PlanLintSpec extends AnyFunSuite {
     *  - stats_mutual_info: marginal window sums over the |lang| ×
     *    |source| CELL table (metadata-sized regardless of corpus);
     *  - stats_zipf: ranks the ≤ 64 type rows its LIMIT already cut
-    *    (the text_coverage shape).
+    *    (the text_coverage shape);
+    *  - stats_cramers_v: the stats_mutual_info marginal shape over the
+    *    SAME |lang|×|source| cell table (metadata-sized at any corpus
+    *    size).
     * Anything not listed here that adds a global window fails. */
   private val boundedGlobalWindows: Set[String] =
     Set("search_hybrid_rrf", "stats_chi2_cells", "stats_psi", "q_cum_distinct",
-      "text_coverage", "stats_mutual_info", "stats_zipf")
+      "text_coverage", "stats_mutual_info", "stats_zipf", "stats_cramers_v")
 
   test("no new unpartitioned Window (global single-partition sort) in any gated plan") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
