@@ -2002,10 +2002,10 @@ object SparkEntry {
     // endpoint degrees from exact integer sums over symmetric edges
     "graph_assortativity" -> ((s, dir) =>
       Graph.assortativityEdges(bandedGraphEdges(s, dir))),
-    // X214: gaps-and-islands outage report over each type's hourly
+    // X214: gaps-and-islands outage report over each type's minute
     // clock — one calendar-bounded lead window after the map-side
-    // hourly rollup
-    "q_gaps" -> (TimeSeries.hourlyGaps _),
+    // per-minute rollup
+    "q_gaps" -> (TimeSeries.minuteGaps _),
     // X215: Kaplan–Meier survival of purchase inter-arrival times —
     // censored tails from each user's last gap; the KM product walks
     // a bounded left-assoc fold (the cusum move)
@@ -5297,21 +5297,21 @@ object SparkEntry {
     // assortativity twin: same banded mutual edges, exact DECIMAL
     // moment sums, sqrt-before-product
     "graph_assortativity" -> assortativityOracleSql,
-    // gaps twin: the same hour bucketing (floor of an exact-integer
+    // gaps twin: the same minute bucketing (floor of an exact-integer
     // microsecond difference) and lead comparison
     "q_gaps" ->
       """WITH h AS (
         | SELECT DISTINCT event_type,
         |  CAST(floor((epoch_us(ts) -
-        |    epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 3600000000.0)
-        |    AS BIGINT) AS hr
+        |    epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 60000000.0)
+        |    AS BIGINT) AS mn
         | FROM events),
-        |g AS (SELECT event_type, hr,
-        |  lead(hr) OVER (PARTITION BY event_type ORDER BY hr) AS nxt
+        |g AS (SELECT event_type, mn,
+        |  lead(mn) OVER (PARTITION BY event_type ORDER BY mn) AS nxt
         | FROM h)
-        |SELECT event_type, hr + 1 AS gap_start_hr, nxt - 1 AS gap_end_hr,
-        | nxt - hr - 1 AS gap_hours
-        |FROM g WHERE nxt > hr + 1 ORDER BY event_type, gap_start_hr""".stripMargin,
+        |SELECT event_type, mn + 1 AS gap_start_min, nxt - 1 AS gap_end_min,
+        | nxt - mn - 1 AS gap_minutes
+        |FROM g WHERE nxt > mn + 1 ORDER BY event_type, gap_start_min""".stripMargin,
     // KM twin: identical durations, then the identical left-assoc
     // product walk as a recursive CTE (the cusum pattern)
     "q_survival" ->

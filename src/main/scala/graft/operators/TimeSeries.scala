@@ -428,36 +428,39 @@ object TimeSeries {
       .orderBy($"event_type", $"day")
   }
 
-  /** X214: gaps-and-islands over each event type's hourly clock — the
-    * missing-interval report ("purchase went silent 14:00–17:00 on the
-    * 12th") an ingest monitor reads next to the CUSUM walk: CUSUM
-    * sees volume drift, this sees OUTAGES the daily grain averages
-    * away.
+  /** X214: gaps-and-islands over each event type's minute clock — the
+    * missing-interval report ("purchase went silent 14:03–14:41") an
+    * ingest monitor reads next to the CUSUM walk: CUSUM sees volume
+    * drift, this sees OUTAGES the daily grain averages away. Minute
+    * grain, not hour: a grain the stream saturates produces the
+    * all-zeros answer at exactly the data volume where monitoring
+    * matters (and an evidence-free 0==0 gate row at bench SF).
     *
-    * Scale shape: the corpus collapses to (type, hour) in ONE
-    * map-side-combined aggregation — at most 8,784·|types| rows per
+    * Scale shape: the corpus collapses to (type, minute) in ONE
+    * map-side-combined aggregation — at most 527k·|types| rows per
     * year regardless of event count — and the gap detection is a
     * single `lead` window on that calendar-bounded table (one
     * exchange on the |types| partition key). A gap is a jump in the
-    * hour sequence: it starts the hour after one active hour and ends
-    * the hour before the next; all arithmetic is exact LONG. */
-  def hourlyGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    * minute sequence: it starts the minute after one active minute
+    * and ends the minute before the next; all arithmetic is exact
+    * LONG. */
+  def minuteGaps(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val hourCol = ((unix_timestamp($"ts") -
-      unix_timestamp(lit("2024-01-01 00:00:00").cast("timestamp"))) / 3600L)
+    val minCol = ((unix_timestamp($"ts") -
+      unix_timestamp(lit("2024-01-01 00:00:00").cast("timestamp"))) / 60L)
       .cast("long")
-    val hourly = Tables.events(spark, sfDir)
-      .groupBy($"event_type", hourCol.as("hr"))
+    val perMin = Tables.events(spark, sfDir)
+      .groupBy($"event_type", minCol.as("mn"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy($"event_type").orderBy($"hr")
-    hourly
-      .select($"event_type", $"hr", lead($"hr", 1).over(w).as("next_hr"))
-      .where($"next_hr" > $"hr" + 1)
+    val w = Window.partitionBy($"event_type").orderBy($"mn")
+    perMin
+      .select($"event_type", $"mn", lead($"mn", 1).over(w).as("next_mn"))
+      .where($"next_mn" > $"mn" + 1)
       .select($"event_type",
-        ($"hr" + 1).as("gap_start_hr"),
-        ($"next_hr" - 1).as("gap_end_hr"),
-        ($"next_hr" - $"hr" - 1).as("gap_hours"))
-      .orderBy($"event_type", $"gap_start_hr")
+        ($"mn" + 1).as("gap_start_min"),
+        ($"next_mn" - 1).as("gap_end_min"),
+        ($"next_mn" - $"mn" - 1).as("gap_minutes"))
+      .orderBy($"event_type", $"gap_start_min")
   }
 
   def ohlcMonthly(spark: SparkSession, sfDir: String): DataFrame = {

@@ -81,23 +81,23 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(1) - r(exp, 4)) < 1e-9)
   }
 
-  test("X214 gaps: every reported gap is absent from the hour set and maximal") {
-    val hours = Tables.events(spark, sf)
+  test("X214 gaps: every reported gap is absent from the minute set and maximal") {
+    val mins = Tables.events(spark, sf)
       .selectExpr("event_type",
-        "cast((unix_timestamp(ts) - unix_timestamp(timestamp '2024-01-01 00:00:00')) / 3600 as long) AS hr")
+        "cast((unix_timestamp(ts) - unix_timestamp(timestamp '2024-01-01 00:00:00')) / 60 as long) AS mn")
       .collect().map(row => (row.getString(0), row.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val gaps = TimeSeries.hourlyGaps(spark, sf).collect()
+    val gaps = TimeSeries.minuteGaps(spark, sf).collect()
     assert(gaps.nonEmpty)
     gaps.foreach { g =>
       val (ty, s, e) = (g.getString(0), g.getLong(1), g.getLong(2))
-      val hs = hours(ty)
-      (s to e).foreach(h => assert(!hs.contains(h), s"$ty hour $h inside gap"))
+      val hs = mins(ty)
+      (s to e).foreach(h => assert(!hs.contains(h), s"$ty minute $h inside gap"))
       assert(hs.contains(s - 1) && hs.contains(e + 1), "gap must be maximal")
       assert(g.getLong(3) == e - s + 1)
     }
-    // completeness: every adjacent-hour jump > 1 is reported
-    val expected = hours.toSeq.flatMap { case (ty, hs) =>
+    // completeness: every adjacent-minute jump > 1 is reported
+    val expected = mins.toSeq.flatMap { case (ty, hs) =>
       val sorted = hs.toSeq.sorted
       sorted.zip(sorted.tail).filter { case (a, b) => b > a + 1 }
         .map { case (a, b) => (ty, a + 1, b - 1) }
