@@ -2025,6 +2025,16 @@ object SparkEntry {
     // graft_vec_sum update per round
     "embed_kmeans" -> ((s, dir) =>
       Clustering.kmeans(Tables.embeddings(s, dir))),
+    // X219: market-basket support/confidence/lift over order line
+    // items — bounded per-order pair join, exact half-up ratios
+    "q_basket_lift" -> ((s, dir) => EventAnalytics.basketLift(s, dir)),
+    // X220: seasonal-naive forecast error + MASE per event type —
+    // lag-7 vs lag-1 integer error sums on the daily table
+    "q_snaive" -> ((s, dir) => TimeSeries.snaiveDaily(s, dir)),
+    // X221: deterministic hash train/val/test split — pure function
+    // of doc_id, scan-stage, rerun- and growth-stable
+    "sample_split" -> ((s, dir) =>
+      Sampling.splitAssign(Tables.documents(s, dir))),
   )
 
   /** The graph family's shared edge substrate: undirected mutual edges
@@ -5382,5 +5392,61 @@ object SparkEntry {
       Seq("spark", "vector", "slow"), 20, 2000.0),
     // k-means twin: the identical unrolled Lloyd walk (see builder)
     "embed_kmeans" -> kmeansOracleSql(8, 3),
+    // basket twin: same bounded pair join, same exact half-up lift /
+    // confidence divisions
+    "q_basket_lift" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM it),
+        |ci AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM it GROUP BY 1),
+        |pr AS (SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS c_ab
+        |       FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |j AS (SELECT pa, pb, c_ab, ca.c AS c_a, cb.c AS c_b, n_orders
+        |      FROM pr JOIN ci ca ON ca.p = pr.pa
+        |      JOIN ci cb ON cb.p = pr.pb CROSS JOIN n)
+        |SELECT pa, pb, c_ab, c_a, c_b,
+        | ((c_ab*n_orders*10000*2 + c_a*c_b
+        |   - (c_ab*n_orders*10000*2 + c_a*c_b) % (c_a*c_b*2))
+        |  / (c_a*c_b*2)) / 1e4 AS lift,
+        | ((c_ab*10000*2 + c_a - (c_ab*10000*2 + c_a) % (c_a*2))
+        |  / (c_a*2)) / 1e4 AS confidence
+        |FROM j ORDER BY lift DESC, pa, pb LIMIT 50""".stripMargin,
+    // snaive twin: same daily rollup, same lag errors, same exact
+    // half-up MAE and MASE divisions
+    "q_snaive" ->
+      """WITH daily AS (
+        | SELECT event_type,
+        |  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, cnt,
+        |  abs(cnt - lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day))
+        |    AS e1,
+        |  abs(cnt - lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day))
+        |    AS e7
+        | FROM daily),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(e1) AS BIGINT) AS s1, CAST(count(e1) AS BIGINT) AS n1,
+        |  CAST(sum(e7) AS BIGINT) AS s7, CAST(count(e7) AS BIGINT) AS n7
+        | FROM l GROUP BY 1 HAVING count(e7) > 0 AND sum(e1) > 0)
+        |SELECT event_type, n_days,
+        | ((s7*10000*2 + n7 - (s7*10000*2 + n7) % (n7*2)) / (n7*2)) / 1e4
+        |   AS mae_snaive,
+        | ((s1*10000*2 + n1 - (s1*10000*2 + n1) % (n1*2)) / (n1*2)) / 1e4
+        |   AS mae_naive,
+        | ((s7*n1*10000*2 + n7*s1 - (s7*n1*10000*2 + n7*s1) % (n7*s1*2))
+        |  / (n7*s1*2)) / 1e4 AS mase
+        |FROM a ORDER BY event_type""".stripMargin,
+    // split twin: the identical salted-md5 cut points (thresholds
+    // interpolated from the SAME Scala doubles the engine uses)
+    "sample_split" ->
+      s"""SELECT doc_id, lang,
+         | CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |        < '${Sampling.rateThresholdHex(0.8)}' THEN 'train'
+         |      WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |        < '${Sampling.rateThresholdHex(0.8 + 0.1)}' THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -669,6 +669,48 @@ object EventAnalytics {
       .select($"user_id", $"n_events",
         round($"snum".cast("double") / 1.0e16, 6).as("decay_score"))
       .orderBy($"user_id")
+  }
+
+  /** X219: market-basket association rules (support / confidence /
+    * lift) over order line items — the co-purchase miner behind
+    * "customers who bought X also bought Y"; on a training corpus the
+    * same shape mines co-occurring sources/tags. Top-k pairs by lift
+    * among those meeting the support floor.
+    *
+    * Scale shape: baskets are BOUNDED (an order carries a handful of
+    * items), so the per-order self-join emits ≤ |basket|²/2 pairs per
+    * order — linear in orders, never |parts|². Item counts join back
+    * UNHINTED: the parts dimension broadcasts while it's small and
+    * AQE keeps the hash join when it isn't (at 100 TB the item-count
+    * table is data-sized; forcing broadcast() here would be the bug).
+    * All counts are exact; lift and confidence round through exact
+    * integer half-up division, so no engine double-rounding exists. */
+  def basketLift(spark: SparkSession, sfDir: String,
+                 minSupport: Int = 2, k: Int = 50): DataFrame = {
+    import spark.implicits._
+    val it = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val nOrders = it.agg(countDistinct($"o").as("n_orders"))
+    val cItem = it.groupBy($"p").agg(count(lit(1)).as("c"))
+    val pairs = it.as("a").join(it.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .where($"c_ab" >= minSupport)
+    def halfUp4(num: Column, den: Column): Column = {
+      val x = num * 10000L * 2 + den
+      val d = den * 2
+      ((x - x % d) / d).cast("long").cast("double") / 1e4
+    }
+    pairs
+      .join(cItem.select($"p".as("pa"), $"c".as("c_a")), "pa")
+      .join(cItem.select($"p".as("pb"), $"c".as("c_b")), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select($"pa", $"pb", $"c_ab", $"c_a", $"c_b",
+        halfUp4($"c_ab" * $"n_orders", $"c_a" * $"c_b").as("lift"),
+        halfUp4($"c_ab", $"c_a").as("confidence"))
+      .orderBy($"lift".desc, $"pa", $"pb")
+      .limit(k)
   }
 
   /** X215: Kaplan–Meier survival curve (Kaplan & Meier 1958) over

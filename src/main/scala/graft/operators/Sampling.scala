@@ -151,4 +151,28 @@ object Sampling {
       .where(col("__c") < tau)
       .select(col("vec_id"), col("j"), col("neg_id"), round(col("__c"), 4).as("cos"))
   }
+
+  /** X221: deterministic train/val/test split assignment — THE
+    * pipeline op every training run starts with, done the only way
+    * that survives reruns and late-arriving data: the split is a pure
+    * function of the document id (salted md5 prefix against two
+    * [[rateThresholdHex]] cut points), so membership never depends on
+    * row order, partitioning, or corpus size, and adding documents
+    * never moves an existing one between splits (no leakage across
+    * retrains). A salt distinct from every other sampler's keeps this
+    * hash chain independent of theirs.
+    *
+    * Scale shape: one scan-stage expression per row, zero shuffles
+    * beyond the display sort; at 100 TB the split is free. */
+  def splitAssign(docs: DataFrame, trainPct: Double = 0.8,
+                  valPct: Double = 0.1,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 1.0)
+    val h = substring(md5(concat(lit("split:"), col(idCol).cast("string"))), 1, 8)
+    docs.select(col(idCol), col("lang"),
+        when(h < lit(rateThresholdHex(trainPct)), "train")
+          .when(h < lit(rateThresholdHex(trainPct + valPct)), "val")
+          .otherwise("test").as("split"))
+      .orderBy(col(idCol))
+  }
 }

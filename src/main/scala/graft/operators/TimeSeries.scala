@@ -463,6 +463,49 @@ object TimeSeries {
       .orderBy($"event_type", $"gap_start_min")
   }
 
+  /** X220: seasonal-naive forecast error + MASE (Hyndman & Koehler
+    * 2006) per event type — "does last week predict this week?", the
+    * baseline every forecasting investment must beat; MASE scales the
+    * lag-7 error by the lag-1 naive error, so it's comparable across
+    * types of any volume (MASE < 1 = weekly structure is real, read
+    * next to the X191 autocorrelation fingerprint).
+    *
+    * The corpus collapses to the calendar-bounded daily table first;
+    * both lag errors are one window pass on the |types| partition key
+    * and sum as exact LONGS. MAE reports via exact integer half-up
+    * division (the avgPrice4 form); MASE's numerator and denominator
+    * are cleared to single integers — (Σ|e7|·n1)/(n7·Σ|e1|) — so ONE
+    * double divide and round(4) is the only float op. Types shorter
+    * than the season drop (no forecastable history). */
+  def snaiveDaily(spark: SparkSession, sfDir: String,
+                  season: Int = 7): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", dayCol.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val agg = daily
+      .select($"event_type", $"cnt",
+        abs($"cnt" - lag($"cnt", 1).over(w)).as("e1"),
+        abs($"cnt" - lag($"cnt", season).over(w)).as("e7"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"e1").as("s1"), count($"e1").as("n1"),
+        sum($"e7").as("s7"), count($"e7").as("n7"))
+      .where($"n7" > 0 && $"s1" > 0)
+    def halfUp4(num: org.apache.spark.sql.Column,
+                den: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val x = num * 10000L * 2 + den
+      val d = den * 2
+      ((x - x % d) / d).cast("long").cast("double") / 1e4
+    }
+    agg.select($"event_type", $"n_days",
+        halfUp4($"s7", $"n7").as("mae_snaive"),
+        halfUp4($"s1", $"n1").as("mae_naive"),
+        halfUp4($"s7" * $"n1", $"n7" * $"s1").as("mase"))
+      .orderBy($"event_type")
+  }
+
   def ohlcMonthly(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ord = struct($"o_orderdate", $"o_orderkey")

@@ -178,6 +178,79 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(ranked.head.getLong(0) == 1L, "highest-tf doc wins its own term")
   }
 
+  test("X219 basket lift: counts and ratios match the brute force") {
+    val it = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    val nOrders = it.map(_._1).distinct.length.toLong
+    val cItem = it.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCounts = it.groupBy(_._1).values.toSeq.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= 2).toMap
+    def halfUp4(num: Long, den: Long): Double = {
+      val x = num * 10000L * 2 + den
+      (x - x % (den * 2)) / (den * 2) / 1e4
+    }
+    val got = graft.operators.EventAnalytics.basketLift(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 50)
+    got.foreach { row =>
+      val (pa, pb, cab) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      assert(pairCounts((pa, pb)) == cab)
+      assert(row.getLong(3) == cItem(pa) && row.getLong(4) == cItem(pb))
+      assert(row.getDouble(5) ==
+        halfUp4(cab * nOrders, cItem(pa) * cItem(pb)), "lift")
+      assert(row.getDouble(6) == halfUp4(cab, cItem(pa)), "confidence")
+    }
+    val lifts = got.map(_.getDouble(5)).toSeq
+    assert(lifts == lifts.sorted.reverse, "ranked by lift desc")
+  }
+
+  test("X220 snaive: MASE matches the hand lag walk") {
+    val daily = Tables.events(spark, sf)
+      .selectExpr("event_type",
+        "datediff(to_date(ts), date '2024-01-01') AS day")
+      .groupBy("event_type", "day").count().collect()
+      .map(row => (row.getString(0), row.getInt(1), row.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    def halfUp4(num: Long, den: Long): Double = {
+      val x = num * 10000L * 2 + den
+      (x - x % (den * 2)) / (den * 2) / 1e4
+    }
+    val got = TimeSeries.snaiveDaily(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { row =>
+      val xs = daily(row.getString(0))
+      val e1 = xs.zip(xs.tail).map { case (a, b) => math.abs(b - a) }
+      val e7 = xs.drop(7).zip(xs.dropRight(7))
+        .map { case (b, a) => math.abs(b - a) }
+      assert(row.getLong(1) == xs.length)
+      assert(row.getDouble(2) == halfUp4(e7.sum, e7.length), "mae_snaive")
+      assert(row.getDouble(3) == halfUp4(e1.sum, e1.length), "mae_naive")
+      assert(row.getDouble(4) ==
+        halfUp4(e7.sum * e1.length, e7.length.toLong * e1.sum), "mase")
+    }
+  }
+
+  test("X221 split: assignment is the pure md5 rule; proportions sane") {
+    val got = graft.operators.Sampling
+      .splitAssign(Tables.documents(spark, sf)).collect()
+      .map(row => (row.getLong(0), row.getString(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val t80 = graft.operators.Sampling.rateThresholdHex(0.8)
+    val t90 = graft.operators.Sampling.rateThresholdHex(0.8 + 0.1)
+    got.foreach { case (id, split) =>
+      val hex = md.digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val exp = if (hex < t80) "train" else if (hex < t90) "val" else "test"
+      assert(split == exp, s"doc $id")
+    }
+    val byS = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byS.getOrElse("train", 0) > byS.getOrElse("test", 0))
+  }
+
   test("X218 kmeans: the engine replays the exact driver-side Lloyd walk") {
     val vecs = Tables.embeddings(spark, sf)
       .selectExpr("cast(vec_id as long) AS id", "embedding")
