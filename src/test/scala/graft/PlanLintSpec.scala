@@ -173,6 +173,15 @@ class PlanLintSpec extends AnyFunSuite {
       s"scoring is scan-stage; only the user agg (map-side combined) may shuffle:\n$plan")
   }
 
+  test("split assignment rides the scan — no exchange except the display sort") {
+    val plan = SparkEntry.queries("sample_split")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) <= 1,
+      s"the split is a pure per-row hash; only the orderBy may exchange:\n$plan")
+    assert(!plan.contains("Aggregate"),
+      s"no aggregation belongs in a per-row split assignment:\n$plan")
+  }
+
   test("inference family: the corpus collapses before any pair join or fold") {
     // mann-kendall / cusum / anova first collapse events|orders with a
     // partial aggregation; everything pair-shaped runs on the bounded
