@@ -2035,6 +2035,33 @@ object SparkEntry {
     // of doc_id, scan-stage, rerun- and growth-stable
     "sample_split" -> ((s, dir) =>
       Sampling.splitAssign(Tables.documents(s, dir))),
+    // X222: declarative constraint audit — per-table domain rules
+    // fused into one scan each, FK rules as unhinted anti-joins
+    "q_constraint_audit" -> ((s, dir) =>
+      DataQuality.constraintAudit(s, dir)),
+    // X223: snapshot reconciliation diff — per-user event state as of
+    // day 15 vs day 30 through ONE null-safe full outer join
+    "q_snapshot_diff" -> ((s, dir) =>
+      DataQuality.snapshotDiffEvents(s, dir)),
+    // X224: order-invariant dataset checksum per lang — commutative
+    // 60-bit md5-prefix sum, partitioning/retry-invariant
+    "stats_checksum" -> ((s, dir) =>
+      DataQuality.datasetChecksum(Tables.documents(s, dir))),
+    // X225: Theil–Sen robust trend per event type — median pairwise
+    // slope over the calendar-bounded daily table
+    "q_theil_sen" -> ((s, dir) => TimeSeries.theilSenDaily(s, dir)),
+    // X226: DBSCAN density clustering over the banded candidate
+    // graph — deterministic core/border/noise roles, min-label
+    // clusters over core-core edges
+    "embed_dbscan" -> ((s, dir) =>
+      Clustering.dbscan(Tables.embeddings(s, dir))),
+    // X227: WOE / information value of order priority predicting
+    // high-value orders — exact bin counts, fixed IEEE tail
+    "stats_woe_iv" -> ((s, dir) => Inference.woeIv(s, dir)),
+    // X228: linear-interpolation resample of the per-minute peak-value
+    // series, hash-verified through exact per-type rollup sums
+    "q_interp_resample" -> ((s, dir) =>
+      TimeSeries.interpResampleSummary(s, dir)),
   )
 
   /** The graph family's shared edge substrate: undirected mutual edges
@@ -5448,5 +5475,221 @@ object SparkEntry {
          |        < '${Sampling.rateThresholdHex(0.8 + 0.1)}' THEN 'val'
          |      ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // constraint-audit twin: the same rule set — domain rules as one
+    // CASE-sum per table, FK rules as NOT EXISTS anti counts
+    "q_constraint_audit" ->
+      """SELECT * FROM (
+        | SELECT 'lineitem_qty_range' AS rule,
+        |  CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |  CAST(count(*) AS BIGINT) AS checked FROM lineitem
+        | UNION ALL
+        | SELECT 'lineitem_discount_range',
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+        |                THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM lineitem
+        | UNION ALL
+        | SELECT 'lineitem_price_positive',
+        |  CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM lineitem
+        | UNION ALL
+        | SELECT 'orders_price_positive',
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM orders
+        | UNION ALL
+        | SELECT 'orders_status_domain',
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |                THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM orders
+        | UNION ALL
+        | SELECT 'orders_priority_domain',
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH',
+        |    '3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM orders
+        | UNION ALL
+        | SELECT 'documents_text_nonempty',
+        |  CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+        |                THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM documents
+        | UNION ALL
+        | SELECT 'documents_nchars_consistent',
+        |  CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM documents
+        | UNION ALL
+        | SELECT 'lineitem_fk_orders',
+        |  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS BIGINT),
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+        | UNION ALL
+        | SELECT 'orders_fk_customer',
+        |  CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |    AS BIGINT),
+        |  CAST((SELECT count(*) FROM orders) AS BIGINT)
+        |) ORDER BY rule""".stripMargin,
+    // snapshot-diff twin: the same two per-user states, one null-safe
+    // full outer join, the same 4-way classification
+    "q_snapshot_diff" ->
+      """WITH a AS (SELECT user_id::VARCHAR || '|' || event_type AS k,
+        |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS max_cents
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1),
+        |b AS (SELECT user_id::VARCHAR || '|' || event_type AS k,
+        |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS max_cents
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-31' GROUP BY 1),
+        |j AS (SELECT CASE
+        |    WHEN a.k IS NULL THEN 'added'
+        |    WHEN b.k IS NULL THEN 'removed'
+        |    WHEN a.max_cents IS NOT DISTINCT FROM b.max_cents
+        |      THEN 'unchanged'
+        |    ELSE 'changed' END AS change_type
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT change_type, CAST(count(*) AS BIGINT) AS n
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // checksum twin: identical canonical rendering and 60-bit md5
+    // prefix, summed exactly (HUGEINT) and rendered as digits
+    "stats_checksum" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CAST('0x' || substr(md5(
+        |   doc_id::VARCHAR || '|' || lang || '|' || source || '|' ||
+        |   n_chars::VARCHAR || '|' || text), 1, 15) AS BIGINT))
+        |  AS VARCHAR) AS checksum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // theil-sen twin: same daily rollup, same pair join, same
+    // two-middle exact median selection
+    "q_theil_sen" ->
+      """WITH daily AS (
+        | SELECT event_type,
+        |  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |  CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+        |    AS slope,
+        |  a.day AS d1, b.day AS d2
+        | FROM daily a JOIN daily b
+        |   ON a.event_type = b.event_type AND a.day < b.day),
+        |r AS (SELECT event_type, slope,
+        |  row_number() OVER (PARTITION BY event_type
+        |                     ORDER BY slope, d1, d2) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM p)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+        | round(avg(slope), 4) AS slope
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // dbscan twin: the identical banded candidate graph, core =
+    // degree >= 3, min-label closure over core-core edges, min-core
+    // border assignment
+    "embed_dbscan" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |${autoSrpBandedSql(4)},
+        |ok AS (SELECT band, bhash FROM banded GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 200),
+        |cand AS (
+        | SELECT DISTINCT a.id AS id1, b.id AS id2
+        | FROM banded a JOIN ok USING (band, bhash) JOIN banded b
+        |  ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id),
+        |pairs AS (
+        | SELECT c.id1, c.id2
+        | FROM cand c JOIN v v1 ON v1.id = c.id1 JOIN v v2 ON v2.id = c.id2
+        | WHERE list_cosine_similarity(v1.e, v2.e) >= 0.35),
+        |sym AS (SELECT id1, id2 FROM pairs
+        |        UNION ALL SELECT id2, id1 FROM pairs),
+        |core AS (SELECT id1 AS id FROM sym GROUP BY 1 HAVING count(*) >= 3),
+        |ce AS (SELECT s.id1, s.id2 FROM sym s
+        |       JOIN core c1 ON c1.id = s.id1 JOIN core c2 ON c2.id = s.id2
+        |       WHERE s.id1 < s.id2),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM ce
+        |          UNION SELECT id2, id1 FROM ce),
+        |reach(id, r) AS (
+        | SELECT a, a FROM edges
+        | UNION
+        | SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+        |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |corec AS (SELECT core.id, coalesce(comp.cluster, core.id) AS cluster
+        | FROM core LEFT JOIN comp ON comp.id = core.id),
+        |borderc AS (SELECT s.id1 AS id, min(cc.cluster) AS cluster
+        | FROM sym s JOIN corec cc ON cc.id = s.id2
+        | WHERE s.id1 NOT IN (SELECT id FROM core) GROUP BY 1),
+        |lab AS (SELECT id, cluster, 'core' AS role FROM corec
+        |        UNION ALL SELECT id, cluster, 'border' FROM borderc)
+        |SELECT v.id AS vec_id, coalesce(lab.role, 'noise') AS role,
+        | coalesce(lab.cluster, -1) AS cluster
+        |FROM v LEFT JOIN lab ON lab.id = v.id ORDER BY vec_id""".stripMargin,
+    // woe/iv twin: identical exact bin counts, retained-bin totals,
+    // and the identical ln/multiply/round tail
+    "stats_woe_iv" ->
+      """WITH bins AS (
+        | SELECT o_orderpriority AS priority,
+        |  CAST(sum(CASE WHEN o_totalprice >= 250000.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS pos,
+        |  CAST(sum(CASE WHEN o_totalprice < 250000.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS neg
+        | FROM orders GROUP BY 1
+        | HAVING sum(CASE WHEN o_totalprice >= 250000.0 THEN 1 ELSE 0 END) > 0
+        |    AND sum(CASE WHEN o_totalprice < 250000.0 THEN 1 ELSE 0 END) > 0),
+        |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS tp,
+        |               CAST(sum(neg) AS BIGINT) AS tn FROM bins)
+        |SELECT priority, pos, neg,
+        | round(ln((CAST(pos AS DOUBLE) / CAST(tp AS DOUBLE)) /
+        |          (CAST(neg AS DOUBLE) / CAST(tn AS DOUBLE))), 6) AS woe,
+        | round(((CAST(pos AS DOUBLE) / CAST(tp AS DOUBLE)) -
+        |        (CAST(neg AS DOUBLE) / CAST(tn AS DOUBLE))) *
+        |   ln((CAST(pos AS DOUBLE) / CAST(tp AS DOUBLE)) /
+        |      (CAST(neg AS DOUBLE) / CAST(tn AS DOUBLE))), 6) AS iv_term
+        |FROM bins CROSS JOIN tot ORDER BY priority""".stripMargin,
+    // interp-resample twin: identical minute bucketing, spine,
+    // bracket windows, half-up rational fill, and rollup sums
+    "q_interp_resample" ->
+      """WITH pm AS (
+        | SELECT event_type,
+        |  CAST(floor((epoch_us(ts) -
+        |    epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 60000000.0)
+        |    AS BIGINT) AS minute,
+        |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2),
+        |grid AS (
+        | SELECT event_type, unnest(range(m0, m1 + 1)) AS minute
+        | FROM (SELECT event_type, min(minute) AS m0, max(minute) AS m1
+        |       FROM pm GROUP BY 1)),
+        |br AS (
+        | SELECT g.event_type, g.minute, pm.cents,
+        |  last_value(pm.cents IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN pm.cents IS NOT NULL THEN g.minute END
+        |    IGNORE NULLS) OVER wp AS pmn,
+        |  first_value(pm.cents IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN pm.cents IS NOT NULL THEN g.minute END
+        |    IGNORE NULLS) OVER wn AS nm
+        | FROM grid g LEFT JOIN pm
+        |   ON pm.event_type = g.event_type AND pm.minute = g.minute
+        | WINDOW
+        |  wp AS (PARTITION BY g.event_type ORDER BY g.minute
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  wn AS (PARTITION BY g.event_type ORDER BY g.minute
+        |         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |f AS (
+        | SELECT event_type,
+        |  CASE WHEN cents IS NOT NULL THEN cents
+        |   ELSE ((pv * (nm - minute) + nv * (minute - pmn)) * 2 + (nm - pmn)
+        |     - ((pv * (nm - minute) + nv * (minute - pmn)) * 2 + (nm - pmn))
+        |       % ((nm - pmn) * 2)) // ((nm - pmn) * 2) END AS cents_f,
+        |  CASE WHEN cents IS NOT NULL THEN 'actual' ELSE 'interp' END AS src
+        | FROM br)
+        |SELECT event_type,
+        | CAST(sum(CASE WHEN src = 'actual' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_actual,
+        | CAST(sum(CASE WHEN src = 'interp' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_interp,
+        | CAST(sum(CASE WHEN src = 'actual' THEN cents_f ELSE 0 END)
+        |   AS BIGINT) AS actual_cents,
+        | CAST(sum(CASE WHEN src = 'interp' THEN cents_f ELSE 0 END)
+        |   AS BIGINT) AS interp_cents
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -80,4 +80,60 @@ object Clustering {
         round(sqrt(col("__b.d")) / 1e6, 6).as("dist"))
       .orderBy(col(idCol))
   }
+
+  /** X226: DBSCAN density clustering (Ester et al. 1996), cosine form,
+    * over the banded LSH candidate graph:
+    *  - neighbors(p) = candidates with cosine ≥ `tau` (the SAME banded
+    *    pair machinery as the embedding-dedup family — recall-bounded
+    *    by construction, never all-pairs; the twin replays the
+    *    identical banding so both engines see the same graph);
+    *  - CORE: ≥ `minPts` neighbors (self excluded);
+    *  - clusters: connected components over core–core edges (label =
+    *    min reachable core id — the deterministic replacement for
+    *    textbook DBSCAN's visit-order-dependent expansion); a core
+    *    with no core neighbor keeps its own id;
+    *  - BORDER: non-core with ≥ 1 core neighbor, assigned the MIN of
+    *    its core neighbors' clusters (again determinism over visit
+    *    order); everything else is NOISE (cluster −1).
+    *
+    * Scale shape: one banded candidate pass (capped buckets), one
+    * degree aggregation, the pointer-jumping CC rounds on the SPARSE
+    * core edge list, two bounded label joins — the vector table never
+    * self-joins and nothing is driver-sized. */
+  def dbscan(emb: DataFrame, tau: Double = 0.35,
+             minPts: Int = 3): DataFrame = {
+    val pairs = Dedup.embeddingPairs(emb, threshold = tau)
+      .select(col("id1"), col("id2"))
+    // candidates are distinct with id1 < id2, so both directions union
+    // without a dedup pass
+    val sym = pairs.unionByName(
+      pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    val core = sym.groupBy(col("id1").as("id"))
+      .agg(count(lit(1)).as("d"))
+      .where(col("d") >= minPts).select(col("id"))
+    val coreEdges = sym
+      .join(core.select(col("id").as("id1")), "id1")
+      .join(core.select(col("id").as("id2")), "id2")
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+    val comp = ConnectedComponents.components(coreEdges)
+    val coreClusters = core
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))
+    val borderClusters = sym
+      .join(coreClusters.select(col("id").as("id2"), col("cluster")), "id2")
+      .join(core.select(col("id").as("id1")), Seq("id1"), "left_anti")
+      .groupBy(col("id1").as("id"))
+      .agg(min(col("cluster")).as("cluster"))
+    val assigned =
+      coreClusters.select(col("id"), col("cluster"), lit("core").as("role"))
+        .unionByName(borderClusters.select(col("id"), col("cluster"),
+          lit("border").as("role")))
+    emb.select(col("vec_id").cast("long").as("id"))
+      .join(assigned, Seq("id"), "left")
+      .select(col("id").as("vec_id"),
+        coalesce(col("role"), lit("noise")).as("role"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -308,4 +308,36 @@ object Inference {
       round(chi2, 4).as("chi2"),
       round(sqrt(chi2 / ($"n".cast("double") * (kMin - 1.0))), 4).as("v"))
   }
+
+  /** X227: weight-of-evidence / information value (the credit-scoring
+    * predictive-power readout; Siddiqi 2006) of order priority
+    * predicting high-value orders (total ≥ the fixed 250k threshold).
+    *
+    * Per bin: pos/neg are exact LONG counts from ONE map-side
+    * aggregation; rates, WOE = ln(rp/rn) and iv_term = (rp−rn)·WOE are
+    * a FIXED per-row IEEE sequence from those integers and the two
+    * broadcast totals (never a float re-aggregation — the twin replays
+    * the identical sequence). Bins with an empty side drop (WOE is
+    * undefined there); no total row, so no cross-bin float fold
+    * exists. Scale: corpus → |priorities| rows map-side, totals are a
+    * 1-row broadcast back. */
+  def woeIv(spark: SparkSession, sfDir: String,
+            threshold: Double = 250000.0): DataFrame = {
+    import spark.implicits._
+    val bins = Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority".as("priority"))
+      .agg(sum(when($"o_totalprice" >= threshold, 1L).otherwise(0L))
+        .as("pos"),
+        sum(when($"o_totalprice" < threshold, 1L).otherwise(0L)).as("neg"))
+      .where($"pos" > 0 && $"neg" > 0)
+    val tot = bins.agg(sum($"pos").as("tp"), sum($"neg").as("tn"))
+    val rp = $"pos".cast("double") / $"tp".cast("double")
+    val rn = $"neg".cast("double") / $"tn".cast("double")
+    val woe = log(rp / rn)
+    bins.crossJoin(tot)
+      .select($"priority", $"pos", $"neg",
+        round(woe, 6).as("woe"),
+        round((rp - rn) * woe, 6).as("iv_term"))
+      .orderBy($"priority")
+  }
 }

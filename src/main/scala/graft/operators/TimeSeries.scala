@@ -532,4 +532,114 @@ object TimeSeries {
         avgPrice4($"sp", $"n"))
       .orderBy($"month")
   }
+
+  /** X225: Theil–Sen slope (Theil 1950, Sen 1968) of each event type's
+    * daily count series — the median of all pairwise slopes, the
+    * robust trend line OLS can't give (one outlier day moves OLS, not
+    * the pairwise median).
+    *
+    * Scale shape: the corpus collapses map-side to the calendar-
+    * bounded (type, day, count) table first, so the pair self-join is
+    * |types| x days²/2 — metadata-sized at ANY corpus size (366 days
+    * → ≤67k pairs/type/year). Each slope is one IEEE divide of two
+    * exact LONGS (identical in both engines); the median avoids
+    * percentile interpolation by averaging the two middle values
+    * selected with integer ranks (odd n picks the same row twice). */
+  def theilSenDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", dayCol.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = daily.select($"event_type", $"day".as("d1"), $"cnt".as("c1"))
+    val b = daily.select($"event_type".as("et2"), $"day".as("d2"),
+      $"cnt".as("c2"))
+    val slopes = a.join(b, $"event_type" === $"et2" && $"d1" < $"d2")
+      .select($"event_type",
+        (($"c2" - $"c1").cast("double") /
+          ($"d2" - $"d1").cast("double")).as("slope"),
+        $"d1", $"d2")
+    // deterministic total order inside each type: slope, then the pair
+    // itself (ties on slope are exact-equal doubles, so the tiebreak
+    // only fixes WHICH equal value each rank points at)
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"slope", $"d1", $"d2")
+    val ranked = slopes
+      .select($"event_type", $"slope", row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy($"event_type")).as("n"))
+    ranked
+      .where($"rn" === floor(($"n" + 1) / 2) ||
+        $"rn" === floor(($"n" + 2) / 2))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n_pairs"),
+        round(avg($"slope"), 4).as("slope"))
+      .orderBy($"event_type")
+  }
+
+  /** X228: linear-interpolation resample — the X95 (forward-fill)
+    * sibling for signals where holding the last value lies (a price,
+    * a gauge): each missing minute of a type's per-minute peak-value
+    * series takes the exact half-up rational interpolation of its
+    * bracketing observed minutes, pv + (nv−pv)·(m−pm)/(nm−pm), walked
+    * entirely in LONG cents so both engines agree bit-for-bit.
+    * Minute grain (the q_gaps lesson): daily series here are dense at
+    * every SF, so a daily interp would be evidence-free; ~75% of
+    * minutes are empty at sf0.01.
+    *
+    * Scale shape: the corpus collapses map-side to (type, minute,
+    * cents) first; the spine and the two bracket windows run on that
+    * clock-bounded table (|types| × ≤527k minute rows/year at ANY
+    * corpus size). Denser corpora leave fewer gaps to fill — the true
+    * answer, not lost recall. */
+  def interpResampleMinute(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val minCol = ((unix_timestamp($"ts") -
+      unix_timestamp(lit("2024-01-01 00:00:00").cast("timestamp"))) / 60L)
+      .cast("long")
+    val perMin = Tables.events(spark, sfDir)
+      .groupBy($"event_type", minCol.as("minute"))
+      .agg(max(round($"value" * 100).cast("long")).as("cents"))
+    val grid = perMin.groupBy($"event_type")
+      .agg(min($"minute").as("m0"), max($"minute").as("m1"))
+      .select($"event_type", explode(sequence($"m0", $"m1")).as("minute"))
+    val wPrev = Window.partitionBy($"event_type").orderBy($"minute")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy($"event_type").orderBy($"minute")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val bracketed = grid
+      .join(perMin, Seq("event_type", "minute"), "left")
+      .select($"event_type", $"minute", $"cents",
+        last($"cents", ignoreNulls = true).over(wPrev).as("pv"),
+        last(when($"cents".isNotNull, $"minute"), ignoreNulls = true)
+          .over(wPrev).as("pm"),
+        first($"cents", ignoreNulls = true).over(wNext).as("nv"),
+        first(when($"cents".isNotNull, $"minute"), ignoreNulls = true)
+          .over(wNext).as("nm"))
+    // exact half-up integer division of the interpolation rational:
+    // num = pv·(nm−m) + nv·(m−pm), den = nm−pm (both sides positive)
+    val num = $"pv" * ($"nm" - $"minute") + $"nv" * ($"minute" - $"pm")
+    val den = $"nm" - $"pm"
+    val x = num * 2 + den
+    val filled = ((x - x % (den * 2)) / (den * 2)).cast("long")
+    bracketed.select($"event_type", $"minute",
+      when($"cents".isNotNull, $"cents").otherwise(filled).as("cents"),
+      when($"cents".isNotNull, lit("actual")).otherwise(lit("interp"))
+        .as("src"))
+  }
+
+  /** X228 entry rollup: the resampled table hash-verified through
+    * exact per-type LONG sums and counts of both row classes — every
+    * interpolated cent participates in the hash without dumping the
+    * |types| × minutes spine through the compare. */
+  def interpResampleSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    interpResampleMinute(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(sum(when($"src" === "actual", 1L).otherwise(0L)).as("n_actual"),
+        sum(when($"src" === "interp", 1L).otherwise(0L)).as("n_interp"),
+        sum(when($"src" === "actual", $"cents").otherwise(0L))
+          .as("actual_cents"),
+        sum(when($"src" === "interp", $"cents").otherwise(0L))
+          .as("interp_cents"))
+      .orderBy($"event_type")
+  }
 }

@@ -182,6 +182,34 @@ class PlanLintSpec extends AnyFunSuite {
       s"no aggregation belongs in a per-row split assignment:\n$plan")
   }
 
+  test("constraint audit: domain rules fuse into one aggregate per table scan") {
+    val plan = SparkEntry.queries("q_constraint_audit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // three fact tables with fused domain rules + two FK anti-join
+    // probes + their totals: the lineitem scan count stays bounded —
+    // per-rule passes would multiply it by |rules|
+    val scans = "Scan parquet".r.findAllMatchIn(plan).size
+    assert(scans <= 7, s"rule-per-pass scan explosion ($scans scans):\n$plan")
+    assert(plan.contains("partial"), "rule counters must combine map-side")
+  }
+
+  test("dataset checksum: per-row hashing rides the scan; one lang exchange") {
+    val plan = SparkEntry.queries("stats_checksum")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 1,
+      s"md5 folding is scan-stage; only the lang agg may exchange:\n$plan")
+    assert(plan.contains("partial"), "checksums must combine map-side")
+  }
+
+  test("theil-sen: the pair join runs on the calendar-bounded daily table") {
+    val plan = SparkEntry.queries("q_theil_sen")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial"),
+      s"the corpus must collapse to (type, day) map-side first:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the pair join is type-keyed, never a shuffled cross product:\n$plan")
+  }
+
   test("inference family: the corpus collapses before any pair join or fold") {
     // mann-kendall / cusum / anova first collapse events|orders with a
     // partial aggregation; everything pair-shaped runs on the bounded

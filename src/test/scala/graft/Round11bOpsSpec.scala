@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Clustering, Dedup, Inference, TimeSeries}
+
+/** Driver-side brute-force replays for the round-11 second batch
+  * (X226–X228): the distributed pipelines against plain Scala
+  * collections over the collected sf0.001 tables. */
+class Round11bOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("X226 dbscan: roles and clusters match a union-find replay " +
+    "of the same candidate graph") {
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = Dedup.embeddingPairs(emb).select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = emb.select(col("vec_id").cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    val nbrs = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    pairs.foreach { case (a, b) =>
+      nbrs(a) = nbrs(a) + b; nbrs(b) = nbrs(b) + a
+    }
+    val core = ids.filter(nbrs(_).size >= 3).toSet
+    // union-find over core-core edges
+    val parent = scala.collection.mutable.Map(core.toSeq.map(c => c -> c): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      if (core(a) && core(b)) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val coreCluster = core.map(c => c -> find(c)).toMap
+    val expected = ids.map { id =>
+      if (core(id)) (id, "core", coreCluster(id))
+      else {
+        val coreNbrs = nbrs(id).filter(core)
+        if (coreNbrs.nonEmpty) (id, "border", coreNbrs.map(coreCluster).min)
+        else (id, "noise", -1L)
+      }
+    }
+    val got = Clustering.dbscan(emb).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g vs $e") }
+    // the data actually exercises every role
+    val roles = got.map(_._2).toSet
+    assert(roles == Set("core", "border", "noise"),
+      s"degenerate test data: only $roles present")
+  }
+
+  test("X227 woe/iv: bins match the textbook formula on collected orders") {
+    val prices = Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val byBin = prices.groupBy(_._1).map { case (p, xs) =>
+      p -> (xs.count(_._2 >= 250000.0).toLong,
+        xs.count(_._2 < 250000.0).toLong)
+    }.filter { case (_, (pos, neg)) => pos > 0 && neg > 0 }
+    val tp = byBin.values.map(_._1).sum.toDouble
+    val tn = byBin.values.map(_._2).sum.toDouble
+    val got = Inference.woeIv(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == byBin.keySet)
+    byBin.foreach { case (p, (pos, neg)) =>
+      val (gp, gn, woe, iv) = got(p)
+      assert((gp, gn) == (pos, neg), p)
+      val rp = pos / tp
+      val rn = neg / tn
+      assert(math.abs(woe - math.log(rp / rn)) < 1e-6, s"$p woe")
+      assert(math.abs(iv - (rp - rn) * math.log(rp / rn)) < 1e-6, s"$p iv")
+    }
+  }
+
+  test("X228 interp resample: rollup matches the half-up spine walk") {
+    val minuteOf = (ts: java.sql.Timestamp) =>
+      (ts.getTime - java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+        .getTime) / 1000 / 60
+    val byType = Tables.events(spark, sf)
+      .select("event_type", "ts", "value").collect()
+      .map(r => (r.getString(0), minuteOf(r.getTimestamp(1)),
+        java.math.BigDecimal.valueOf(r.getDouble(2) * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()))
+      .groupBy(_._1)
+    val got = TimeSeries.interpResampleSummary(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, rows) =>
+      val perMin = rows.groupBy(_._2).map { case (m, xs) =>
+        m -> xs.map(_._3).max
+      }
+      val (m0, m1) = (perMin.keys.min, perMin.keys.max)
+      val present = perMin.keys.toArray.sorted
+      var (nA, nI, sA, sI) = (0L, 0L, 0L, 0L)
+      (m0 to m1).foreach { m =>
+        perMin.get(m) match {
+          case Some(c) => nA += 1; sA += c
+          case None =>
+            val pm = present.filter(_ < m).max
+            val nm = present.filter(_ > m).min
+            val (pv, nv) = (perMin(pm), perMin(nm))
+            val num = pv * (nm - m) + nv * (m - pm)
+            val den = nm - pm
+            val x = num * 2 + den
+            nI += 1; sI += (x - x % (den * 2)) / (den * 2)
+        }
+      }
+      assert(got(t) == ((nA, nI, sA, sI)), s"$t: ${got(t)} vs ($nA,$nI,$sA,$sI)")
+      assert(nI > 0, s"$t has no gaps — the interp path is untested")
+    }
+  }
+}
