@@ -5591,28 +5591,31 @@ object SparkEntry {
       s"""WITH RECURSIVE v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |${autoSrpBandedSql(4)},
         |ok AS (SELECT band, bhash FROM banded GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 200),
-        |cand AS (
+        |cand AS MATERIALIZED (
         | SELECT DISTINCT a.id AS id1, b.id AS id2
         | FROM banded a JOIN ok USING (band, bhash) JOIN banded b
         |  ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         | SELECT c.id1, c.id2
         | FROM cand c JOIN v v1 ON v1.id = c.id1 JOIN v v2 ON v2.id = c.id2
         | WHERE list_cosine_similarity(v1.e, v2.e) >= 0.35),
-        |sym AS (SELECT id1, id2 FROM pairs
-        |        UNION ALL SELECT id2, id1 FROM pairs),
-        |core AS (SELECT id1 AS id FROM sym GROUP BY 1 HAVING count(*) >= 3),
+        |sym AS MATERIALIZED (
+        | SELECT id1, id2 FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+        |core AS MATERIALIZED (
+        | SELECT id1 AS id FROM sym GROUP BY 1 HAVING count(*) >= 3),
         |ce AS (SELECT s.id1, s.id2 FROM sym s
         |       JOIN core c1 ON c1.id = s.id1 JOIN core c2 ON c2.id = s.id2
         |       WHERE s.id1 < s.id2),
-        |edges AS (SELECT id1 AS a, id2 AS b FROM ce
-        |          UNION SELECT id2, id1 FROM ce),
+        |edges AS MATERIALIZED (
+        | SELECT id1 AS a, id2 AS b FROM ce
+        | UNION SELECT id2, id1 FROM ce),
         |reach(id, r) AS (
         | SELECT a, a FROM edges
         | UNION
         | SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
-        |corec AS (SELECT core.id, coalesce(comp.cluster, core.id) AS cluster
+        |corec AS MATERIALIZED (
+        | SELECT core.id, coalesce(comp.cluster, core.id) AS cluster
         | FROM core LEFT JOIN comp ON comp.id = core.id),
         |borderc AS (SELECT s.id1 AS id, min(cc.cluster) AS cluster
         | FROM sym s JOIN corec cc ON cc.id = s.id2
