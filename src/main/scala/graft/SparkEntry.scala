@@ -2040,7 +2040,7 @@ object SparkEntry {
     "q_constraint_audit" -> ((s, dir) =>
       DataQuality.constraintAudit(s, dir)),
     // X223: snapshot reconciliation diff — per-user event state as of
-    // day 15 vs day 30 through ONE null-safe full outer join
+    // day 8 vs day 31 through ONE null-safe full outer join
     "q_snapshot_diff" -> ((s, dir) =>
       DataQuality.snapshotDiffEvents(s, dir)),
     // X224: order-invariant dataset checksum per lang — commutative
@@ -5535,11 +5535,13 @@ object SparkEntry {
     // snapshot-diff twin: the same two per-user states, one null-safe
     // full outer join, the same 4-way classification
     "q_snapshot_diff" ->
-      """WITH a AS (SELECT user_id::VARCHAR || '|' || event_type AS k,
+      """WITH a AS (SELECT coalesce(user_id::VARCHAR, chr(1)) || '|' ||
+        |    coalesce(event_type, chr(1)) AS k,
         |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS max_cents
         |  FROM events WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1),
-        |b AS (SELECT user_id::VARCHAR || '|' || event_type AS k,
+        |b AS (SELECT coalesce(user_id::VARCHAR, chr(1)) || '|' ||
+        |    coalesce(event_type, chr(1)) AS k,
         |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS max_cents
         |  FROM events WHERE ts < TIMESTAMP '2024-01-31' GROUP BY 1),
@@ -5552,13 +5554,19 @@ object SparkEntry {
         |  FROM a FULL OUTER JOIN b ON a.k = b.k)
         |SELECT change_type, CAST(count(*) AS BIGINT) AS n
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
-    // checksum twin: identical canonical rendering and 60-bit md5
-    // prefix, summed exactly (HUGEINT) and rendered as digits
+    // checksum twin: identical canonical rendering (every column
+    // through the same coalesce-to-U+0001 NULL sentinel as the Spark
+    // side, so NULL rows hash deterministically instead of nulling
+    // the '||' chain) and 60-bit md5 prefix, summed exactly (HUGEINT)
+    // and rendered as digits
     "stats_checksum" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
         | CAST(sum(CAST('0x' || substr(md5(
-        |   doc_id::VARCHAR || '|' || lang || '|' || source || '|' ||
-        |   n_chars::VARCHAR || '|' || text), 1, 15) AS BIGINT))
+        |   coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+        |   coalesce(lang, chr(1)) || '|' ||
+        |   coalesce(source, chr(1)) || '|' ||
+        |   coalesce(n_chars::VARCHAR, chr(1)) || '|' ||
+        |   coalesce(text, chr(1))), 1, 15) AS BIGINT))
         |  AS VARCHAR) AS checksum
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // theil-sen twin: same daily rollup, same pair join, same

@@ -124,7 +124,13 @@ object DataQuality {
     def stateAsOf(cutoff: String): DataFrame =
       Tables.events(spark, sfDir)
         .where($"ts" < lit(cutoff).cast("timestamp"))
-        .groupBy(concat_ws("|", $"user_id", $"event_type").as("k"))
+        // NULL key parts render as an explicit U+0001 sentinel (same
+        // coalesce in the twin SQL) so both engines group NULLs into
+        // the SAME key instead of Spark dropping the part (concat_ws
+        // skips NULLs) while DuckDB nulls the whole key
+        .groupBy(concat_ws("|",
+          coalesce($"user_id".cast("string"), lit("\u0001")),
+          coalesce($"event_type", lit("\u0001"))).as("k"))
         .agg(max(round($"value" * 100).cast("long")).as("max_cents"))
     snapshotDiff(stateAsOf("2024-01-08"), stateAsOf("2024-01-31"),
       "k", Seq("max_cents"))
@@ -137,9 +143,16 @@ object DataQuality {
     * pipelines comparing stamps never move the data. 60 bits per row
     * keeps the sum inside 38 decimal digits to ~10^19 rows. */
   def datasetChecksum(docs: DataFrame): DataFrame = {
+    // every column renders through the same NULL sentinel (U+0001) in
+    // both engines: concat_ws would silently SKIP a NULL column (so
+    // ('a','b',NULL) and ('a|b',NULL,NULL) collide and the stamp turns
+    // ambiguous), while the twin's '||' would NULL the whole string
+    // and drop the row from the sum — a content-integrity stamp must
+    // hash NULL rows deterministically, not diverge on them
+    def nz(c: Column): Column = coalesce(c.cast("string"), lit("\u0001"))
     val canonical = concat_ws("|",
-      col("doc_id"), col("lang"), col("source"), col("n_chars"),
-      col("text"))
+      nz(col("doc_id")), nz(col("lang")), nz(col("source")),
+      nz(col("n_chars")), nz(col("text")))
     docs.select(col("lang"),
         conv(substring(md5(canonical), 1, 15), 16, 10)
           .cast("decimal(38,0)").as("h"))

@@ -598,32 +598,39 @@ object TimeSeries {
     val perMin = Tables.events(spark, sfDir)
       .groupBy($"event_type", minCol.as("minute"))
       .agg(max(round($"value" * 100).cast("long")).as("cents"))
-    val grid = perMin.groupBy($"event_type")
-      .agg(min($"minute").as("m0"), max($"minute").as("m1"))
-      .select($"event_type", explode(sequence($"m0", $"m1")).as("minute"))
-    val wPrev = Window.partitionBy($"event_type").orderBy($"minute")
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // Brackets are computed on the OBSERVED rows only: one O(n) lead()
+    // window pairs each observed minute with its successor, and
+    // explode(sequence(pm+1, nm−1)) generates exactly the gap minutes
+    // with both brackets already attached. The previous formulation
+    // walked the dense calendar spine with an unbounded-FOLLOWING
+    // frame, which Spark recomputes from scratch per row — O(spine²)
+    // per type and calendar-bound (653 s at sf0.1 regardless of data
+    // size). This shape is O(observed + gaps) and scales with data.
     val wNext = Window.partitionBy($"event_type").orderBy($"minute")
-      .rowsBetween(1, Window.unboundedFollowing)
-    val bracketed = grid
-      .join(perMin, Seq("event_type", "minute"), "left")
-      .select($"event_type", $"minute", $"cents",
-        last($"cents", ignoreNulls = true).over(wPrev).as("pv"),
-        last(when($"cents".isNotNull, $"minute"), ignoreNulls = true)
-          .over(wPrev).as("pm"),
-        first($"cents", ignoreNulls = true).over(wNext).as("nv"),
-        first(when($"cents".isNotNull, $"minute"), ignoreNulls = true)
-          .over(wNext).as("nm"))
-    // exact half-up integer division of the interpolation rational:
+    val paired = perMin.select($"event_type", $"minute", $"cents",
+      lead($"minute", 1).over(wNext).as("nm"),
+      lead($"cents", 1).over(wNext).as("nv"))
+    val actual = paired.select($"event_type", $"minute", $"cents",
+      lit("actual").as("src"))
+    val gaps = paired
+      .where($"nm".isNotNull && $"nm" > $"minute" + lit(1L))
+      .select($"event_type", $"minute".as("pm"), $"cents".as("pv"),
+        $"nm", $"nv",
+        explode(sequence($"minute" + lit(1L), $"nm" - lit(1L)))
+          .as("minute"))
+    // exact half-up rational interpolation, pure LONG math end-to-end
+    // (SQL `div`, not IEEE `/`, so large cents × long gaps never lose
+    // low bits vs the DuckDB integer-`//` twin):
     // num = pv·(nm−m) + nv·(m−pm), den = nm−pm (both sides positive)
-    val num = $"pv" * ($"nm" - $"minute") + $"nv" * ($"minute" - $"pm")
-    val den = $"nm" - $"pm"
-    val x = num * 2 + den
-    val filled = ((x - x % (den * 2)) / (den * 2)).cast("long")
-    bracketed.select($"event_type", $"minute",
-      when($"cents".isNotNull, $"cents").otherwise(filled).as("cents"),
-      when($"cents".isNotNull, lit("actual")).otherwise(lit("interp"))
-        .as("src"))
+    val filledGaps = gaps
+      .withColumn("num2",
+        ($"pv" * ($"nm" - $"minute") + $"nv" * ($"minute" - $"pm"))
+          * lit(2L) + ($"nm" - $"pm"))
+      .withColumn("den2", ($"nm" - $"pm") * lit(2L))
+      .select($"event_type", $"minute",
+        expr("(num2 - num2 % den2) div den2").cast("long").as("cents"),
+        lit("interp").as("src"))
+    actual.unionByName(filledGaps)
   }
 
   /** X228 entry rollup: the resampled table hash-verified through

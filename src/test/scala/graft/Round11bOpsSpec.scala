@@ -97,21 +97,23 @@ class Round11bOpsSpec extends AnyFunSuite {
       val perMin = rows.groupBy(_._2).map { case (m, xs) =>
         m -> xs.map(_._3).max
       }
-      val (m0, m1) = (perMin.keys.min, perMin.keys.max)
       val present = perMin.keys.toArray.sorted
       var (nA, nI, sA, sI) = (0L, 0L, 0L, 0L)
-      (m0 to m1).foreach { m =>
-        perMin.get(m) match {
-          case Some(c) => nA += 1; sA += c
-          case None =>
-            val pm = present.filter(_ < m).max
-            val nm = present.filter(_ > m).min
-            val (pv, nv) = (perMin(pm), perMin(nm))
+      present.foreach { m => nA += 1; sA += perMin(m) }
+      // walk consecutive observed pairs, not the dense spine — same
+      // math, O(observed + gaps) like the engine
+      present.sliding(2).foreach {
+        case Array(pm, nm) if nm > pm + 1 =>
+          val (pv, nv) = (perMin(pm), perMin(nm))
+          var m = pm + 1
+          while (m < nm) {
             val num = pv * (nm - m) + nv * (m - pm)
             val den = nm - pm
             val x = num * 2 + den
             nI += 1; sI += (x - x % (den * 2)) / (den * 2)
-        }
+            m += 1
+          }
+        case _ => ()
       }
       assert(got(t) == ((nA, nI, sA, sI)), s"$t: ${got(t)} vs ($nA,$nI,$sA,$sI)")
       assert(nI > 0, s"$t has no gaps — the interp path is untested")

@@ -53,19 +53,23 @@ ap.add_argument("--factor", type=float, default=10.0,
 args = ap.parse_args()
 sf_dir, out_dir = args.sf_dir, args.out_dir
 
-con = duckdb.connect()
-# bound DuckDB so a heavy oracle (recursive closures, 128-hash chains
-# at 10x) spills to disk instead of OOM-killing the gate
-con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
-con.execute("SET threads=16")
-con.execute("SET temp_directory='/tmp/duckdb_spill'")
-for t in ["region","nation","customer","supplier","part","orders",
-          "lineitem","events","documents","embeddings"]:
-    # driver testdata is one file per table; graft.ScaleUp output is a
-    # Spark-written DIRECTORY named <t>.parquet — glob its part files
-    path = f"{sf_dir}/{t}.parquet"
-    src = f"{path}/*.parquet" if os.path.isdir(path) else path
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+def fresh_con():
+    c = duckdb.connect()
+    # bound DuckDB so a heavy oracle (recursive closures, 128-hash
+    # chains at 10x) spills to disk instead of OOM-killing the gate
+    c.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
+    c.execute("SET threads=16")
+    c.execute("SET temp_directory='/tmp/duckdb_spill'")
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        # driver testdata is one file per table; graft.ScaleUp output is
+        # a Spark-written DIRECTORY named <t>.parquet — glob part files
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    return c
+
+con = fresh_con()
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 baseline = json.load(open(args.baseline)) if args.baseline else None
@@ -111,13 +115,27 @@ for name in sorted(os.listdir(out_dir)):
         print(f"  [rows-only] {name}: {len(got)} rows")
         continue
     # one oracle blowing past the memory limit (not every DuckDB
-    # operator can spill) must fail ITS row, not kill the sweep
+    # operator can spill) must fail ITS row, not kill the sweep.
+    # A shared connection accumulates buffer-pool memory across the
+    # 251-oracle sweep (the r11 embed_dbscan OOM passed in isolation),
+    # so an OOM'd oracle retries ONCE on a fresh connection before
+    # being declared a failure.
     try:
         exp = con.sql(oracle[name]).df()
     except Exception as ex:
-        print(f"FAIL {name}: oracle error: {str(ex).splitlines()[0][:160]}")
-        fails += 1
-        continue
+        first = str(ex).splitlines()[0][:160]
+        try:
+            con.close()
+            con = fresh_con()
+            exp = con.sql(oracle[name]).df()
+            print(f"  [retried] {name}: passed on a fresh connection "
+                  f"after: {first}")
+        except Exception as ex2:
+            print(f"FAIL {name}: oracle error: {str(ex2).splitlines()[0][:160]}")
+            fails += 1
+            con.close()
+            con = fresh_con()
+            continue
     g, e = canon(got), canon(exp)
     ok = True
     if list(g.columns) != list(e.columns):
