@@ -1,7 +1,8 @@
 package graft
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.{FutureTask, TimeUnit, TimeoutException}
 
-/** Benchmark main: one JSON line with per-query seconds.
+/** Benchmark main: per-query seconds → artifact file + one stdout line.
   *
   * Measurement discipline (a correct number needs all three):
   *  - materialize through the `noop` sink, not `count()` — count lets
@@ -12,10 +13,52 @@ import org.apache.spark.sql.DataFrame
   *    whichever query happens to run first;
   *  - median of SPARK_GRAFT_BENCH_REPS (default 3) timed runs per
   *    query, robust to one-off GC/scheduler noise.
+  *
+  * Robustness discipline (a complete artifact needs both):
+  *  - every attempt runs under a per-entry wall ceiling
+  *    (SPARK_GRAFT_BENCH_CEILING seconds, default 120): one
+  *    pathological plan records -1 and the sweep CONTINUES, instead of
+  *    rc-124ing the whole gate and erasing the other 250 measurements
+  *    (the round-11 q_interp_resample failure mode);
+  *  - the full 251-entry JSON goes to SPARK_GRAFT_BENCH_OUT
+  *    (default BENCH_full.json); stdout gets a SHORT line — total,
+  *    failures, top-15 slowest — because the driver captures only a
+  *    ~2k-char tail and a full per-query map truncates from the front,
+  *    leaving the round with `parsed: null`.
   */
 object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** Run `body` on its own thread under `ceilingSec`; on timeout cancel
+    * the entry's Spark job group and report failure. Job groups are
+    * thread-local, so the group is set INSIDE the task thread. */
+  private def runBounded(spark: SparkSession, name: String, ceilingSec: Int)
+                        (body: => Unit): Boolean = {
+    val group = s"bench-$name"
+    val task = new FutureTask[Unit](() => {
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+      try body finally spark.sparkContext.clearJobGroup()
+    })
+    val th = new Thread(task, group)
+    th.setDaemon(true)
+    th.start()
+    try { task.get(ceilingSec.toLong, TimeUnit.SECONDS); true }
+    catch {
+      case _: TimeoutException =>
+        System.err.println(s"[bench] $name exceeded ${ceilingSec}s ceiling — cancelling")
+        spark.sparkContext.cancelJobGroup(group)
+        task.cancel(true)
+        // give the cancelled jobs a moment to drain so they don't
+        // contaminate the NEXT entry's measurement
+        try task.get(30, TimeUnit.SECONDS) catch { case _: Throwable => () }
+        false
+      case e: Throwable =>
+        val cause = e.getCause match { case null => e; case c => c }
+        System.err.println(s"[bench] $name failed: ${cause.getMessage}")
+        false
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,6 +66,7 @@ object Bench {
     // the JSON artifact below, so "32 "/"8g" would silently corrupt it
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").trim.toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val ceiling = sys.env.getOrElse("SPARK_GRAFT_BENCH_CEILING", "120").trim.toInt
     // pre-session system load: a concurrent sweep on the same box
     // contaminates every wall time ~uniformly (the round-9 phantom
     // 27% regression). Stamp it so a loaded run is visibly loaded.
@@ -44,22 +88,17 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     names.foreach { n =>
-      try materialize(SparkEntry.queries(n)(spark, sfDir))
-      catch { case e: Throwable => System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
+      runBounded(spark, n, ceiling)(materialize(SparkEntry.queries(n)(spark, sfDir)))
     }
     val results = names.map { n =>
-      // a failed rep must not masquerade as a fast one: failures are
-      // reported as -1 for the query and excluded from the total
+      // a failed/over-ceiling rep must not masquerade as a fast one:
+      // such entries report -1 and are excluded from the total
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try {
-          materialize(SparkEntry.queries(n)(spark, sfDir))
+        if (runBounded(spark, n, ceiling)(
+              materialize(SparkEntry.queries(n)(spark, sfDir))))
           Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $n failed: ${e.getMessage}")
-            None
-        }
+        else None
       }.sorted
       n -> (if (times.length < reps) -1.0 else times(times.length / 2))
     }
@@ -74,13 +113,18 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // cpus is stamped so cross-artifact wall ratios (10x vs 1x) can be
     // read as data scaling, not a silent core-count change
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"cpus":$cpus,"loadavg_pre":$loadAvg,"sf":"$sfDir"}"""
-    println(line)
-    // the driver's captured stdout truncates to a short tail, losing
-    // the per-query map — persist the full line as an artifact too
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    val meta = s""""failed":$failedJson,"reps":$reps,"cpus":$cpus,"ceiling_sec":$ceiling,"loadavg_pre":$loadAvg,"sf":"$sfDir""""
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$meta}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
+    // stdout: SHORT machine-readable line (top-15 slowest only) so the
+    // driver's tail capture parses it; full per-query map is in outFile
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
+      .map { case (k, v) => s"\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":$top,$meta,"detail":"$outFile"}""")
     spark.stop()
   }
 }

@@ -16,11 +16,32 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // per-entry wall ceiling (seconds): one pathological plan must fail
+    // ITS entry (no dump → the compare tool flags it) instead of
+    // rc-124ing the whole sweep and erasing every other entry's
+    // evidence — the round-11 failure mode. 600 s default: generous vs
+    // the ~1 s sf0.1 median, still bounded at the 10x sweep.
+    val ceiling = sys.env.getOrElse("SPARK_GRAFT_VERIFY_CEILING", "600").trim.toInt
     attempted.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val group = s"verify-$name"
+      val task = new java.util.concurrent.FutureTask[Unit](() => {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        finally spark.sparkContext.clearJobGroup()
+      })
+      val th = new Thread(task, group); th.setDaemon(true); th.start()
+      try task.get(ceiling.toLong, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          System.err.println(s"[verify] $name exceeded ${ceiling}s ceiling — cancelled")
+          spark.sparkContext.cancelJobGroup(group)
+          task.cancel(true)
+          try task.get(30, java.util.concurrent.TimeUnit.SECONDS)
+          catch { case _: Throwable => () }
+        case e: Throwable =>
+          val cause = e.getCause match { case null => e; case c => c }
+          System.err.println(s"[verify] $name failed: ${cause.getMessage}")
       }
     }
     // manifest of attempted entries: the compare tool flags an

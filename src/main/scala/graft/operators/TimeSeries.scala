@@ -598,6 +598,13 @@ object TimeSeries {
     val perMin = Tables.events(spark, sfDir)
       .groupBy($"event_type", minCol.as("minute"))
       .agg(max(round($"value" * 100).cast("long")).as("cents"))
+      // a minute whose every value is NULL aggregates to NULL cents;
+      // treat it as a GAP (interpolate across it) — the same IGNORE
+      // NULLS semantics as the twin's dense-spine formulation, which
+      // would otherwise diverge on a NULL events.value (it skips NULL
+      // endpoints; an un-filtered NULL row here would both surface as
+      // an 'actual' NULL row and poison its neighbors' brackets)
+      .where($"cents".isNotNull)
     // Brackets are computed on the OBSERVED rows only: one O(n) lead()
     // window pairs each observed minute with its successor, and
     // explode(sequence(pm+1, nm−1)) generates exactly the gap minutes

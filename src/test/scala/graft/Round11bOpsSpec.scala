@@ -99,21 +99,26 @@ class Round11bOpsSpec extends AnyFunSuite {
       }
       val present = perMin.keys.toArray.sorted
       var (nA, nI, sA, sI) = (0L, 0L, 0L, 0L)
-      present.foreach { m => nA += 1; sA += perMin(m) }
-      // walk consecutive observed pairs, not the dense spine — same
-      // math, O(observed + gaps) like the engine
-      present.sliding(2).foreach {
-        case Array(pm, nm) if nm > pm + 1 =>
-          val (pv, nv) = (perMin(pm), perMin(nm))
-          var m = pm + 1
-          while (m < nm) {
+      // INDEPENDENT oracle shape: walk the dense m0..m1 spine and
+      // bracket each missing minute by binary search — deliberately
+      // NOT the engine's lead()-pairing algorithm, so a bug shared by
+      // both pairing implementations cannot cancel out here (O(spine)
+      // is fine in local Scala)
+      val m0 = present.head; val m1 = present.last
+      var m = m0
+      while (m <= m1) {
+        perMin.get(m) match {
+          case Some(v) => nA += 1; sA += v
+          case None =>
+            val ins = -java.util.Arrays.binarySearch(present, m) - 1
+            val (pm, nm) = (present(ins - 1), present(ins))
+            val (pv, nv) = (perMin(pm), perMin(nm))
             val num = pv * (nm - m) + nv * (m - pm)
             val den = nm - pm
             val x = num * 2 + den
             nI += 1; sI += (x - x % (den * 2)) / (den * 2)
-            m += 1
-          }
-        case _ => ()
+        }
+        m += 1
       }
       assert(got(t) == ((nA, nI, sA, sI)), s"$t: ${got(t)} vs ($nA,$nI,$sA,$sI)")
       assert(nI > 0, s"$t has no gaps — the interp path is untested")

@@ -124,17 +124,39 @@ for name in sorted(os.listdir(out_dir)):
         exp = con.sql(oracle[name]).df()
     except Exception as ex:
         first = str(ex).splitlines()[0][:160]
-        try:
-            con.close()
-            con = fresh_con()
-            exp = con.sql(oracle[name]).df()
-            print(f"  [retried] {name}: passed on a fresh connection "
-                  f"after: {first}")
-        except Exception as ex2:
-            print(f"FAIL {name}: oracle error: {str(ex2).splitlines()[0][:160]}")
+        # only memory-shaped failures earn the fresh-connection retry —
+        # a deterministically failing oracle retried unconditionally
+        # would execute its heavy query twice and double real-failure
+        # sweep time for zero information
+        oomish = any(s in str(ex) for s in
+                     ("OutOfMemory", "memory limit", "Out of Memory",
+                      "could not allocate", "Allocation failure"))
+        exp = None
+        if oomish:
+            try:
+                con.close()
+                con = fresh_con()
+                exp = con.sql(oracle[name]).df()
+                print(f"  [retried] {name}: passed on a fresh connection "
+                      f"after: {first}")
+            except Exception as ex2:
+                first = str(ex2).splitlines()[0][:160]
+        if exp is None:
+            print(f"FAIL {name}: oracle error: {first}")
             fails += 1
-            con.close()
-            con = fresh_con()
+            # reconnection is best-effort: if fresh_con() itself throws
+            # (vanished parquet, corrupted spill) the sweep must still
+            # fail only THIS row, not die — fall back to a lazy retry
+            # on the next loop iteration
+            try:
+                con.close()
+            except Exception:
+                pass
+            try:
+                con = fresh_con()
+            except Exception as ex3:
+                print(f"  [warn] reconnect failed ({str(ex3).splitlines()[0][:120]}); "
+                      "keeping previous connection state")
             continue
     g, e = canon(got), canon(exp)
     ok = True

@@ -7,7 +7,7 @@ Driver-side tooling only.
 
 Usage: scale10x_summary.py [verify_log ...]
 """
-import json, re, sys
+import glob, json, os, re, sys
 
 logs = sys.argv[1:] or ["/tmp/scale10x_verify.log"]
 bench10 = json.load(open("SCALE10X_BENCH.json"))
@@ -64,6 +64,37 @@ summary = {
     "median_ratio": ratios[len(ratios) // 2][0] if ratios else None,
     "queries": queries,
 }
+
+# byte-neutral text sweep (optional): 10x rows at ~1x bytes/row, so the
+# ratio vs the sf0.1 full-sweep baseline measures ROW scaling without
+# the prefix mode's ~2.3x byte inflation
+if os.path.exists("SCALE10X_TEXT.json"):
+    bn = json.load(open("SCALE10X_TEXT.json"))
+    text = {}
+    for name, sec10 in bn["queries"].items():
+        q = {"sec_10x_byteneutral": sec10}
+        if name in bench1 and bench1[name] > 0 and sec10 > 0:
+            q["sec_1x"] = bench1[name]
+            q["ratio"] = round(sec10 / bench1[name], 2)
+        text[name] = q
+    summary["text_byteneutral"] = text
+
+# SNM-family isolated bench (optional): one fresh JVM per entry per
+# scale, so the memoized shared candidate stage is charged to EVERY
+# entry — these ratios are the honest ones; the full-sweep worst-ratio
+# table charges the shared stage to the first payer only
+snm = {}
+for p in glob.glob("/tmp/graft_snm_1x_*.json"):
+    name = os.path.basename(p)[len("graft_snm_1x_"):-len(".json")]
+    sec1 = json.load(open(p))["queries"].get(name)
+    p10 = f"/tmp/graft_snm_10x_{name}.json"
+    sec10 = json.load(open(p10))["queries"].get(name) if os.path.exists(p10) else None
+    row = {"sec_1x_isolated": sec1, "sec_10x_isolated": sec10}
+    if sec1 and sec10 and sec1 > 0 and sec10 > 0:
+        row["ratio"] = round(sec10 / sec1, 2)
+    snm[name] = row
+if snm:
+    summary["snm_isolated"] = snm
 json.dump(summary, open("SCALE10X.json", "w"), indent=1)
 print(f"verify ok={ok}/{len(status)} fails={fails}")
 print(f"bench 10x total={bench10['value']:.1f}s, median ratio="
