@@ -67,13 +67,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").trim.toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val ceiling = sys.env.getOrElse("SPARK_GRAFT_BENCH_CEILING", "120").trim.toInt
-    // pre-session system load: a concurrent sweep on the same box
-    // contaminates every wall time ~uniformly (the round-9 phantom
-    // 27% regression). Stamp it so a loaded run is visibly loaded.
-    val loadAvg =
+    // system load before AND after the run: a concurrent sweep on the
+    // same box contaminates every wall time ~uniformly (the round-9
+    // phantom 27% regression; the round-13 +8.5% drift). Stamping both
+    // makes a loaded run diagnosable from the artifact alone.
+    def loadavg(): Double =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    val loadAvg = loadavg()
     if (loadAvg > 0.25 * cpus)
       System.err.println(f"[bench] WARNING: 1-min loadavg $loadAvg%.1f on $cpus cores " +
         "before the run — results are contention-contaminated; rerun on an idle box")
@@ -114,7 +116,7 @@ object Bench {
     // cpus is stamped so cross-artifact wall ratios (10x vs 1x) can be
     // read as data scaling, not a silent core-count change
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
-    val meta = s""""failed":$failedJson,"reps":$reps,"cpus":$cpus,"ceiling_sec":$ceiling,"loadavg_pre":$loadAvg,"sf":"$sfDir""""
+    val meta = s""""failed":$failedJson,"reps":$reps,"cpus":$cpus,"ceiling_sec":$ceiling,"loadavg_pre":$loadAvg,"loadavg_post":${loadavg()},"sf":"$sfDir""""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$meta}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")

@@ -5664,7 +5664,12 @@ object SparkEntry {
         |    epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 60000000.0)
         |    AS BIGINT) AS minute,
         |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        | FROM events GROUP BY 1, 2),
+        | FROM events GROUP BY 1, 2
+        | -- a minute whose every value is NULL is a GAP, mirroring the
+        | -- engine's IGNORE-NULLS filter (TimeSeries.interpResampleMinute):
+        | -- without this, NULL minutes would extend the grid and surface
+        | -- as NULL-fill 'interp' rows on NULL-bearing data
+        | HAVING max(CAST(round(value * 100) AS BIGINT)) IS NOT NULL),
         |grid AS (
         | SELECT event_type, unnest(range(m0, m1 + 1)) AS minute
         | FROM (SELECT event_type, min(minute) AS m0, max(minute) AS m1

@@ -85,6 +85,9 @@ class Round11bOpsSpec extends AnyFunSuite {
         .getTime) / 1000 / 60
     val byType = Tables.events(spark, sf)
       .select("event_type", "ts", "value").collect()
+      // NULL values are gaps, mirroring the engine's IGNORE-NULLS
+      // filter (and getDouble would NPE on them)
+      .filter(r => !r.isNullAt(2))
       .map(r => (r.getString(0), minuteOf(r.getTimestamp(1)),
         java.math.BigDecimal.valueOf(r.getDouble(2) * 100)
           .setScale(0, java.math.RoundingMode.HALF_UP).longValue()))

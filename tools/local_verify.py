@@ -69,7 +69,10 @@ def fresh_con():
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return c
 
-con = fresh_con()
+# lazy: (re)opened at first use and after any close — a failed
+# reconnect must poison at most its own row, never leave a CLOSED
+# handle that every later oracle trips over (the r13 cascade bug)
+con = None
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 baseline = json.load(open(args.baseline)) if args.baseline else None
@@ -85,7 +88,21 @@ for name in sorted(os.listdir(out_dir)):
     path = os.path.join(out_dir, name)
     if not os.path.isdir(path):
         continue
-    got = pd.concat([pd.read_parquet(p) for p in glob.glob(f"{path}/*.parquet")])
+    # a Verify timeout/cancel can leave an empty or partial directory
+    # (Spark creates the target dir before committing part files) —
+    # that must FAIL this row, not raise out of pd.concat([]) and kill
+    # the whole sweep with counts.json never written
+    parts = glob.glob(f"{path}/*.parquet")
+    if not parts:
+        print(f"FAIL {name}: empty/partial dump (no part files)")
+        fails += 1
+        continue
+    try:
+        got = pd.concat([pd.read_parquet(p) for p in parts])
+    except Exception as ex:
+        print(f"FAIL {name}: unreadable dump: {str(ex).splitlines()[0][:160]}")
+        fails += 1
+        continue
     counts[name] = len(got)
     # ratio guard runs FIRST: a collapsed row count fails even when the
     # oracle agrees (same dead pipeline on both sides == no evidence).
@@ -121,6 +138,8 @@ for name in sorted(os.listdir(out_dir)):
     # so an OOM'd oracle retries ONCE on a fresh connection before
     # being declared a failure.
     try:
+        if con is None:
+            con = fresh_con()
         exp = con.sql(oracle[name]).df()
     except Exception as ex:
         first = str(ex).splitlines()[0][:160]
@@ -134,7 +153,12 @@ for name in sorted(os.listdir(out_dir)):
         exp = None
         if oomish:
             try:
-                con.close()
+                if con is not None:
+                    con.close()
+            except Exception:
+                pass
+            con = None
+            try:
                 con = fresh_con()
                 exp = con.sql(oracle[name]).df()
                 print(f"  [retried] {name}: passed on a fresh connection "
@@ -144,19 +168,15 @@ for name in sorted(os.listdir(out_dir)):
         if exp is None:
             print(f"FAIL {name}: oracle error: {first}")
             fails += 1
-            # reconnection is best-effort: if fresh_con() itself throws
-            # (vanished parquet, corrupted spill) the sweep must still
-            # fail only THIS row, not die — fall back to a lazy retry
-            # on the next loop iteration
+            # drop the (possibly poisoned) connection; the next oracle
+            # lazily reopens at the top of its own try, so a failed
+            # fresh_con() here fails only THIS row, never the sweep
             try:
-                con.close()
+                if con is not None:
+                    con.close()
             except Exception:
                 pass
-            try:
-                con = fresh_con()
-            except Exception as ex3:
-                print(f"  [warn] reconnect failed ({str(ex3).splitlines()[0][:120]}); "
-                      "keeping previous connection state")
+            con = None
             continue
     g, e = canon(got), canon(exp)
     ok = True

@@ -46,20 +46,28 @@ python3 tools/local_verify.py "$AMP" "$OUT" --baseline "$BASE/counts.json" \
 # the other 250 measurements)
 SPARK_GRAFT_SF_DIR="$AMP" SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_BENCH_REPS=1 \
   SPARK_GRAFT_BENCH_CEILING=600 \
-  SPARK_GRAFT_BENCH_OUT=SCALE10X_BENCH.json sbt -batch "runMain graft.Bench"
+  SPARK_GRAFT_BENCH_OUT=SCALE10X_BENCH.json sbt -batch "runMain graft.Bench" || exit 1
 
 # ---- byte-neutral text sweep (r11 item 6) -------------------------------
 # The default "prefix" amplification inflates document text ~2.3x in
 # BYTES per 10x in rows, so text-op wall ratios conflate row scaling
 # with byte inflation. Re-amplify documents byte-neutrally and re-bench
-# the text-dominated entries so their 10x ratios measure ROWS.
+# the text-dominated entries so their 10x ratios measure ROWS. Both
+# scales run the SAME condition (one isolated BENCH_ONLY JVM, reps=1)
+# so the ratio is not polluted by sweep-vs-isolated asymmetry.
+# Stale artifacts from a previous run are removed FIRST so a failed
+# bench can't silently fold last run's numbers into SCALE10X.json.
+rm -f SCALE10X_TEXT.json SCALE10X_TEXT_1X.json
 TEXT_ENTRIES="text_scrub,text_tokens,text_langid,text_quality,text_fingerprint,text_repetition,text_entropy,text_feature_hash,text_readability,text_bpe_train,text_bpe_apply"
 AMPBN=${AMPBN:-/tmp/graft_scale10x_bn}
 SPARK_GRAFT_SCALEUP_TEXT=byteneutral SPARK_GRAFT_CPUS=$CPUS \
   sbt -batch "runMain graft.ScaleUp $SRC $AMPBN $FACTOR" || exit 1
 SPARK_GRAFT_SF_DIR="$AMPBN" SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_BENCH_REPS=1 \
   SPARK_GRAFT_BENCH_CEILING=600 SPARK_GRAFT_BENCH_ONLY="$TEXT_ENTRIES" \
-  SPARK_GRAFT_BENCH_OUT=SCALE10X_TEXT.json sbt -batch "runMain graft.Bench"
+  SPARK_GRAFT_BENCH_OUT=SCALE10X_TEXT.json sbt -batch "runMain graft.Bench" || exit 1
+SPARK_GRAFT_SF_DIR="$SRC" SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_BENCH_REPS=1 \
+  SPARK_GRAFT_BENCH_CEILING=600 SPARK_GRAFT_BENCH_ONLY="$TEXT_ENTRIES" \
+  SPARK_GRAFT_BENCH_OUT=SCALE10X_TEXT_1X.json sbt -batch "runMain graft.Bench" || exit 1
 
 # ---- SNM-family isolated bench (r11 item 7) -----------------------------
 # The SNM candidate stage is memoized per session, so in the full sweep
@@ -72,10 +80,10 @@ rm -f /tmp/graft_snm_*.json
 for e in $SNM_ENTRIES; do
   SPARK_GRAFT_SF_DIR="$SRC" SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_BENCH_REPS=1 \
     SPARK_GRAFT_BENCH_CEILING=600 SPARK_GRAFT_BENCH_ONLY="$e" \
-    SPARK_GRAFT_BENCH_OUT=/tmp/graft_snm_1x_$e.json sbt -batch "runMain graft.Bench"
+    SPARK_GRAFT_BENCH_OUT=/tmp/graft_snm_1x_$e.json sbt -batch "runMain graft.Bench" || exit 1
   SPARK_GRAFT_SF_DIR="$AMP" SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_BENCH_REPS=1 \
     SPARK_GRAFT_BENCH_CEILING=600 SPARK_GRAFT_BENCH_ONLY="$e" \
-    SPARK_GRAFT_BENCH_OUT=/tmp/graft_snm_10x_$e.json sbt -batch "runMain graft.Bench"
+    SPARK_GRAFT_BENCH_OUT=/tmp/graft_snm_10x_$e.json sbt -batch "runMain graft.Bench" || exit 1
 done
 
 python3 tools/scale10x_summary.py /tmp/scale10x_verify.log
