@@ -59,7 +59,8 @@ def fresh_con():
     # chains at 10x) spills to disk instead of OOM-killing the gate
     c.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
     c.execute("SET threads=16")
-    c.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # per-process spill dir so parallel sweep segments never collide
+    c.execute(f"SET temp_directory='{os.environ.get('GRAFT_DUCKDB_TMP', '/tmp/duckdb_spill')}'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         # driver testdata is one file per table; graft.ScaleUp output is
