@@ -2062,6 +2062,11 @@ object SparkEntry {
     // series, hash-verified through exact per-type rollup sums
     "q_interp_resample" -> ((s, dir) =>
       TimeSeries.interpResampleSummary(s, dir)),
+    // X229: nearest-bracket resample — step-fill sibling of X228 for
+    // quantized signals where a linear blend is meaningless; each gap
+    // minute takes the nearer observed bracket, previous wins ties
+    "q_interp_nearest" -> ((s, dir) =>
+      TimeSeries.nearestResampleSummary(s, dir)),
   )
 
   /** The graph family's shared edge substrate: undirected mutual edges
@@ -5706,6 +5711,45 @@ object SparkEntry {
         |   AS BIGINT) AS actual_cents,
         | CAST(sum(CASE WHEN src = 'interp' THEN cents_f ELSE 0 END)
         |   AS BIGINT) AS interp_cents
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // nearest-bracket twin: the SAME per-minute pm CTE (incl. the
+    // all-NULL-minute gap filter) paired by lead(); each gap minute
+    // takes the nearer bracket, previous wins ties — one integer
+    // distance compare, no arithmetic to diverge on
+    "q_interp_nearest" ->
+      """WITH pm AS (
+        | SELECT event_type,
+        |  CAST(floor((epoch_us(ts) -
+        |    epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 60000000.0)
+        |    AS BIGINT) AS minute,
+        |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM events GROUP BY 1, 2
+        | HAVING max(CAST(round(value * 100) AS BIGINT)) IS NOT NULL),
+        |nx AS (
+        | SELECT event_type, minute, cents,
+        |  lead(minute) OVER (PARTITION BY event_type ORDER BY minute) AS nm,
+        |  lead(cents)  OVER (PARTITION BY event_type ORDER BY minute) AS nv
+        | FROM pm),
+        |gaps AS (
+        | SELECT event_type, unnest(range(minute + 1, nm)) AS m,
+        |        minute AS pmn, cents AS pv, nm, nv
+        | FROM nx WHERE nm IS NOT NULL AND nm > minute + 1),
+        |f AS (
+        | SELECT event_type, cents, 'actual' AS src FROM pm
+        | UNION ALL
+        | SELECT event_type,
+        |  CASE WHEN (m - pmn) <= (nm - m) THEN pv ELSE nv END AS cents,
+        |  'nearest' AS src
+        | FROM gaps)
+        |SELECT event_type,
+        | CAST(sum(CASE WHEN src = 'actual' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_actual,
+        | CAST(sum(CASE WHEN src = 'nearest' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_nearest,
+        | CAST(sum(CASE WHEN src = 'actual' THEN cents ELSE 0 END)
+        |   AS BIGINT) AS actual_cents,
+        | CAST(sum(CASE WHEN src = 'nearest' THEN cents ELSE 0 END)
+        |   AS BIGINT) AS nearest_cents
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -111,6 +111,22 @@ object StressBench {
         plans.PostingListIntersect.search(
           operators.Search.positionalIndexChunked(v, chunkSize = 100),
           Seq("spark", "fast"), Seq("batch"))),
+      // phrase FROM the index through the custom node: positional
+      // adjacency evaluated per chunk — verbatim replicas grow every
+      // matched term's postings ×N, so build + the chunk-keyed
+      // exchange of term-pruned postings must both stay linear
+      "ii_posting_phrase" -> (() =>
+        plans.PostingListIntersect.phrase(
+          operators.Search.positionalIndexChunked(v, chunkSize = 100),
+          Seq("merge", "group"))),
+      // sloppy phrase: per-doc chain DP over the same pruned postings
+      // — DP state is positions-per-doc-bounded (constant under
+      // verbatim amplification), so the curve must track the posting
+      // exchange like the exact-adjacency node
+      "ii_posting_phrase_slop" -> (() =>
+        plans.PostingListIntersect.phraseSlop(
+          operators.Search.positionalIndexChunked(v, chunkSize = 100),
+          Seq("merge", "group", "join"), slop = 2)),
       // ---- quantization / ANN family (rotated-replica embeddings;
       // fixed 8-query probe set, so growth must track the corpus) ----
       "embed_quantize" -> (() =>

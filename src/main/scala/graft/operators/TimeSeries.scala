@@ -575,22 +575,19 @@ object TimeSeries {
       .orderBy($"event_type")
   }
 
-  /** X228: linear-interpolation resample — the X95 (forward-fill)
-    * sibling for signals where holding the last value lies (a price,
-    * a gauge): each missing minute of a type's per-minute peak-value
-    * series takes the exact half-up rational interpolation of its
-    * bracketing observed minutes, pv + (nv−pv)·(m−pm)/(nm−pm), walked
-    * entirely in LONG cents so both engines agree bit-for-bit.
-    * Minute grain (the q_gaps lesson): daily series here are dense at
-    * every SF, so a daily interp would be evidence-free; ~75% of
-    * minutes are empty at sf0.01.
+  /** Shared substrate of the resample family (X228 linear / X229
+    * nearest): each type's per-minute peak-value series in LONG cents,
+    * every observed minute paired with its successor (nm, nv) by one
+    * O(n) lead() window.
     *
     * Scale shape: the corpus collapses map-side to (type, minute,
-    * cents) first; the spine and the two bracket windows run on that
-    * clock-bounded table (|types| × ≤527k minute rows/year at ANY
-    * corpus size). Denser corpora leave fewer gaps to fill — the true
-    * answer, not lost recall. */
-  def interpResampleMinute(spark: SparkSession, sfDir: String): DataFrame = {
+    * cents) first; the pairing window runs on that clock-bounded
+    * table (|types| × ≤527k minute rows/year at ANY corpus size).
+    * Denser corpora leave fewer gaps to fill — the true answer, not
+    * lost recall. Minute grain (the q_gaps lesson): daily series here
+    * are dense at every SF, so a daily resample would be
+    * evidence-free; ~75% of minutes are empty at sf0.01. */
+  private def pairedMinuteSeries(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val minCol = ((unix_timestamp($"ts") -
       unix_timestamp(lit("2024-01-01 00:00:00").cast("timestamp"))) / 60L)
@@ -599,11 +596,11 @@ object TimeSeries {
       .groupBy($"event_type", minCol.as("minute"))
       .agg(max(round($"value" * 100).cast("long")).as("cents"))
       // a minute whose every value is NULL aggregates to NULL cents;
-      // treat it as a GAP (interpolate across it) — the same IGNORE
-      // NULLS semantics as the twin's dense-spine formulation, which
-      // would otherwise diverge on a NULL events.value (it skips NULL
-      // endpoints; an un-filtered NULL row here would both surface as
-      // an 'actual' NULL row and poison its neighbors' brackets)
+      // treat it as a GAP (fill across it) — the same IGNORE NULLS
+      // semantics as the dense-spine twin, which would otherwise
+      // diverge on a NULL events.value (it skips NULL endpoints; an
+      // un-filtered NULL row here would both surface as an 'actual'
+      // NULL row and poison its neighbors' brackets)
       .where($"cents".isNotNull)
     // Brackets are computed on the OBSERVED rows only: one O(n) lead()
     // window pairs each observed minute with its successor, and
@@ -614,9 +611,20 @@ object TimeSeries {
     // per type and calendar-bound (653 s at sf0.1 regardless of data
     // size). This shape is O(observed + gaps) and scales with data.
     val wNext = Window.partitionBy($"event_type").orderBy($"minute")
-    val paired = perMin.select($"event_type", $"minute", $"cents",
+    perMin.select($"event_type", $"minute", $"cents",
       lead($"minute", 1).over(wNext).as("nm"),
       lead($"cents", 1).over(wNext).as("nv"))
+  }
+
+  /** X228: linear-interpolation resample — the X95 (forward-fill)
+    * sibling for signals where holding the last value lies (a price,
+    * a gauge): each missing minute of a type's per-minute peak-value
+    * series takes the exact half-up rational interpolation of its
+    * bracketing observed minutes, pv + (nv−pv)·(m−pm)/(nm−pm), walked
+    * entirely in LONG cents so both engines agree bit-for-bit. */
+  def interpResampleMinute(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val paired = pairedMinuteSeries(spark, sfDir)
     val actual = paired.select($"event_type", $"minute", $"cents",
       lit("actual").as("src"))
     val gaps = paired
@@ -654,6 +662,49 @@ object TimeSeries {
           .as("actual_cents"),
         sum(when($"src" === "interp", $"cents").otherwise(0L))
           .as("interp_cents"))
+      .orderBy($"event_type")
+  }
+
+  /** X229: nearest-bracket resample — the step-fill sibling of X228
+    * for quantized signals (a discrete setting, an enum level, a
+    * stair-stepping counter) where a linear blend between two observed
+    * values is meaningless: each missing minute takes the value of the
+    * NEARER observed bracket, previous wins ties (deterministic, and
+    * consistent with forward-fill intuition at the exact midpoint).
+    * Same O(observed + gaps) lead()-pairing shape as X228; the fill is
+    * one LONG distance compare per gap minute — no arithmetic exists
+    * that could diverge between engines. */
+  def nearestResampleMinute(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val paired = pairedMinuteSeries(spark, sfDir)
+    val actual = paired.select($"event_type", $"minute", $"cents",
+      lit("actual").as("src"))
+    val filledGaps = paired
+      .where($"nm".isNotNull && $"nm" > $"minute" + lit(1L))
+      .select($"event_type", $"minute".as("pm"), $"cents".as("pv"),
+        $"nm", $"nv",
+        explode(sequence($"minute" + lit(1L), $"nm" - lit(1L)))
+          .as("minute"))
+      .select($"event_type", $"minute",
+        when($"minute" - $"pm" <= $"nm" - $"minute", $"pv")
+          .otherwise($"nv").as("cents"),
+        lit("nearest").as("src"))
+    actual.unionByName(filledGaps)
+  }
+
+  /** X229 entry rollup — the same exact per-type LONG rollup
+    * discipline as X228: every filled cent participates in the hash
+    * without dumping the |types| × minutes spine. */
+  def nearestResampleSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    nearestResampleMinute(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(sum(when($"src" === "actual", 1L).otherwise(0L)).as("n_actual"),
+        sum(when($"src" === "nearest", 1L).otherwise(0L)).as("n_nearest"),
+        sum(when($"src" === "actual", $"cents").otherwise(0L))
+          .as("actual_cents"),
+        sum(when($"src" === "nearest", $"cents").otherwise(0L))
+          .as("nearest_cents"))
       .orderBy($"event_type")
   }
 }

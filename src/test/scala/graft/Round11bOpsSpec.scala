@@ -127,4 +127,50 @@ class Round11bOpsSpec extends AnyFunSuite {
       assert(nI > 0, s"$t has no gaps — the interp path is untested")
     }
   }
+
+  test("X229 nearest resample: rollup matches the nearest-bracket " +
+    "spine walk (previous wins ties)") {
+    val minuteOf = (ts: java.sql.Timestamp) =>
+      (ts.getTime - java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+        .getTime) / 1000 / 60
+    val byType = Tables.events(spark, sf)
+      .select("event_type", "ts", "value").collect()
+      .filter(r => !r.isNullAt(2))
+      .map(r => (r.getString(0), minuteOf(r.getTimestamp(1)),
+        java.math.BigDecimal.valueOf(r.getDouble(2) * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()))
+      .groupBy(_._1)
+    val got = TimeSeries.nearestResampleSummary(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == byType.keySet)
+    var tieSeen = false
+    byType.foreach { case (t, rows) =>
+      val perMin = rows.groupBy(_._2).map { case (m, xs) =>
+        m -> xs.map(_._3).max
+      }
+      val present = perMin.keys.toArray.sorted
+      var (nA, nF, sA, sF) = (0L, 0L, 0L, 0L)
+      // INDEPENDENT oracle shape (the X228 discipline): walk the dense
+      // m0..m1 spine, bracket each missing minute by binary search,
+      // pick the nearer bracket, previous on the exact midpoint
+      val m0 = present.head; val m1 = present.last
+      var m = m0
+      while (m <= m1) {
+        perMin.get(m) match {
+          case Some(v) => nA += 1; sA += v
+          case None =>
+            val ins = -java.util.Arrays.binarySearch(present, m) - 1
+            val (pm, nm) = (present(ins - 1), present(ins))
+            if (m - pm == nm - m) tieSeen = true
+            nF += 1
+            sF += (if (m - pm <= nm - m) perMin(pm) else perMin(nm))
+        }
+        m += 1
+      }
+      assert(got(t) == ((nA, nF, sA, sF)), s"$t: ${got(t)} vs ($nA,$nF,$sA,$sF)")
+      assert(nF > 0, s"$t has no gaps — the nearest path is untested")
+    }
+    assert(tieSeen, "no exact-midpoint gap anywhere — the tie rule is untested")
+  }
 }
