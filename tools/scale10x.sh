@@ -84,6 +84,11 @@ for e in $SNM_ENTRIES; do
   SPARK_GRAFT_SF_DIR="$AMP" SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_BENCH_REPS=1 \
     SPARK_GRAFT_BENCH_CEILING=600 SPARK_GRAFT_BENCH_ONLY="$e" \
     SPARK_GRAFT_BENCH_OUT=/tmp/graft_snm_10x_$e.json sbt -batch "runMain graft.Bench" || exit 1
+  # byteneutral 10x leg: same row count, ~1x bytes/row — separates the
+  # auto-window/candidate growth (real, designed) from byte inflation
+  SPARK_GRAFT_SF_DIR="$AMPBN" SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_BENCH_REPS=1 \
+    SPARK_GRAFT_BENCH_CEILING=600 SPARK_GRAFT_BENCH_ONLY="$e" \
+    SPARK_GRAFT_BENCH_OUT=/tmp/graft_snm_10xbn_$e.json sbt -batch "runMain graft.Bench" || exit 1
 done
 
 python3 tools/scale10x_summary.py /tmp/scale10x_verify.log

@@ -103,7 +103,27 @@ for p in glob.glob("/tmp/graft_snm_1x_*.json"):
     row = {"sec_1x_isolated": sec1, "sec_10x_isolated": sec10}
     if sec1 and sec10 and sec1 > 0 and sec10 > 0:
         row["ratio"] = round(sec10 / sec1, 2)
+    # byteneutral 10x (optional): isolates ROW scaling from the prefix
+    # mode's byte inflation, same de-confounding as the text table
+    pbn = f"/tmp/graft_snm_10xbn_{name}.json"
+    if os.path.exists(pbn):
+        secbn = json.load(open(pbn))["queries"].get(name)
+        row["sec_10x_byteneutral_isolated"] = secbn
+        if sec1 and secbn and sec1 > 0 and secbn > 0:
+            row["ratio_byteneutral"] = round(secbn / sec1, 2)
     snm[name] = row
+if snm:
+    # the super-linearity mechanism, so the artifact is self-explaining:
+    # a fixed-range blocking key means per-key density (and the auto
+    # window) grows with the corpus until the 256 cap — super-linear
+    # exactly once, at the decade the cap engages; linear past it
+    snm["_note"] = ("SNM auto window = clamp(10,256,ceil(3n/dk)); on a "
+                    "fixed-range blocking key, per-key density (and the "
+                    "window) grows with the corpus until the 256 cap — "
+                    "super-linear wall exactly at the decade the cap "
+                    "engages, linear (255*n candidates) past it; see "
+                    "DEPLOY.md sorted-neighborhood section for measured "
+                    "window/candidate counts")
 if snm:
     summary["snm_isolated"] = snm
 json.dump(summary, open("SCALE10X.json", "w"), indent=1)
