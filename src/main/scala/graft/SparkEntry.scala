@@ -64,7 +64,11 @@ object SparkEntry {
     * many arms reference them. Returns an already-stripped fragment
     * for interpolation into a stripMargin template. */
   private def autoSrpBandedSql(bands: Int, countWhere: String = ""): String = {
-    val maxBits = 8
+    // mirror of Similarity.autoBandBits' budget-derived clamp top:
+    // bands × bits ≤ 64 (one-Long bitmask), ceiling 12 — at bands = 4
+    // the ladder runs to 12 bits, so the oracle keeps agreeing with
+    // the engine past n ≈ 128k where the old hard-8 top saturated
+    val maxBits = math.min(12, 64 / bands)
     val arms = (2 to maxBits).flatMap { w =>
       (0 until bands).map { j =>
         val sum = (0 until w).map(b => s"${1 << b}*b${j * w + b}").mkString(" + ")
@@ -84,8 +88,9 @@ object SparkEntry {
     * at AUTO width, the bucket-cap filter, within-bucket pairs,
     * exact-cosine rerank, top-k per query — ends at `top`
     * (q_id, c_id, s, rank ≤ k). Mirrors Similarity.bandedSelfTopK
-    * stage for stage: all bands·8 plane sign bits are materialized
-    * once, `wsel` recomputes Similarity.autoBandBits' integer
+    * stage for stage: all bands·maxBits plane sign bits are
+    * materialized once, `wsel` recomputes Similarity.autoBandBits'
+    * integer
     * ⌊log₂(n DIV 100)⌋ ladder from count(*) (threshold CASE — no
     * float-log to disagree on), and `banded` unions one arm per
     * (width, band) pair with only the selected width surviving the

@@ -635,7 +635,7 @@ object Dedup {
     // bands at whatever width the index it probes was built with
     val planes =
       if (numPlanes > 0) numPlanes
-      else bands * Similarity.autoBandBits(corpus.count())
+      else bands * Similarity.autoBandBits(corpus.count(), bands)
     val cBanded = Similarity.srpBanded(corpus, vecCol, idCol, planes, bands)
     val bBanded = Similarity.srpBanded(batch, vecCol, idCol, planes, bands)
     val okBuckets = cBanded.groupBy(col("band"), col("bhash"))
@@ -822,7 +822,7 @@ object Dedup {
     // caught exactly that on this operator's old 4-bit default)
     val planes =
       if (numPlanes > 0) numPlanes
-      else bands * Similarity.autoBandBits(emb.count())
+      else bands * Similarity.autoBandBits(emb.count(), bands)
     val banded = Similarity.srpBanded(emb, vecCol, idCol, planes, bands)
     val candidates = bucketPairs(banded, maxBucket)
     val e1 = emb.select(col(idCol).cast("long").as("id1"), col(vecCol).as("v1"))

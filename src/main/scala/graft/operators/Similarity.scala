@@ -470,25 +470,26 @@ object Similarity {
     * like any SRP pipeline.
     *
     * numPlanes ≤ 0 selects AUTO banding: bits-per-band =
-    * ⌊log₂(n DIV 100)⌋ clamped to [2, 8] from one count() (bounded
-    * metadata job), holding the EXPECTED bucket size in [100, 200) as
-    * the corpus grows — candidate volume stays ≈ maxBucket·n per band
-    * instead of (n/buckets)²·buckets, which is what makes the route
-    * scale near-linearly (a FIXED band width re-grows buckets, and
-    * with them Σ bucket², linearly with n — and past the bucket cap
-    * it silently drops EVERY bucket, recall 0; the 10× sweep caught
-    * exactly that on a pinned 4-bit width). The width is INTEGER
-    * arithmetic (highest set bit of n DIV 100), so a SQL oracle can
-    * reproduce the selection with a 7-way threshold CASE — no
-    * float-log rounding to disagree on. Returns
-    * (q_id, rank, c_id, score). */
+    * ⌊log₂(n DIV 100)⌋ clamped to [2, min(12, 64/bands)] from one
+    * count() (bounded metadata job), holding the EXPECTED bucket size
+    * in [100, 200) as the corpus grows — candidate volume stays
+    * ≈ maxBucket·n per band instead of (n/buckets)²·buckets, which is
+    * what makes the route scale near-linearly (a FIXED band width
+    * re-grows buckets, and with them Σ bucket², linearly with n — and
+    * past the bucket cap it silently drops EVERY bucket, recall 0;
+    * the 10× sweep caught exactly that on a pinned 4-bit width; a
+    * hard-8 clamp top was the same disease one decade out, capping
+    * out near n ≈ 128k). The width is INTEGER arithmetic (highest set
+    * bit of n DIV 100), so a SQL oracle can reproduce the selection
+    * with a threshold CASE per candidate width — no float-log
+    * rounding to disagree on. Returns (q_id, rank, c_id, score). */
   def bandedSelfTopK(vectors: DataFrame, k: Int,
                      vecCol: String = "embedding", idCol: String = "vec_id",
                      numPlanes: Int = 0, bands: Int = 8,
                      maxBucket: Int = 2000): DataFrame = {
     val planes =
       if (numPlanes > 0) numPlanes
-      else bands * autoBandBits(vectors.count())
+      else bands * autoBandBits(vectors.count(), bands)
     val banded = srpBanded(vectors, vecCol, idCol, planes, bands)
     val ok = banded.groupBy(col("band"), col("bhash"))
       .agg(count(lit(1)).as("bn"))
@@ -512,11 +513,26 @@ object Similarity {
         col("t.id").as("c_id"), col("t.score").as("score"))
   }
 
-  /** AUTO band width: ⌊log₂(n DIV 100)⌋ clamped to [2, 8] — pure
-    * integer arithmetic (highest set bit), engine-exact. */
-  def autoBandBits(n: Long): Int = {
+  /** AUTO band width: ⌊log₂(n DIV 100)⌋ clamped to [2, top] — pure
+    * integer arithmetic (highest set bit), engine-exact.
+    *
+    * The clamp TOP derives from the signature-bit budget, not a
+    * literal: the fused SRP bitmask is one Long, so bands × bits ≤ 64,
+    * and past 12 bits each extra bit halves a moderate-cosine pair's
+    * per-band agreement for little occupancy relief — top =
+    * min(12, 64 / bands). At the gated bands = 4 geometry that lifts
+    * the old hard-8 ceiling to 12: expected bucket occupancy n/2^bits
+    * stays ≤ ~500 out to n ≈ 2M vectors per shard instead of capping
+    * out at n ≈ 128k, where the maxBucket guard would otherwise start
+    * silently shedding recall (the disease the 10× sweep caught at a
+    * pinned 4-bit width). At bands = 8 the budget keeps top = 8 —
+    * unchanged behavior. maxBucket stays the backstop against skewed
+    * buckets, never the recall policy. */
+  def autoBandBits(n: Long, bands: Int = 4): Int = {
+    require(bands >= 1 && bands <= 32, "bands in [1,32]")
+    val top = math.min(12, 64 / bands)
     val m = math.max(1L, n / 100)
-    math.max(2, math.min(8, 63 - java.lang.Long.numberOfLeadingZeros(m)))
+    math.max(2, math.min(top, 63 - java.lang.Long.numberOfLeadingZeros(m)))
   }
 
   /** Mark each directed (q_id, c_id) edge `mutual` iff its reverse is

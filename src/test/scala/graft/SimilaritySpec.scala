@@ -350,4 +350,110 @@ class SimilaritySpec extends AnyFunSuite {
       assert(es.map(_.getInt(1)).sorted.toSeq == (1 to es.length).toSeq, s"ranks broken for $q")
     }
   }
+
+  /** Deterministic clustered corpus for the width-lift specs: n/size
+    * clusters, center ~ N(0,1)^dim from a per-cluster seed, member =
+    * center + 0.05·N(0,1) noise — within-cluster cosine ≈ 0.995, so a
+    * member's true nearest neighbors are its cluster mates. */
+  private def clusteredVectors(n: Int, dim: Int, clusterSize: Int) = {
+    val rows = (0 until n).map { i =>
+      val c = i / clusterSize
+      val crnd = new java.util.Random(0x9e3779b97f4a7c15L * (c + 1))
+      val center = Array.fill(dim)(crnd.nextGaussian())
+      val mrnd = new java.util.Random(0xc0ffeeL * (i + 1) + 17)
+      (i.toLong, center.map(x => (x + 0.05 * mrnd.nextGaussian()).toFloat))
+    }
+    import spark.implicits._
+    (rows, spark.sparkContext.parallelize(rows, 8).toDF("vec_id", "embedding"))
+  }
+
+  test("X132 autoBandBits: clamp top derives from the signature-bit budget") {
+    // budget: bands × bits ≤ 64 (one-Long SRP mask), ceiling 12
+    assert(Similarity.autoBandBits(Long.MaxValue, 4) == 12)
+    assert(Similarity.autoBandBits(Long.MaxValue, 5) == 12)
+    assert(Similarity.autoBandBits(Long.MaxValue, 8) == 8)
+    assert(Similarity.autoBandBits(Long.MaxValue, 16) == 4)
+    // the ⌊log₂(n DIV 100)⌋ ladder between the clamps
+    assert(Similarity.autoBandBits(500, 4) == 2)
+    assert(Similarity.autoBandBits(25600, 4) == 8)   // the old hard top
+    assert(Similarity.autoBandBits(51200, 4) == 9)   // now past it
+    assert(Similarity.autoBandBits(131072, 4) == 10)
+    assert(Similarity.autoBandBits(1L << 22, 4) == 12)
+    // bands = 8 keeps the old behavior exactly (budget top = 8)
+    (1L to 20L).map(1L << _).foreach { n =>
+      val top8 = math.max(2, math.min(8,
+        63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 100))))
+      assert(Similarity.autoBandBits(n, 8) == top8, s"n=$n")
+    }
+  }
+
+  test("X132 width lift at 131k vectors: pinned 8-bit banding sheds " +
+    "~90% of the index (the recall-collapse disease); the lifted auto " +
+    "width keeps it alive") {
+    val n = 131072
+    // dim 64 (the real embedding width) and UNclustered vectors:
+    // bucket survival is a property of the occupancy distribution, and
+    // at 64 dims the ±1 planes are near-orthogonal so sign patterns
+    // are close to uniform — at toy dims (16) plane correlations fatten
+    // the tails enough to blur the cap contrast this test pins
+    val (_, df) = clusteredVectors(n, 64, 1)
+    val dfc = df.persist()
+    try {
+      val maxBucket = 256
+      def survivingMembers(planes: Int): Long = {
+        val counts = Similarity.srpBanded(dfc, "embedding", "vec_id", planes, 4)
+          .groupBy(col("band"), col("bhash")).count()
+        val kept = counts.where(col("count") >= 2 && col("count") <= maxBucket)
+          .agg(coalesce(sum(col("count")), lit(0L))).head().getLong(0)
+        kept
+      }
+      // OLD top: 8 bits/band → 256 buckets/band, expected occupancy
+      // 131072/256 = 512 ≫ maxBucket — the guard sheds the bulk of the
+      // index (measured ~90% of member slots on this fixture; SRP sign
+      // patterns of Gaussian centers aren't uniform, so a minority of
+      // systematically-small buckets still squeak under the cap — the
+      // index is crippled, not empty)
+      val pinned = survivingMembers(32)
+      // NEW: the ladder selects 10 bits → 1024 buckets/band, expected
+      // occupancy 128 — comfortably under the cap
+      assert(Similarity.autoBandBits(n, 4) == 10)
+      val auto = survivingMembers(40)
+      val slots = 4L * n // (band, member) slots
+      // measured on this fixture: pinned keeps ~10% of slots, auto
+      // ~80% (the remaining ~20% is the occupancy distribution's
+      // genuine upper tail above the cap — skew shedding, by design)
+      assert(pinned <= slots / 4,
+        s"pinned 8-bit width should shed most of the index " +
+          s"(survivors $pinned of $slots)")
+      assert(auto >= slots * 3 / 4,
+        s"auto width must keep the index alive (survivors $auto of $slots)")
+    } finally dfc.unpersist()
+  }
+
+  test("X132 width lift end-to-end: banded kNN recall survives past the " +
+    "old 8-bit ceiling (n = 51200 → 9 bits), bounded loss vs exact") {
+    val n = 51200
+    assert(Similarity.autoBandBits(n, 4) == 9, "fixture must sit past the old top")
+    val (rows, df) = clusteredVectors(n, 16, 8)
+    val k = 3
+    val banded = Similarity.bandedSelfTopK(df, k, numPlanes = 0, bands = 4,
+        maxBucket = 500)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // exact ground truth for a deterministic query sample, computed
+    // independently on the driver from the same arrays
+    val vecs = rows.toMap
+    val queries = (0 until 64).map(_ * (n / 64) + 3L)
+    val recalls = queries.map { q =>
+      val qv = vecs(q)
+      val top = vecs.iterator.filter(_._1 != q)
+        .map { case (id, v) => (id, cosine(qv, v)) }
+        .toSeq.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+      val got = banded.getOrElse(q, Set.empty)
+      top.count(got).toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8,
+      s"banded recall@$k $mean collapsed past the old clamp top (< 0.8)")
+  }
 }

@@ -55,19 +55,30 @@ sf_dir, out_dir = args.sf_dir, args.out_dir
 
 def fresh_con():
     c = duckdb.connect()
-    # bound DuckDB so a heavy oracle (recursive closures, 128-hash
-    # chains at 10x) spills to disk instead of OOM-killing the gate
-    c.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
-    c.execute("SET threads=16")
-    # per-process spill dir so parallel sweep segments never collide
-    c.execute(f"SET temp_directory='{os.environ.get('GRAFT_DUCKDB_TMP', '/tmp/duckdb_spill')}'")
-    for t in ["region","nation","customer","supplier","part","orders",
-              "lineitem","events","documents","embeddings"]:
-        # driver testdata is one file per table; graft.ScaleUp output is
-        # a Spark-written DIRECTORY named <t>.parquet — glob part files
-        path = f"{sf_dir}/{t}.parquet"
-        src = f"{path}/*.parquet" if os.path.isdir(path) else path
-        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    # setup can fail partway (a vanished parquet mid-sweep): close the
+    # half-built connection before re-raising — with the per-row lazy
+    # reopen a persistent failure would otherwise retry fresh_con() on
+    # every remaining oracle row and leak ~250 handles in one sweep
+    try:
+        # bound DuckDB so a heavy oracle (recursive closures, 128-hash
+        # chains at 10x) spills to disk instead of OOM-killing the gate
+        c.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
+        c.execute("SET threads=16")
+        # per-process spill dir so parallel sweep segments never collide
+        c.execute(f"SET temp_directory='{os.environ.get('GRAFT_DUCKDB_TMP', '/tmp/duckdb_spill')}'")
+        for t in ["region","nation","customer","supplier","part","orders",
+                  "lineitem","events","documents","embeddings"]:
+            # driver testdata is one file per table; graft.ScaleUp output
+            # is a Spark-written DIRECTORY named <t>.parquet — glob parts
+            path = f"{sf_dir}/{t}.parquet"
+            src = f"{path}/*.parquet" if os.path.isdir(path) else path
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    except Exception:
+        try:
+            c.close()
+        except Exception:
+            pass
+        raise
     return c
 
 # lazy: (re)opened at first use and after any close — a failed

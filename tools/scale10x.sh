@@ -77,6 +77,16 @@ SPARK_GRAFT_SF_DIR="$SRC" SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_BENCH_REPS=1 \
 # full cost; ratios below are honest.
 SNM_ENTRIES="dedup_snm dedup_containment dedup_edit_distance dedup_snm_incremental dedup_snm_multipass"
 rm -f /tmp/graft_snm_*.json
+
+# ---- SNM recall vs exact ground truth (r14 item 3) ----------------------
+# The window cap bounds the family's candidate cost linearly; the cost
+# is paid FOR recall, so recall at the cap is MEASURED here against the
+# PPJoin exact-threshold pair set (lossless prefix filtering — the full
+# J >= 0.5 truth, not a sample), single- and multi-pass, at both scales.
+SPARK_GRAFT_CPUS=$CPUS sbt -batch \
+  "runMain graft.SnmRecall $SRC /tmp/graft_snm_recall_1x.json" || exit 1
+SPARK_GRAFT_CPUS=$CPUS sbt -batch \
+  "runMain graft.SnmRecall $AMP /tmp/graft_snm_recall_10x.json" || exit 1
 for e in $SNM_ENTRIES; do
   SPARK_GRAFT_SF_DIR="$SRC" SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_BENCH_REPS=1 \
     SPARK_GRAFT_BENCH_CEILING=600 SPARK_GRAFT_BENCH_ONLY="$e" \

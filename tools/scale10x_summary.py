@@ -83,7 +83,6 @@ if os.path.exists("SCALE10X_TEXT.json"):
             q["ratio"] = round(sec10 / bn1[name], 2)
         elif name in bench1 and bench1[name] > 0 and sec10 > 0:
             # no isolated 1x number — name the asymmetry explicitly
-            q["sec_1x_fullsweep"] = bench1[name]
             q["ratio_vs_fullsweep_1x"] = round(sec10 / bench1[name], 2)
         if name in bench1:
             q["sec_1x_fullsweep"] = bench1[name]
@@ -113,19 +112,34 @@ for p in glob.glob("/tmp/graft_snm_1x_*.json"):
             row["ratio_byteneutral"] = round(secbn / sec1, 2)
     snm[name] = row
 if snm:
-    # the super-linearity mechanism, so the artifact is self-explaining:
+    summary["snm_isolated"] = snm
+    # the super-linearity mechanism, so the artifact is self-explaining
+    # — a SIBLING key, not an entry inside snm_isolated, whose values
+    # must stay homogeneous dicts for consumers tabulating ratios:
     # a fixed-range blocking key means per-key density (and the auto
     # window) grows with the corpus until the 256 cap — super-linear
     # exactly once, at the decade the cap engages; linear past it
-    snm["_note"] = ("SNM auto window = clamp(10,256,ceil(3n/dk)); on a "
-                    "fixed-range blocking key, per-key density (and the "
-                    "window) grows with the corpus until the 256 cap — "
-                    "super-linear wall exactly at the decade the cap "
-                    "engages, linear (255*n candidates) past it; see "
-                    "DEPLOY.md sorted-neighborhood section for measured "
-                    "window/candidate counts")
-if snm:
-    summary["snm_isolated"] = snm
+    summary["snm_isolated_note"] = (
+        "SNM auto window = clamp(10,256,ceil(3n/dk)); on a "
+        "fixed-range blocking key, per-key density (and the "
+        "window) grows with the corpus until the 256 cap — "
+        "super-linear wall exactly at the decade the cap "
+        "engages, linear (255*n candidates) past it; see "
+        "DEPLOY.md sorted-neighborhood section for measured "
+        "window/candidate counts")
+
+# SNM recall vs exact ground truth (optional): graft.SnmRecall emits
+# one JSON file per scale — single- and multi-pass SNM pair recall
+# against the PPJoin exact-threshold pair set at the same Jaccard
+# threshold over the same corpus. The family's wall cost is paid for
+# recall; this is where recall becomes a NUMBER instead of a claim.
+recall = {}
+for scale, path in [("1x", "/tmp/graft_snm_recall_1x.json"),
+                    ("10x", "/tmp/graft_snm_recall_10x.json")]:
+    if os.path.exists(path):
+        recall[scale] = json.load(open(path))
+if recall:
+    summary["snm_recall"] = recall
 json.dump(summary, open("SCALE10X.json", "w"), indent=1)
 print(f"verify ok={ok}/{len(status)} fails={fails}")
 print(f"bench 10x total={bench10['value']:.1f}s, median ratio="
