@@ -121,6 +121,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[CollectCapped].getName, "graft_collect_capped"),
       (args: Seq[Expression]) =>
         CollectCapped(args(0), intArg(args(1), "graft_collect_capped", 1))),
+    (FunctionIdentifier("graft_sorted_ids"),
+      new ExpressionInfo(classOf[CollectLongsSorted].getName, "graft_sorted_ids"),
+      (args: Seq[Expression]) => CollectLongsSorted(args(0))),
     // Spark's own runtime-filter Bloom machinery, surfaced as callable
     // functions: (long, estItems, numBits) -> binary sketch, and
     // (binary, long) -> might-contain. The sketch is the scale path

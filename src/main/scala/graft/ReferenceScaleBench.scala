@@ -67,7 +67,13 @@ object ReferenceScaleBench {
 
     queries.foreach { case (name, f) => f().write.format("noop").mode("overwrite").save() } // warm
     val lines = queries.map { case (name, f) =>
-      val stats = QueryInstrumentation.materialize(name.trim, f())
+      // median of 3 instrumented runs (the Bench discipline): the
+      // 10M-row amplify+write right above leaves GC debt in this same
+      // JVM, and a single sample has been observed to swing 0.9–3.9 s
+      // on an idle box — one-off pauses land on whichever run draws
+      // them, the median doesn't
+      val runs = (1 to 3).map(_ => QueryInstrumentation.materialize(name.trim, f()))
+      val stats = runs.sortBy(_.totalMs).apply(1)
       println(f"[refscale] $name total=${stats.totalMs / 1000.0}%6.2fs " +
         f"peakTaskMem=${stats.peakTaskMemory / 1024.0 / 1024.0}%8.2fMB " +
         f"shuffleR=${stats.shuffleReadBytes / 1024.0 / 1024.0}%7.2fMB")

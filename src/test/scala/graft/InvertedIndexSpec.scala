@@ -144,4 +144,38 @@ class InvertedIndexSpec extends AnyFunSuite {
     // factor 1 is the identity
     assert(canon(InvertedIndex.compactChunked(idx, factor = 1)) == canon(idx))
   }
+
+  test("graft_sorted_ids == sort_array(collect_list) across partitions, " +
+    "duplicates, negatives, nulls; partial-merge path exercised") {
+    import spark.implicits._
+    // adversarial ids: duplicates, negatives, Long extremes; a null id
+    // per group (skipped, like collect_list); spread over 8 partitions
+    // so the map-side partials genuinely merge
+    val rows = (0 until 4000).map { i =>
+      val g = i % 7
+      val id: java.lang.Long =
+        if (i % 97 == 0) null
+        else if (i % 13 == 0) Long.MinValue + g
+        else if (i % 11 == 0) -i.toLong
+        else (i % 251).toLong // duplicates within and across partitions
+      (s"g$g", id)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8)).toDF("value", "doc_id")
+    val got = df.groupBy($"value")
+      .agg(call_function("graft_sorted_ids", $"doc_id").as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val want = df.where($"doc_id".isNotNull).groupBy($"value")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, ids) => assert(ids == want(g), s"group $g") }
+    // the aggregate must keep a map-side partial phase (the shuffle
+    // carries one buffer per (partition, group), never raw rows)
+    val plan = df.groupBy($"value")
+      .agg(call_function("graft_sorted_ids", $"doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial_graft_sorted_ids"),
+      s"expected a partial aggregation phase:\n$plan")
+  }
 }
