@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Big-n fixtures (131k/51k-vector recall specs) are tagged Slow and
+// excluded from the default gate so `sbt test` stays runnable
+// per-commit; GRAFT_SLOW_TESTS=1 sbt test runs everything (nightly).
+Test / testOptions ++= {
+  if (sys.env.contains("GRAFT_SLOW_TESTS")) Nil
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "org.scalatest.tags.Slow"))
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

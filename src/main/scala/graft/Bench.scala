@@ -69,16 +69,55 @@ object Bench {
     val ceiling = sys.env.getOrElse("SPARK_GRAFT_BENCH_CEILING", "120").trim.toInt
     // system load before AND after the run: a concurrent sweep on the
     // same box contaminates every wall time ~uniformly (the round-9
-    // phantom 27% regression; the round-13 +8.5% drift). Stamping both
-    // makes a loaded run diagnosable from the artifact alone.
+    // phantom 27% regression; the round-13 +8.5% drift; round 15's
+    // whole artifact at loadavg 5.41 — a 2.0x phantom regression that
+    // took a judge adjudication to un-poison). Warning and writing
+    // anyway produced three straight rounds of noise artifacts, so a
+    // loaded box now WAITS (up to 10 min for the load to drain — a
+    // finishing sweep is the common cause) and then REFUSES: no
+    // artifact beats a wrong one that every later round trends
+    // against. SPARK_GRAFT_BENCH_FORCE=1 restores warn-and-write for
+    // deliberate loaded runs; the stamp still records the truth.
+    def loadavgFields(): Array[String] =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")
+      catch { case _: Throwable => Array.empty }
     def loadavg(): Double =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-    val loadAvg = loadavg()
-    if (loadAvg > 0.25 * cpus)
-      System.err.println(f"[bench] WARNING: 1-min loadavg $loadAvg%.1f on $cpus cores " +
-        "before the run — results are contention-contaminated; rerun on an idle box")
+      loadavgFields().headOption.map(_.toDouble).getOrElse(-1.0)
+    // instantaneous runnable count (field 4's numerator, e.g. "3/328"),
+    // minus this process's own sampling thread: the 1-min loadavg keeps
+    // reading high for ~2 min after a burst FINISHES (decay, not
+    // contention), and back-to-back sweep invocations would stall on
+    // their own wake. Three low samples over 6 s = the box is idle NOW.
+    def runnableOthers(): Int =
+      loadavgFields().lift(3).flatMap(_.split("/").headOption)
+        .map(r => math.max(0, r.toInt - 1)).getOrElse(Int.MaxValue)
+    def idleNow(): Boolean = (1 to 3).forall { _ =>
+      Thread.sleep(2000); runnableOthers() <= 2
+    }
+    val loadCap = cpus / 8.0
+    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").exists(v => v == "1" || v == "true")
+    var loadAvg = loadavg()
+    var waited = 0
+    while (loadAvg > loadCap && !force && waited < 600 && !idleNow()) {
+      System.err.println(f"[bench] 1-min loadavg $loadAvg%.1f > cap $loadCap%.1f " +
+        f"($cpus cores) and the run queue is busy — waiting (${waited}s/600s)")
+      Thread.sleep(30000)
+      waited += 30
+      loadAvg = loadavg()
+    }
+    loadAvg = loadavg()
+    if (loadAvg > loadCap && !idleNow()) {
+      if (force)
+        System.err.println(f"[bench] WARNING: loadavg $loadAvg%.1f > cap $loadCap%.1f " +
+          "but SPARK_GRAFT_BENCH_FORCE is set — results are contention-contaminated")
+      else {
+        System.err.println(f"[bench] REFUSING to measure: loadavg $loadAvg%.1f > cap " +
+          f"$loadCap%.1f after ${waited}s of waiting. A contended artifact poisons " +
+          "every later round-over-round comparison. Idle the box and rerun, or set " +
+          "SPARK_GRAFT_BENCH_FORCE=1 for a deliberate loaded run.")
+        sys.exit(2)
+      }
+    }
     val spark = GraftSession.builder(Some(s"local[$cpus]"), Some(cpus.toString)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // dev affordance mirroring Verify's SPARK_GRAFT_ONLY: restrict the

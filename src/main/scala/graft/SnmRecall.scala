@@ -36,8 +36,12 @@ object SnmRecall {
 
     // blocking-key context: the resolved auto window explains WHERE on
     // the cap transition this corpus sits (window < 256 = pre-cap,
-    // 256 = capped)
-    val keyed = docs.agg(count(lit(1)), countDistinct(col("n_chars"))).head()
+    // 256 = capped). Keying MUST mirror Dedup.resolveWindow's NULL-safe
+    // sentinel concat — a bare countDistinct drops NULL keys and the
+    // reported window could then differ from the one the scored runs
+    // actually resolved.
+    val keyed = docs.agg(count(lit(1)),
+      countDistinct(Dedup.blockingKey(Seq("n_chars")))).head()
     val (nDocs, dk) = (keyed.getLong(0), keyed.getLong(1))
     val window = Dedup.autoWindow(nDocs, dk)
 
@@ -60,14 +64,18 @@ object SnmRecall {
 
     def ratio(h: Long): Double =
       if (nTruth == 0) -1.0 else h.toDouble / nTruth
+    // Locale.ROOT, not the f-interpolator: under a comma-decimal JVM
+    // locale (de_DE) "%.4f" renders 0,9123 and the artifact stops
+    // being JSON
+    def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", d)
     val json =
-      f"""{"sf_dir": "$sfDir", "threshold": $threshold, "n_docs": $nDocs,
+      s"""{"sf_dir": "$sfDir", "threshold": $threshold, "n_docs": $nDocs,
          | "distinct_blocking_keys": $dk, "auto_window": $window,
          | "truth_pairs": $nTruth,
          | "snm_single": {"pairs": $nSingle, "hits": $hitSingle,
-         |  "recall": ${ratio(hitSingle)}%.4f, "subset_ok": ${hitSingle == nSingle}},
+         |  "recall": ${fmt(ratio(hitSingle))}, "subset_ok": ${hitSingle == nSingle}},
          | "snm_multipass": {"pairs": $nMulti, "hits": $hitMulti,
-         |  "recall": ${ratio(hitMulti)}%.4f, "subset_ok": ${hitMulti == nMulti}}}
+         |  "recall": ${fmt(ratio(hitMulti))}, "subset_ok": ${hitMulti == nMulti}}}
          |""".stripMargin.replace("\n", "") + "\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(s"[snm-recall] truth=$nTruth single=${ratio(hitSingle)} " +

@@ -19,17 +19,34 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 final class LongVec {
   var arr = new Array[Long](16)
   var n = 0
+  private def grow(need: Long): Unit = {
+    // long arithmetic: `arr.length << 1` flips negative past 2^30
+    // elements and `n + o.n` past Int.MaxValue — this aggregate is
+    // specifically the hot-key path, so the bound gets a clear failure
+    // instead of an opaque NegativeArraySizeException
+    if (need > LongVec.MaxElems)
+      throw new IllegalStateException(
+        s"graft_sorted_ids: posting list too large ($need ids in one group; " +
+          s"max ${LongVec.MaxElems}) — shard the hot key before aggregating")
+    val cap = math.min(LongVec.MaxElems, math.max(arr.length.toLong * 2, need))
+    arr = java.util.Arrays.copyOf(arr, cap.toInt)
+  }
   def add(v: Long): Unit = {
-    if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length << 1)
+    if (n >= arr.length) grow(n.toLong + 1)
     arr(n) = v
     n += 1
   }
   def mergeFrom(o: LongVec): Unit = {
-    if (n + o.n > arr.length)
-      arr = java.util.Arrays.copyOf(arr, math.max(arr.length << 1, n + o.n))
+    if (n.toLong + o.n > arr.length) grow(n.toLong + o.n)
     System.arraycopy(o.arr, 0, arr, n, o.n)
     n += o.n
   }
+}
+
+object LongVec {
+  /** Hard per-group ceiling: the serialized frame is `4 + n*8` bytes in
+    * one Array[Byte], so n must keep that sum under Int.MaxValue. */
+  val MaxElems: Long = (Int.MaxValue.toLong - 4L) / 8L
 }
 
 /** `graft_sorted_ids(id) -> array<bigint>` — exactly
@@ -81,6 +98,11 @@ case class CollectLongsSorted(
   }
 
   override def serialize(buffer: LongVec): Array[Byte] = {
+    // LongVec.grow enforces MaxElems on every append/merge, so the Int
+    // size below cannot overflow; assert the invariant anyway — a
+    // silent negative allocate here would be undebuggable at scale
+    require(buffer.n <= LongVec.MaxElems,
+      s"graft_sorted_ids: posting list too large (${buffer.n} ids)")
     val bb = ByteBuffer.allocate(4 + buffer.n * 8)
     bb.putInt(buffer.n)
     var i = 0

@@ -217,14 +217,20 @@ object Dedup {
     * derived window agrees between engine and oracle even when a key
     * is NULL (the \u0001 separator / \u0002 sentinel can't appear in
     * a cast value, keeping the concat injective). */
-  private def resolveWindow(docs: DataFrame, sortCols: Seq[String],
-                            window: Int): Int = {
+  /** The NULL-safe blocking-key expression [[resolveWindow]] counts
+    * distinct values of — shared with the driver-side recall tooling
+    * (graft.SnmRecall) so the REPORTED auto-window context uses the
+    * exact keying the scored SNM runs resolved their window with. */
+  private[graft] def blockingKey(sortCols: Seq[String]): Column =
+    concat_ws("\u0001",
+      sortCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+
+  private[graft] def resolveWindow(docs: DataFrame, sortCols: Seq[String],
+                                   window: Int): Int = {
     require(window <= 0 || window >= 2, "an explicit window must cover at least one neighbor")
     if (window > 0) window
     else {
-      val keyed = concat_ws("\u0001",
-        sortCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
-      val r = docs.agg(count(lit(1)), countDistinct(keyed)).head()
+      val r = docs.agg(count(lit(1)), countDistinct(blockingKey(sortCols))).head()
       autoWindow(r.getLong(0), r.getLong(1))
     }
   }

@@ -178,4 +178,22 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("partial_graft_sorted_ids"),
       s"expected a partial aggregation phase:\n$plan")
   }
+
+  test("graft_sorted_ids buffer fails CLEARLY past the 2 GiB serialized " +
+    "frame bound instead of a negative allocation") {
+    import graft.functions.expr.LongVec
+    // MaxElems keeps 4 + n*8 inside Int.MaxValue for one byte frame
+    assert(4L + LongVec.MaxElems * 8L <= Int.MaxValue.toLong)
+    assert(4L + (LongVec.MaxElems + 1) * 8L > Int.MaxValue.toLong)
+    // fake a buffer already AT the cap (n is set without allocating —
+    // the guard must throw before any copy touches the array)
+    val full = new LongVec
+    full.n = LongVec.MaxElems.toInt
+    val e1 = intercept[IllegalStateException](full.add(1L))
+    assert(e1.getMessage.contains("posting list too large"))
+    val other = new LongVec
+    other.n = 17
+    val e2 = intercept[IllegalStateException](full.mergeFrom(other))
+    assert(e2.getMessage.contains("posting list too large"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.tagobjects.Slow
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
@@ -387,9 +388,11 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  // Slow-tagged (131,072 vectors): excluded from the default gate so
+  // `sbt test` stays runnable per-commit; run with GRAFT_SLOW_TESTS=1.
   test("X132 width lift at 131k vectors: pinned 8-bit banding sheds " +
     "~90% of the index (the recall-collapse disease); the lifted auto " +
-    "width keeps it alive") {
+    "width keeps it alive", Slow) {
     val n = 131072
     // dim 64 (the real embedding width) and UNclustered vectors:
     // bucket survival is a property of the occupancy distribution, and
@@ -430,8 +433,9 @@ class SimilaritySpec extends AnyFunSuite {
     } finally dfc.unpersist()
   }
 
+  // Slow-tagged (51,200 vectors + a driver-side exact ground truth)
   test("X132 width lift end-to-end: banded kNN recall survives past the " +
-    "old 8-bit ceiling (n = 51200 → 9 bits), bounded loss vs exact") {
+    "old 8-bit ceiling (n = 51200 → 9 bits), bounded loss vs exact", Slow) {
     val n = 51200
     assert(Similarity.autoBandBits(n, 4) == 9, "fixture must sit past the old top")
     val (rows, df) = clusteredVectors(n, 16, 8)
