@@ -26,7 +26,16 @@ object Verify {
       val group = s"verify-$name"
       val task = new java.util.concurrent.FutureTask[Unit](() => {
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): coalesce collapses the whole
+        // final post-shuffle stage to one task, so an entry whose last
+        // stage carries the expensive work (e.g. the SNM families'
+        // candidate Jaccard verification after the pair join) runs it
+        // single-threaded and can blow the wall ceiling at 10x even
+        // though the plan itself is parallel (Bench's noop sink runs the
+        // same entry 30-80x faster). repartition adds one exchange of
+        // the FINAL result — small by construction, every entry is a
+        // bounded report — and keeps the upstream stages parallel.
+        try fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         finally spark.sparkContext.clearJobGroup()
       })

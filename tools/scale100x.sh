@@ -60,6 +60,11 @@ bench1() { # bench1 <sfdir> <entry> <outjson>
     SPARK_GRAFT_BENCH_OUT="$3" sbt -batch "runMain graft.Bench" || exit 1
 }
 
+# The summary is re-assembled after EVERY family so an interrupted
+# sweep still leaves a committable SCALE100X.json with the families
+# that DID finish (the SNM prediction check is the highest-value row,
+# so SNM runs first).
+
 # ---- SNM family: isolated, prefix AND byteneutral legs ------------------
 for e in $SNM_ENTRIES; do
   bench1 "$AMP10"    "$e" "/tmp/graft_s100_snm_10x_$e.json"
@@ -67,10 +72,12 @@ for e in $SNM_ENTRIES; do
   bench1 "$AMP10BN"  "$e" "/tmp/graft_s100_snm_10xbn_$e.json"
   bench1 "$AMP100BN" "$e" "/tmp/graft_s100_snm_100xbn_$e.json"
 done
+python3 tools/scale100x_summary.py /tmp/scale100x_verify.log || true
 
 # ---- text family: one grouped JVM per scale, byteneutral ----------------
 bench1 "$AMP10BN"  "$TEXT_ENTRIES" /tmp/graft_s100_text_10xbn.json
 bench1 "$AMP100BN" "$TEXT_ENTRIES" /tmp/graft_s100_text_100xbn.json
+python3 tools/scale100x_summary.py /tmp/scale100x_verify.log || true
 
 # ---- graph family: isolated per entry (embeddings-driven; text
 #      amplification mode is irrelevant, use the prefix corpus) ----------
@@ -78,6 +85,7 @@ for e in $GRAPH_ENTRIES; do
   bench1 "$AMP10"  "$e" "/tmp/graft_s100_graph_10x_$e.json"
   bench1 "$AMP100" "$e" "/tmp/graft_s100_graph_100x_$e.json"
 done
+python3 tools/scale100x_summary.py /tmp/scale100x_verify.log || true
 
 # ---- value-verify the family entries at 100x ----------------------------
 # ratio guard keys on the 10x sweep's counts (factor 10 between scales);
