@@ -88,34 +88,59 @@ object Bench {
     // reading high for ~2 min after a burst FINISHES (decay, not
     // contention), and back-to-back sweep invocations would stall on
     // their own wake. Three low samples over 6 s = the box is idle NOW.
+    // the numeric parse shares the file-read failure path: a malformed
+    // field means "can't tell", which must read as busy (Int.MaxValue),
+    // not crash the bench before it measures
     def runnableOthers(): Int =
       loadavgFields().lift(3).flatMap(_.split("/").headOption)
-        .map(r => math.max(0, r.toInt - 1)).getOrElse(Int.MaxValue)
+        .flatMap(r => scala.util.Try(r.trim.toInt).toOption)
+        .map(r => math.max(0, r - 1)).getOrElse(Int.MaxValue)
     def idleNow(): Boolean = (1 to 3).forall { _ =>
       Thread.sleep(2000); runnableOthers() <= 2
     }
     val loadCap = cpus / 8.0
     val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").exists(v => v == "1" || v == "true")
     var loadAvg = loadavg()
-    var waited = 0
-    while (loadAvg > loadCap && !force && waited < 600 && !idleNow()) {
-      System.err.println(f"[bench] 1-min loadavg $loadAvg%.1f > cap $loadCap%.1f " +
-        f"($cpus cores) and the run queue is busy — waiting (${waited}s/600s)")
-      Thread.sleep(30000)
-      waited += 30
-      loadAvg = loadavg()
-    }
-    loadAvg = loadavg()
-    if (loadAvg > loadCap && !idleNow()) {
-      if (force)
-        System.err.println(f"[bench] WARNING: loadavg $loadAvg%.1f > cap $loadCap%.1f " +
-          "but SPARK_GRAFT_BENCH_FORCE is set — results are contention-contaminated")
-      else {
-        System.err.println(f"[bench] REFUSING to measure: loadavg $loadAvg%.1f > cap " +
-          f"$loadCap%.1f after ${waited}s of waiting. A contended artifact poisons " +
-          "every later round-over-round comparison. Idle the box and rerun, or set " +
-          "SPARK_GRAFT_BENCH_FORCE=1 for a deliberate loaded run.")
-        sys.exit(2)
+    // stamped in the artifact: true when the run was admitted while the
+    // 1-min loadavg was still above cap (decaying after a burst) on the
+    // strength of an idle instantaneous run queue — trend scripts can
+    // discount such artifacts (r16's 4.28-load acceptance produced 2-4x
+    // per-entry noise)
+    var acceptedDecaying = false
+    if (loadAvg > loadCap && force)
+      System.err.println(f"[bench] WARNING: loadavg $loadAvg%.1f > cap $loadCap%.1f " +
+        "but SPARK_GRAFT_BENCH_FORCE is set — results are contention-contaminated")
+    else if (loadAvg > loadCap) {
+      // wait (real wall clock, not the sleep constant) up to 10 min for
+      // the load to drain. Each iteration computes ONE admission verdict:
+      // either the loadavg is back under cap, or the instantaneous run
+      // queue reads idle TWICE 30 s apart (a single quiet flicker must
+      // not admit a contended run, and a single busy flicker must fall
+      // back into the wait loop, not straight to refusal).
+      val waitStart = System.nanoTime()
+      def elapsedSec(): Long = (System.nanoTime() - waitStart) / 1000000000L
+      var accepted = false
+      while (!accepted) {
+        loadAvg = loadavg()
+        if (loadAvg <= loadCap) accepted = true
+        else if (idleNow()) {
+          Thread.sleep(30000)
+          loadAvg = loadavg()
+          if (loadAvg <= loadCap) accepted = true
+          else if (idleNow()) { accepted = true; acceptedDecaying = true }
+        }
+        if (!accepted) {
+          if (elapsedSec() >= 600) {
+            System.err.println(f"[bench] REFUSING to measure: loadavg $loadAvg%.1f > cap " +
+              f"$loadCap%.1f after ${elapsedSec()}s of waiting. A contended artifact poisons " +
+              "every later round-over-round comparison. Idle the box and rerun, or set " +
+              "SPARK_GRAFT_BENCH_FORCE=1 for a deliberate loaded run.")
+            sys.exit(2)
+          }
+          System.err.println(f"[bench] 1-min loadavg $loadAvg%.1f > cap $loadCap%.1f " +
+            f"($cpus cores) and the run queue is busy — waiting (${elapsedSec()}s/600s)")
+          Thread.sleep(30000)
+        }
       }
     }
     val spark = GraftSession.builder(Some(s"local[$cpus]"), Some(cpus.toString)).getOrCreate()
@@ -155,7 +180,7 @@ object Bench {
     // cpus is stamped so cross-artifact wall ratios (10x vs 1x) can be
     // read as data scaling, not a silent core-count change
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
-    val meta = s""""failed":$failedJson,"reps":$reps,"cpus":$cpus,"ceiling_sec":$ceiling,"loadavg_pre":$loadAvg,"loadavg_post":${loadavg()},"sf":"$sfDir""""
+    val meta = s""""failed":$failedJson,"reps":$reps,"cpus":$cpus,"ceiling_sec":$ceiling,"loadavg_pre":$loadAvg,"loadavg_post":${loadavg()},"accepted_decaying_load":$acceptedDecaying,"sf":"$sfDir""""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$meta}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")

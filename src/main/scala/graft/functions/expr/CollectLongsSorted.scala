@@ -44,9 +44,25 @@ final class LongVec {
 }
 
 object LongVec {
-  /** Hard per-group ceiling: the serialized frame is `4 + n*8` bytes in
-    * one Array[Byte], so n must keep that sum under Int.MaxValue. */
-  val MaxElems: Long = (Int.MaxValue.toLong - 4L) / 8L
+  /** Hard per-group ceiling — the tightest of the two per-group frames,
+    * so the clear "shard the hot key" error covers EVERY overflow path:
+    *  - serialize: `4 + 8n` bytes in one Array[Byte] (n <= ~268.4M);
+    *  - eval via `UnsafeArrayData.fromPrimitiveArray`: 8-byte header +
+    *    `ceil(n/64)*8` null-bitmap bytes + `8n` value bytes, and Spark
+    *    caps the whole frame at MAX_ROUNDED_ARRAY_LENGTH
+    *    (Int.MaxValue - 15), i.e. n <= ~264.3M — the binding limit.
+    *    Without this, a group in the 264.3M–268.4M band would pass the
+    *    guard yet die at eval with Spark's opaque
+    *    UnsupportedOperationException. */
+  val MaxElems: Long = {
+    val serializeMax = (Int.MaxValue.toLong - 4L) / 8L
+    val unsafeCap = Int.MaxValue.toLong - 15L
+    // solve 8 + ceil(n/64)*8 + 8n <= unsafeCap exactly (start just
+    // above 8n + n/8 = unsafeCap and step down)
+    var n = (unsafeCap - 16L) * 8L / 65L + 2L
+    while (8L + ((n + 63L) / 64L) * 8L + 8L * n > unsafeCap) n -= 1
+    math.min(serializeMax, n)
+  }
 }
 
 /** `graft_sorted_ids(id) -> array<bigint>` — exactly

@@ -182,9 +182,16 @@ class InvertedIndexSpec extends AnyFunSuite {
   test("graft_sorted_ids buffer fails CLEARLY past the 2 GiB serialized " +
     "frame bound instead of a negative allocation") {
     import graft.functions.expr.LongVec
-    // MaxElems keeps 4 + n*8 inside Int.MaxValue for one byte frame
+    // MaxElems keeps BOTH per-group frames inside their limits:
+    // serialize's one byte frame (4 + 8n <= Int.MaxValue) ...
     assert(4L + LongVec.MaxElems * 8L <= Int.MaxValue.toLong)
-    assert(4L + (LongVec.MaxElems + 1) * 8L > Int.MaxValue.toLong)
+    // ... and eval's UnsafeArrayData frame (8-byte header +
+    // ceil(n/64)*8 bitmap + 8n values <= MAX_ROUNDED_ARRAY_LENGTH =
+    // Int.MaxValue - 15) — the binding limit; one element more must
+    // overflow it, so no group can pass the guard yet die at eval
+    def unsafeFrame(n: Long): Long = 8L + ((n + 63L) / 64L) * 8L + 8L * n
+    assert(unsafeFrame(LongVec.MaxElems) <= Int.MaxValue.toLong - 15L)
+    assert(unsafeFrame(LongVec.MaxElems + 1) > Int.MaxValue.toLong - 15L)
     // fake a buffer already AT the cap (n is set without allocating —
     // the guard must throw before any copy touches the array)
     val full = new LongVec

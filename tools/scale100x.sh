@@ -22,6 +22,13 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
+# The summary assembles SCALE100X.json from fixed /tmp globs; stale
+# artifacts from an earlier or aborted sweep (possibly at different
+# CPUS/ceiling) must not silently mix into this run's decade ratios.
+# The 1x/10x SnmRecall files are NOT cleared — they come from the 10x
+# sweep by design and this script never regenerates them.
+rm -f /tmp/graft_s100_*.json /tmp/graft_snm_recall_100x.json /tmp/scale100x_verify.log
+
 SRC=${1:-/root/testdata/sf0.1}
 CPUS=${SPARK_GRAFT_CPUS:-32}
 AMP10=${AMP10:-/tmp/graft_scale10x}
