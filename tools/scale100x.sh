@@ -81,6 +81,14 @@ for e in $SNM_ENTRIES; do
 done
 python3 tools/scale100x_summary.py /tmp/scale100x_verify.log || true
 
+# ---- SNM recall one decade past the cap ---------------------------------
+# runs immediately after the SNM walls (not at the end of the sweep):
+# the recall-past-the-cap number is the artifact's highest-value row,
+# and a time-boxed partial run must not lose it to the later families
+SPARK_GRAFT_CPUS=$CPUS sbt -batch \
+  "runMain graft.SnmRecall $AMP100 /tmp/graft_snm_recall_100x.json" || exit 1
+python3 tools/scale100x_summary.py /tmp/scale100x_verify.log || true
+
 # ---- text family: one grouped JVM per scale, byteneutral ----------------
 bench1 "$AMP10BN"  "$TEXT_ENTRIES" /tmp/graft_s100_text_10xbn.json
 bench1 "$AMP100BN" "$TEXT_ENTRIES" /tmp/graft_s100_text_100xbn.json
@@ -107,9 +115,5 @@ if [ -f "$BASE10" ]; then
 else
   python3 tools/local_verify.py "$AMP100" "$OUT100" | tee /tmp/scale100x_verify.log
 fi
-
-# ---- SNM recall one decade past the cap ---------------------------------
-SPARK_GRAFT_CPUS=$CPUS sbt -batch \
-  "runMain graft.SnmRecall $AMP100 /tmp/graft_snm_recall_100x.json" || exit 1
 
 python3 tools/scale100x_summary.py /tmp/scale100x_verify.log
