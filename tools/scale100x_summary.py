@@ -20,20 +20,37 @@ def load_entry(path, name):
     v = json.load(open(path))["queries"].get(name)
     return v if v is not None and v > 0 else None
 
-summary = {"factor_per_decade": 10, "scales": ["10x (~sf1)", "100x (~sf10)"],
+summary = {"factor_per_decade": 10,
+           "scales": ["10x (~sf1)", "30x (~sf3, SNM past-cap probe)",
+                      "100x (~sf10)"],
            "base_corpus": "/root/testdata/sf0.1"}
 
 # ---- SNM family ----------------------------------------------------------
+# The full 100x leg is DISK-infeasible for this family on one box: past
+# the 256 cap candidates are 255*n, and at n=5M the 1.28B-candidate
+# sort spills ~75 GB — more than this box's free disk (both 100x
+# dedup_snm legs died in UnsafeExternalSorter with ENOSPC, r17). On a
+# cluster that sort shards trivially (~58 B/candidate); on this box the
+# past-cap linearity is probed at 30x (384M candidates, ~22 GB spill),
+# where linear-in-n predicts a 30x/10x wall ratio of ~3.
 snm = {}
 for p in glob.glob("/tmp/graft_s100_snm_10x_*.json"):
     name = os.path.basename(p)[len("graft_s100_snm_10x_"):-len(".json")]
     row = {}
     s10 = load_entry(p, name)
+    s30 = load_entry(f"/tmp/graft_s100_snm_30x_{name}.json", name)
     s100 = load_entry(f"/tmp/graft_s100_snm_100x_{name}.json", name)
     s10bn = load_entry(f"/tmp/graft_s100_snm_10xbn_{name}.json", name)
+    s30bn = load_entry(f"/tmp/graft_s100_snm_30xbn_{name}.json", name)
     s100bn = load_entry(f"/tmp/graft_s100_snm_100xbn_{name}.json", name)
-    row["sec_10x"], row["sec_100x"] = s10, s100
-    row["sec_10x_byteneutral"], row["sec_100x_byteneutral"] = s10bn, s100bn
+    row["sec_10x"], row["sec_30x"], row["sec_100x"] = s10, s30, s100
+    row["sec_10x_byteneutral"] = s10bn
+    row["sec_30x_byteneutral"] = s30bn
+    row["sec_100x_byteneutral"] = s100bn
+    if s10 and s30:
+        row["pastcap_3x_ratio"] = round(s30 / s10, 2)
+    if s10bn and s30bn:
+        row["pastcap_3x_ratio_byteneutral"] = round(s30bn / s10bn, 2)
     if s10 and s100:
         row["decade2_ratio"] = round(s100 / s10, 2)
     if s10bn and s100bn:
@@ -42,15 +59,25 @@ for p in glob.glob("/tmp/graft_s100_snm_10x_*.json"):
 if snm:
     summary["snm_isolated"] = snm
     r = snm.get("dedup_snm", {}).get("decade2_ratio_byteneutral")
+    r3 = snm.get("dedup_snm", {}).get("pastcap_3x_ratio_byteneutral")
     summary["snm_prediction_check"] = {
-        "prediction": ("window saturated at 256 during decade 1, so decade 2 "
-                       "(10x->100x) is linear: byteneutral wall ratio ~10, "
-                       "down from the 14-21x cap-transition decade "
-                       "(DEPLOY.md, sorted-neighborhood section)"),
+        "prediction": ("window saturated at 256 during decade 1, so past "
+                       "the cap wall is linear in n: byteneutral ratio ~10 "
+                       "for 10x->100x, ~3 for the 10x->30x probe, down from "
+                       "the 14-21x cap-transition decade (DEPLOY.md, "
+                       "sorted-neighborhood section)"),
+        "onebox_100x_bound": ("100x infeasible on one box: the 1.28B-"
+                              "candidate sort (255*n at n=5M, ~58 B each) "
+                              "needs ~75 GB spill > free disk; both 100x "
+                              "dedup_snm legs died with ENOSPC (r17). "
+                              "Probed at 30x instead (384M candidates)."),
+        "measured_dedup_snm_pastcap_3x_ratio_byteneutral": r3,
         "measured_dedup_snm_decade2_ratio_byteneutral": r,
-        "verdict": (None if r is None else
-                    "CONFIRMED (~linear)" if r <= 13 else
-                    f"NOT confirmed (ratio {r} > 13)")}
+        "verdict": ("CONFIRMED (~linear past cap)" if
+                    (r is not None and r <= 13) or
+                    (r is None and r3 is not None and r3 <= 4) else
+                    None if r is None and r3 is None else
+                    f"NOT confirmed (ratios bn100x={r} bn30x={r3})")}
 
 # ---- text family (byteneutral, grouped) ---------------------------------
 t10 = ("/tmp/graft_s100_text_10xbn.json")
@@ -109,6 +136,7 @@ if status:
 recall = {}
 for scale, path in [("1x", "/tmp/graft_snm_recall_1x.json"),
                     ("10x", "/tmp/graft_snm_recall_10x.json"),
+                    ("30x", "/tmp/graft_snm_recall_30x.json"),
                     ("100x", "/tmp/graft_snm_recall_100x.json")]:
     if os.path.exists(path):
         recall[scale] = json.load(open(path))
@@ -117,8 +145,9 @@ if recall:
 
 json.dump(summary, open("SCALE100X.json", "w"), indent=1)
 pc = summary.get("snm_prediction_check", {})
-print(f"snm decade2 byteneutral ratio: "
-      f"{pc.get('measured_dedup_snm_decade2_ratio_byteneutral')} "
+print(f"snm past-cap bn ratios: 30x/10x="
+      f"{pc.get('measured_dedup_snm_pastcap_3x_ratio_byteneutral')} "
+      f"100x/10x={pc.get('measured_dedup_snm_decade2_ratio_byteneutral')} "
       f"-> {pc.get('verdict')}")
 if "verify_100x" in summary:
     v = summary["verify_100x"]
