@@ -50,7 +50,7 @@ object Bpe {
     import spark.implicits._
     // one corpus pass: word -> total occurrences
     var vocab = Checkpoints.fence(
-      docs.where(col(textCol).isNotNull)
+      Parallelize.spreadScan(docs.where(col(textCol).isNotNull))
         .select(explode(split(col(textCol), "\\s+")).as("w"))
         .where(length(col("w")) > 0)
         .groupBy(col("w")).agg(count(lit(1)).as("wt"))
@@ -105,7 +105,9 @@ object Bpe {
     val encN = merges.foldLeft(enc0) { case (e, (l, r)) =>
       replace(e, lit(s"$Marker$l$Marker$Marker$r$Marker"), lit(s"$Marker$l$r$Marker"))
     }
-    docs.where(col(textCol).isNotNull)
+    // per-word marker-encode + numMerges chained replaces are the
+    // whole cost and explode word-wise — spread a single-split scan
+    Parallelize.spreadScan(docs.where(col(textCol).isNotNull))
       .select(col(idCol), explode(split(col(textCol), "\\s+")).as("w"))
       .where(length(col("w")) > 0)
       .select(col(idCol),

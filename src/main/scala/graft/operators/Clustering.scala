@@ -38,8 +38,13 @@ object Clustering {
              vecCol: String = "embedding",
              idCol: String = "vec_id"): DataFrame = {
     require(k >= 2 && iters >= 1)
-    val qv = df.select(col(idCol).cast("long").as("__id"),
-      transform(col(vecCol), x => round(x.cast("double") * 1e6)).as("__qv"))
+    // k × dim distance arithmetic per row per iteration rides the scan
+    // stage — spread the narrow projection of a single-split scan to
+    // session parallelism, quantize above it
+    val qv = Parallelize.spreadScan(
+      df.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v")))
+      .select(col("__id"),
+        transform(col("__v"), x => round(x.cast("double") * 1e6)).as("__qv"))
 
     // deterministic seeding: the k smallest ids — bounded k×dim driver
     // metadata (the IVF-centroid precedent), never data-sized
@@ -102,8 +107,14 @@ object Clustering {
     * self-joins and nothing is driver-sized. */
   def dbscan(emb: DataFrame, tau: Double = 0.35,
              minPts: Int = 3): DataFrame = {
-    val pairs = Dedup.embeddingPairs(emb, threshold = tau)
-      .select(col("id1"), col("id2"))
+    // fenced ONCE: sym feeds three independent consumers (core
+    // degrees, coreEdges, borderClusters) plus CC's own fence — the
+    // banded candidate pass + cosine verify would otherwise recompute
+    // per consumer (measured ~0.5 s × 3 extra at sf0.1; at scale,
+    // three extra full passes over the vector table)
+    val pairs = Checkpoints.fence(
+      Dedup.embeddingPairs(emb, threshold = tau)
+        .select(col("id1"), col("id2")))
     // candidates are distinct with id1 < id2, so both directions union
     // without a dedup pass
     val sym = pairs.unionByName(

@@ -161,18 +161,35 @@ object Dedup {
     * machinery as Packing.prefixSum, including the one materialization
     * that pins the range boundaries for both consumers. */
   def globalRank(df: DataFrame, orderCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     // asc_nulls_last, not plain asc: Spark's default sorts NULLs FIRST
     // while DuckDB's (the twins') ORDER BY sorts them LAST — ranks
     // must agree between engine and oracle even on NULL blocking keys.
-    val ranged = df
-      .repartitionByRange(n, orderCols.map(c => col(c).asc_nulls_last): _*)
-      .withColumn("__pid", spark_partition_id())
-    val localW = Window.partitionBy(col("__pid"))
-      .orderBy(orderCols.map(c => col(c).asc_nulls_last): _*)
+    val sortExprs = orderCols.map(c => col(c).asc_nulls_last)
+    // Local rank WITHOUT a window (guide §2.4 remove shuffles): the
+    // old row_number().over(partitionBy(__pid)) forced a SECOND full
+    // exchange (hashpartitioning(__pid)) right after the range
+    // exchange — pure waste, the range partitions already ARE the
+    // groups — and, worse, AQE's byte-driven coalescing collapsed that
+    // small-bytes exchange to one partition, so the fenced layout
+    // every downstream consumer inherits (SNM's ×window candidate
+    // explode, the quintile joins) ran single-threaded. Now: range
+    // exchange → IN-PARTITION sort (no exchange) →
+    // monotonically_increasing_id, whose documented layout
+    // (partition id in the upper bits, a sequential per-partition
+    // counter in the lower 33) yields exactly the (__pid, __rn) pair
+    // the two-phase rank needs. One exchange total, layout stays at n
+    // partitions. Per-partition row count is bounded by 2^33, Spark's
+    // own limit for the id; the counter follows the sorted order
+    // because the projection sits above the sort and the fence
+    // materializes one outcome (same contract as before).
     val local = Checkpoints.fence(
-      ranged.withColumn("__rn", row_number().over(localW)))
+      df.repartitionByRange(n, sortExprs: _*)
+        .sortWithinPartitions(sortExprs: _*)
+        .withColumn("__mid", monotonically_increasing_id())
+        .withColumn("__pid", shiftrightunsigned(col("__mid"), 33).cast("int"))
+        .withColumn("__rn", (col("__mid").bitwiseAND(lit((1L << 33) - 1)) + 1L))
+        .drop("__mid"))
     val totals = local.groupBy(col("__pid")).agg(count(lit(1)).as("__total"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
     val offsets = totals.map(_._1).zip(
@@ -265,9 +282,18 @@ object Dedup {
       val probes = ranked
         .withColumn("__d", explode(sequence(lit(1), lit(win - 1))))
         .select(col("__id").as("idA"), (col("rank") + col("__d")).as("rank"))
-      probes.join(ranked, "rank")
-        .select(least(col("idA"), col("__id")).as("id1"),
-          greatest(col("idA"), col("__id")).as("id2"))
+      // pin the candidate table's layout at the session's shuffle
+      // parallelism BEFORE it is persisted/consumed: the rank-join
+      // output is bytes-tiny (two longs/row) so AQE's byte-driven
+      // coalescing collapses it to ~1 partition, and that collapsed
+      // layout then becomes the CACHED block layout — every downstream
+      // union/verify stage reads the multi-million-row candidate set
+      // single-threaded (measured: two 3.4 s one-task jobs inside
+      // dedup_snm_multipass). See Parallelize.spreadPairs.
+      Parallelize.spreadPairs(
+        probes.join(ranked, "rank")
+          .select(least(col("idA"), col("__id")).as("id1"),
+            greatest(col("idA"), col("__id")).as("id2")))
     }
     val cacheOn = spark.conf.getOption("spark.graft.snm.cacheCandidates")
       .forall(_.toBoolean)
@@ -472,8 +498,17 @@ object Dedup {
       distinctWordShingles(col(textCol), shingleSize).as("__s"))
     val d1 = sh.select(col("__sid").as("id1"), col("__s").as("__s1"))
     val d2 = sh.select(col("__sid").as("id2"), col("__s").as("__s2"))
-    pairs.join(d1, "id1").join(d2, "id2")
-      .withColumn("__inter", size(array_intersect(col("__s1"), col("__s2"))).cast("double"))
+    // pin verify parallelism: the pair table is bytes-tiny and its
+    // partitioning may have collapsed (AQE coalesce / cached block);
+    // broadcast joins would carry that collapse into the CPU-dense
+    // intersect stage — see Parallelize.spreadPairs
+    // graft_set_inter: one fused counting pass per pair (no
+    // intermediate intersection array), and single-eval — the callers'
+    // jaccard threshold would otherwise be pushed into the join
+    // condition and the intersect computed twice per pair (guide §4.4)
+    Parallelize.spreadPairs(pairs).join(d1, "id1").join(d2, "id2")
+      .withColumn("__inter",
+        call_function("graft_set_inter", col("__s1"), col("__s2")).cast("double"))
       .select(col("id1"), col("id2"),
         (col("__inter") /
           (size(col("__s1")) + size(col("__s2")) - col("__inter"))).as("jaccard"))
@@ -528,8 +563,9 @@ object Dedup {
       distinctWordShingles(col(textCol), shingleSize).as("__s"))
     val d1 = sh.select(col("__sid").as("id1"), col("__s").as("__s1"))
     val d2 = sh.select(col("__sid").as("id2"), col("__s").as("__s2"))
-    pairs.join(d1, "id1").join(d2, "id2")
-      .withColumn("__inter", size(array_intersect(col("__s1"), col("__s2"))).cast("double"))
+    Parallelize.spreadPairs(pairs).join(d1, "id1").join(d2, "id2")
+      .withColumn("__inter",
+        call_function("graft_set_inter", col("__s1"), col("__s2")).cast("double"))
       .select(col("id1"), col("id2"),
         (col("__inter") / size(col("__s1"))).as("c1"),
         (col("__inter") / size(col("__s2"))).as("c2"))
@@ -569,12 +605,13 @@ object Dedup {
       substring(col(textCol), 1, prefixChars).as("__t"))
     val d1 = t.select(col("__tid").as("id1"), col("__t").as("__t1"))
     val d2 = t.select(col("__tid").as("id2"), col("__t").as("__t2"))
+    val spread = Parallelize.spreadPairs(pairs)
     // acceptance needs lev ≤ (1−minSim)·mx ≤ (1−minSim)·prefixChars, so
     // the DP can run BANDED: Spark's 3-arg levenshtein early-exits past
     // `maxDist` and returns −1 — every −1 pair is over the acceptance
     // bound (⌊x⌋+1 > x), i.e. rejected, so the threshold is lossless.
     val maxDist = math.floor((1.0 - minSim) * prefixChars).toInt
-    pairs.join(d1, "id1").join(d2, "id2")
+    spread.join(d1, "id1").join(d2, "id2")
       .withColumn("__mx", greatest(length(col("__t1")), length(col("__t2"))))
       // lev ≥ |len₁ − len₂|: a length gap past the acceptance bound
       // kills the candidate before the O(|a|·|b|) DP ever runs. The
@@ -793,8 +830,10 @@ object Dedup {
     * shorter than spanLen have no spans and report zero coverage. */
   def substringDedup(docs: DataFrame, spanLen: Int = 6,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val t = docs.where(col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("__t"))
+    // ~n_tokens span hashes per doc are generated in the scan stage —
+    // spread a single-split scan (Parallelize.spreadScan, no-op at scale)
+    val t = Parallelize.spreadScan(docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("__t")))
       .select(col("doc_id"), col("__t"), size(col("__t")).cast("long").as("n_tokens"))
     val spans = t.where(col("n_tokens") >= spanLen)
       .select(col("doc_id"),

@@ -69,8 +69,13 @@ object EmbeddingStats {
     // one scan stage with no shuffle between them — the id-keyed
     // self-join alternative hash-shuffles the rows×d exploded table
     // twice before any pair exists
-    val qv = emb.select(
-      transform(col(vecCol),
+    // rows × d(d+1)/2 pair terms are generated IN the scan stage — it
+    // must not run at a single unsplittable split's parallelism.
+    // Spread the NARROW projection first (Parallelize.spreadScan,
+    // no-op when the scan already splits), quantize above it so the
+    // per-component compute runs at session parallelism too.
+    val qv = Parallelize.spreadScan(emb.select(col(vecCol).as("__v")))
+      .select(transform(col("__v"),
         x => round(x.cast("double") * 1e6, 0).cast("decimal(38,0)")).as("qv"))
     val withI = qv.select(col("qv"), posexplode(col("qv")).as(Seq("i", "xi")))
     val marg = withI.groupBy(col("i").cast("long").as("i"))
@@ -292,12 +297,17 @@ object EmbeddingStats {
                  idCol: String = "vec_id"): DataFrame = {
     // widen BEFORE multiplying: a float×float square would round at
     // float precision where the twin squares doubles
-    val sq = aggregate(transform(col(vecCol),
+    def sq_(c: String) = aggregate(transform(col(c),
       x => x.cast("double") * x.cast("double")),
       lit(0.0), (a, x) => a + x)
-    val normed = df.select(col(idCol).cast("long").as("__id"),
-      col(groupCol).cast("long").as("__g"),
-      transform(col(vecCol), x => x.cast("double") / sqrt(sq)).as("__nv"))
+    // normalization + |labels| per-row dot products are scan-stage CPU
+    // — spread the narrow projection first (no-op at scale), compute
+    // above it so it runs at session parallelism
+    val normed = Parallelize.spreadScan(
+      df.select(col(idCol).cast("long").as("__id"),
+        col(groupCol).cast("long").as("__g"), col(vecCol).as("__v")))
+      .select(col("__id"), col("__g"),
+        transform(col("__v"), x => x.cast("double") / sqrt(sq_("__v"))).as("__nv"))
     val sums = normed.groupBy(col("__g"))
       .agg(call_function("graft_vec_sum", col("__nv")).as("__s"),
         count(lit(1)).as("__n"))

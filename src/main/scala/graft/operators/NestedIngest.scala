@@ -86,7 +86,10 @@ object NestedIngest {
     * testdata. */
   def eventsAsJson(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    graft.Tables.events(spark, sfDir).select(to_json(struct(
+    // the whole build-JSON → parse → flatten round trip is per-row
+    // scan-stage CPU — spread a single-split scan to session
+    // parallelism first (Parallelize.spreadScan; no-op at scale)
+    Parallelize.spreadScan(graft.Tables.events(spark, sfDir)).select(to_json(struct(
       $"event_id".as("doc_id"),
       date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss").as("timestamp"),
       $"event_type".as("level"),

@@ -559,7 +559,10 @@ object Relational {
       if (approx) expr(
         s"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), $accuracy)")
       else expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))")
-    Tables.lineitem(spark, sfDir)
+    // exact percentile's partial buffers sort whole value lists — keep
+    // the partial phase at session parallelism off a single-split scan
+    Parallelize.spreadScan(Tables.lineitem(spark, sfDir)
+        .select($"l_returnflag", $"l_extendedprice"))
       .groupBy($"l_returnflag")
       .agg(qs.cast("array<double>").as("qs"), count(lit(1)).as("n"))
       .select($"l_returnflag",
@@ -757,8 +760,10 @@ object Relational {
     * flip a >= comparison. */
   def trimmedMeanPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, sfDir)
-      .select($"l_returnflag", $"l_extendedprice")
+    // spread a single-split scan so the percentile partial buffers and
+    // the trim pass run at session parallelism (no-op at scale)
+    val li = Parallelize.spreadScan(Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_extendedprice"))
     // §5.8: the exact array-percentile buffers whole groups — the same
     // conf that routes `quantiles` flips these bounds to the mergeable
     // approx_percentile sketch (constant state per group, identical

@@ -45,8 +45,12 @@ object Similarity {
       struct(lit(j).as("band"),
         shiftrightunsigned(col("__srp"), j * bitsPerBand).bitwiseAND(lit(mask)).as("bhash"))
     }
-    df.select(col(idCol).cast("long").as("id"),
-        srpBitmask(col(vecCol), numPlanes).as("__srp"))
+    // numPlanes dot products per row ride the scan stage — spread the
+    // narrow projection of a single-split scan to session parallelism
+    // (no-op otherwise), compute the bitmask above it
+    graft.operators.Parallelize.spreadScan(
+        df.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v")))
+      .select(col("id"), srpBitmask(col("__v"), numPlanes).as("__srp"))
       .select(col("id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("id"), col("b.band"), col("b.bhash"))
   }

