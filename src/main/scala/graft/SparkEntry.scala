@@ -938,8 +938,13 @@ object SparkEntry {
     "search_bm25_prf" -> ((s, dir) =>
       Search.bm25PrfTopK(Tables.documents(s, dir), Seq("spark", "vector"), 20)
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
+    // spreadScan on the positional search: the per-row position
+    // extraction is the whole cost and rides the (single-split at sf)
+    // scan — no-op at scale, result-identical
+
     "search_proximity" -> ((s, dir) =>
-      Search.proximitySearch(Tables.documents(s, dir), "spark", "slow", maxDist = 5)
+      Search.proximitySearch(Parallelize.spreadScan(Tables.documents(s, dir)),
+          "spark", "slow", maxDist = 5)
         .orderBy(col("doc_id"))),
     "search_fuzzy" -> ((s, dir) =>
       Search.fuzzySearch(Tables.documents(s, dir), Seq("spak", "strem", "jion"), maxDist = 2)

@@ -55,25 +55,52 @@ object Replay {
     try body finally spark.conf.set(key, prev)
   }
 
-  /** Stage each slice as a single parquet file `0000.parquet`,
-    * `0001.parquet`, … under a fresh temp dir with strictly
-    * increasing mtimes; with maxFilesPerTrigger=1 the streaming file
-    * source then replays exactly one slice per micro-batch, in order. */
-  def stageSlices(slices: Seq[DataFrame]): String = {
+  /** Stage every slice of one frame as single parquet files
+    * `0000.parquet`, `0001.parquet`, … under a fresh temp dir with
+    * strictly increasing mtimes; with maxFilesPerTrigger=1 the
+    * streaming file source then replays exactly one slice per
+    * micro-batch, in order — in ONE Spark job (guide §1.2: the
+    * previous per-slice coalesce(1) writes were n sequential jobs per
+    * stream, pure driver/staging overhead in every replay gate).
+    * `dfWithSlice` carries a 0-based integer `__slice` column; one
+    * hash-partitioned `partitionBy(__slice)` write emits exactly one
+    * file per slice (each slice's rows land in one task via the
+    * explicit-count repartition, and the writer opens one file per
+    * partition value per task), which is then moved into the flat
+    * pinned-mtimes layout — the micro-batch order contract is
+    * unchanged. */
+  def stageSliced(dfWithSlice: DataFrame, nSlices: Int): String = {
     val stage = Files.createTempDirectory("graft-replay").toString
-    slices.zipWithIndex.foreach { case (df, i) =>
-      val tmp = s"$stage/_tmp"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val tmpDir = new java.io.File(tmp)
-      val part = tmpDir.listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file staged for slice $i"))
+    val tmp = s"$stage/_tmp"
+    val df = dfWithSlice.withColumn("__slice", col("__slice").cast("int"))
+    df.repartition(nSlices, col("__slice"))
+      .write.mode("overwrite").partitionBy("__slice").parquet(tmp)
+    (0 until nSlices).foreach { i =>
+      val dir = new java.io.File(s"$tmp/__slice=$i")
       val dest = Paths.get(stage, f"$i%04d.parquet")
-      Files.move(part.toPath, dest)
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      parts.toList match {
+        case one :: Nil => Files.move(one.toPath, dest)
+        case Nil =>
+          // empty slice: stage an empty single-row-group file with the
+          // parent schema so the trigger still fires in order
+          df.limit(0).drop("__slice").coalesce(1)
+            .write.mode("overwrite").parquet(s"$tmp/__empty$i")
+          val e = new java.io.File(s"$tmp/__empty$i").listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no empty part staged for slice $i"))
+          Files.move(e.toPath, dest)
+        case more => sys.error(s"slice $i staged ${more.size} files, expected 1")
+      }
       // pinned, spaced mtimes: slice order survives coarse fs clocks
       dest.toFile.setLastModified(1700000000000L + i * 60000L)
-      tmpDir.listFiles().foreach(_.delete()); tmpDir.delete()
     }
+    // best-effort cleanup of the partitioned scratch dir
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(tmp))
     stage
   }
 
@@ -114,15 +141,22 @@ object Replay {
     val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = hi - lo + 1
-    val slices = (0 until batches).map { i =>
-      val a = lo + span * i / batches
-      val b = lo + span * (i + 1) / batches
-      ev.where(unix_micros(col("ts")) >= a && unix_micros(col("ts")) < b)
+    // same cut points as the per-slice filters, as ONE driver-side
+    // CASE — the staging then writes every slice in one job
+    // (stageSliced) instead of `batches` sequential coalesce(1) jobs
+    val cuts = (1 until batches).map(i => lo + span * i / batches)
+    val sliceOf = cuts.zipWithIndex.foldRight(lit(batches - 1): org.apache.spark.sql.Column) {
+      case ((cut, i), rest) => when(unix_micros(col("ts")) < cut, i).otherwise(rest)
     }
     val farMs = (hi + (2L * gapMinutes + 60) * 60L * 1000000L) / 1000L
-    def sentinel(ms: Long) =
+    def sentinel(ms: Long, slice: Int) =
       Seq((-1L, new java.sql.Timestamp(ms), 0.0)).toDF("user_id", "ts", "value")
-    val stage = stageSlices(slices ++ Seq(sentinel(farMs), sentinel(farMs + 3600000L)))
+        .withColumn("__slice", lit(slice))
+    val stage = stageSliced(
+      ev.withColumn("__slice", sliceOf)
+        .unionByName(sentinel(farMs, batches))
+        .unionByName(sentinel(farMs + 3600000L, batches + 1)),
+      batches + 2)
     val sessions = runToMemory(spark, stage, "append") { stream =>
       Sessionize.streaming(stream.as[Sessionize.SessionEvent], gapMinutes).toDF()
     }
@@ -160,14 +194,15 @@ object Replay {
     val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = hi - lo + 1
-    def slices(df: DataFrame, tsCol: String): Seq[DataFrame] =
-      (0 until batches).map { i =>
-        val a = lo + span * i / batches
-        val b = lo + span * (i + 1) / batches
-        df.where(unix_micros(col(tsCol)) >= a && unix_micros(col(tsCol)) < b)
+    // same cut points as the old per-slice filters, one staging job
+    // per stream (stageSliced) instead of `batches` coalesce(1) jobs
+    val cuts = (1 until batches).map(i => lo + span * i / batches)
+    def sliceOf(tsCol: String) =
+      cuts.zipWithIndex.foldRight(lit(batches - 1): org.apache.spark.sql.Column) {
+        case ((cut, i), rest) => when(unix_micros(col(tsCol)) < cut, i).otherwise(rest)
       }
-    val stageV = stageSlices(slices(views, "vts"))
-    val stageP = stageSlices(slices(purch, "pts"))
+    val stageV = stageSliced(views.withColumn("__slice", sliceOf("vts")), batches)
+    val stageP = stageSliced(purch.withColumn("__slice", sliceOf("pts")), batches)
     def stream(stage: String, wmCol: String) = {
       val schema = spark.read.parquet(stage).schema
       spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
@@ -209,12 +244,12 @@ object Replay {
     val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = hi - lo + 1
-    val slices = (0 until batches).map { i =>
-      val a = lo + span * i / batches
-      val b = lo + span * (i + 1) / batches
-      docs.where(col("doc_id") >= a && col("doc_id") < b)
+    // same cut points as the old per-slice filters, one staging job
+    val cuts = (1 until batches).map(i => lo + span * i / batches)
+    val sliceOf = cuts.zipWithIndex.foldRight(lit(batches - 1): org.apache.spark.sql.Column) {
+      case ((cut, i), rest) => when(col("doc_id") < cut, i).otherwise(rest)
     }
-    val stage = stageSlices(slices)
+    val stage = stageSliced(docs.withColumn("__slice", sliceOf), batches)
     runToMemory(spark, stage, "append") { stream =>
       stream.as[(Long, String)]
         .groupByKey(_._2)
