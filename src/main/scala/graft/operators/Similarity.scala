@@ -45,12 +45,13 @@ object Similarity {
       struct(lit(j).as("band"),
         shiftrightunsigned(col("__srp"), j * bitsPerBand).bitwiseAND(lit(mask)).as("bhash"))
     }
-    // numPlanes dot products per row ride the scan stage — spread the
-    // narrow projection of a single-split scan to session parallelism
-    // (no-op otherwise), compute the bitmask above it
-    graft.operators.Parallelize.spreadScan(
-        df.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v")))
-      .select(col("id"), srpBitmask(col("__v"), numPlanes).as("__srp"))
+    // NOTE(r17): a spreadScan of the bitmask input was tried here and
+    // REVERTED — the fused graft_srp pass is cheap enough that the
+    // extra vector exchange cost more than the parallelism bought
+    // (dedup_incremental 1.0→2.0 s, ann_lsh 0.3→1.1 s; no consumer
+    // measurably improved).
+    df.select(col(idCol).cast("long").as("id"),
+        srpBitmask(col(vecCol), numPlanes).as("__srp"))
       .select(col("id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("id"), col("b.band"), col("b.bhash"))
   }
